@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + count-style materialise);
+a warmup query first absorbs JVM/codegen startup so numbers reflect the
+engine, not JIT warmup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family — scan+agg, star join, window,
+# rollup, dedup, json/datetime, and the LLM-extension paths.
+HEADLINE = [
+    "flagship",
+    "q1_pricing_summary",
+    "j1_star_join_revenue",
+    "j_left_join",
+    "window_topk_per_group",
+    "window_rank_lag_lead",
+    "rollup_flag_status",
+    "datetime_daily_rollup",
+    "json_field_agg",
+    "t2_dedup_by_key",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from orchestrated_etl_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs]
+    # extension queries register later; include any bench-tagged ones
+    names += [n for n in qs if n.startswith("bench_") and n not in names]
+
+    # Warmup: trigger codegen + parquet footer reads once.
+    qs["q1_pricing_summary"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        n = df.count() if name != "flagship" else len(df.collect())
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

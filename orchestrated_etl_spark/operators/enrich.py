@@ -1,0 +1,103 @@
+"""Enrich-stage aggregates (SURVEY §2.3, A1-A5) and the flagship pipeline.
+
+The reference computes five per-Author aggregates as THREE separate pandas
+groupbys reassembled by three joins (/root/reference/dags/dag.py:167-182 —
+A1-A5 + J1-J3). That is 3 redundant scans and 3 redundant shuffles. The
+Spark-native form is ONE multi-expression hash aggregate: map-side partial
+aggregation, a single shuffle on the group key, no joins at all. At 100 TB
+this collapses the stage from 4 shuffles to 1.
+
+Aggregate semantics preserved exactly:
+- A1 weighted sum Σ(rating·count) — native product-sum, no UDF (the
+  reference uses groupby().apply(lambda), dags/dag.py:167).
+- A3 Average_rating = A1/A2 is the *count-weighted* mean, not avg(rating).
+  0/0 → NULL in Spark (pandas NaN; sink stores NULL either way).
+- A5 Book_count counts rows including NULL fields → count(*), never
+  count(col) which would skip NULLs (dags/dag.py:181).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def enrich_metrics(
+    df: DataFrame,
+    *,
+    group_key: str = "Author",
+    rating: str = "Rating",
+    count: str = "Rating_count",
+    price: str = "Price",
+) -> DataFrame:
+    """A1-A5 as one hash aggregate; column names follow the reference's
+    enriched_metrics sink (dags/dag.py:50-57)."""
+    wsum = F.sum(F.col(rating) * F.col(count))
+    csum = F.sum(count)
+    return df.groupBy(group_key).agg(
+        # try_divide: 0/0 → NULL (pandas NaN analogue) under ANSI mode
+        F.try_divide(wsum, csum).alias("Average_rating"),
+        F.avg(price).alias("Average_price"),
+        csum.alias("Total_rating_count"),
+        wsum.alias("Sum_rating_count_rating"),
+        F.count(F.lit(1)).alias("Book_count"),
+    )
+
+
+def flagship(spark, sf_dir: str) -> DataFrame:
+    """The whole reference pipeline transposed onto the star schema as ONE
+    lazy plan (SURVEY §7 step 1): scan lineitem → completeness filter (S3)
+    → standardise casts (T3) → the A1-A5 aggregate family per nation
+    (lineitem⋈orders⋈customer⋈nation, J1-J3) — weighted avg of l_discount
+    weighted by l_quantity plays Average_rating; avg(l_extendedprice) plays
+    Average_price.
+
+    Scale posture: the three dimension joins broadcast (orders is the only
+    large probe side and it joins lineitem on its natural key); the single
+    aggregate shuffles once on the final small key (25 nations). Catalyst
+    prunes lineitem's scan to 5 of 11 columns and pushes the null filters
+    into parquet.
+    """
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+
+    cleaned = (
+        lineitem.na.drop(
+            "any", subset=["l_quantity", "l_extendedprice", "l_discount"]
+        )
+        .select(
+            "l_orderkey",
+            F.col("l_quantity").cast("double").alias("qty"),
+            F.col("l_extendedprice").cast("double").alias("price"),
+            F.col("l_discount").cast("double").alias("disc"),
+        )
+    )
+    wsum = F.sum(F.col("disc") * F.col("qty"))
+    qsum = F.sum("qty")
+    return (
+        cleaned.join(
+            orders.select("o_orderkey", "o_custkey"),
+            cleaned.l_orderkey == F.col("o_orderkey"),
+            "inner",
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "inner",
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "inner",
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(F.try_divide(wsum, qsum), 6).alias("avg_weighted_discount"),
+            F.round(F.avg("price"), 4).alias("avg_price"),
+            F.round(qsum, 2).alias("total_qty"),
+            F.round(wsum, 4).alias("sum_disc_qty"),
+            F.count(F.lit(1)).alias("item_count"),
+        )
+    )

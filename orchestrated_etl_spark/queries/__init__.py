@@ -1,0 +1,22 @@
+"""Query modules. Importing each module registers its queries/oracles."""
+
+from __future__ import annotations
+
+_loaded = False
+
+
+def load() -> None:
+    global _loaded
+    if _loaded:
+        return
+    _loaded = True
+    # Import order == checklist order (SURVEY §2 → gap list → extensions).
+    from orchestrated_etl_spark.queries import (  # noqa: F401
+        reference_surface,
+        relational,
+        llm_text,
+        llm_dedup,
+        llm_similarity,
+        llm_multimodal,
+        streaming_queries,
+    )

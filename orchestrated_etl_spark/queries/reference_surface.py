@@ -1,0 +1,529 @@
+"""Queries covering the reference's own operator surface (SURVEY §2.1-§2.5).
+
+Each query is the fixture-table expression of one (or one family of) the
+reference's operators, with a DuckDB oracle computing the identical
+relation. Sources: S3 completeness filter, S5 limit, S6 row constructor;
+transforms T2-T6; aggregates A1-A5; joins J1-J3 (+ the left/semi/anti and
+broadcast variants the reference lacks but any real star schema needs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orchestrated_etl_spark.operators import standardise as S
+from orchestrated_etl_spark.operators.enrich import enrich_metrics, flagship
+from orchestrated_etl_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# flagship — the whole reference pipeline as one plan (SURVEY §7 step 1)
+# ---------------------------------------------------------------------------
+
+register(
+    "flagship",
+    flagship,
+    """
+    SELECT n_name,
+           round(sum(l_discount * l_quantity) / sum(l_quantity), 6) AS avg_weighted_discount,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(sum(l_quantity), 2) AS total_qty,
+           round(sum(l_discount * l_quantity), 4) AS sum_disc_qty,
+           count(*) AS item_count
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_quantity IS NOT NULL
+      AND l_extendedprice IS NOT NULL
+      AND l_discount IS NOT NULL
+    GROUP BY n_name
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# S6 + T2-T5 — the reference's books pipeline verbatim, from a literal-row
+# constructor (pd.DataFrame(list[dict]) analogue, dags/dag.py:117) through
+# the standardise stage (dags/dag.py:125-149).
+# ---------------------------------------------------------------------------
+
+_RAW_BOOK_ROWS = [
+    # (Title, Author, book_type, Price, Rating, Rating_count) — all strings,
+    # mirroring the scrape shape (FIXTURES.md §A1) incl. the quirks the
+    # standardise stage must handle: dup titles, regex miss, comma counts.
+    ("Spark Basics", "Ada", "Paperback", "59.99", "4.5 out of 5 stars", "1,234"),
+    ("Spark Basics", "Ada", "Hardcover", "79.99", "4.7 out of 5 stars", "2,001"),
+    ("Data Pipelines", "Ada", "Paperback", "39.5", "4.0 out of 5 stars", "987"),
+    ("Streaming Systems", "Grace", "Kindle", "29.", "3.9 out of 5 stars", "12,345"),
+    ("Lakehouse Design", "Grace", "Paperback", "49.95", "No ratings yet", "0"),
+    ("Query Engines", "Edsger", "Hardcover", "89.00", "4.8 out of 5 stars", "456"),
+]
+
+
+def _books_standardised(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from orchestrated_etl_spark.schemas import RAW_BOOKS
+
+    raw = spark.createDataFrame(_RAW_BOOK_ROWS, RAW_BOOKS)
+    # Deterministic dedup: keep the row with the (lexicographically) least
+    # Price per Title — the distributed stand-in for pandas keep='first',
+    # which has no meaning post-shuffle (SURVEY §2.2 T2).
+    return S.dedup_by_key_deterministic(raw, ["Title"], "Price").select(
+        "Title",
+        "Author",
+        "book_type",
+        S.to_number("Price").alias("Price"),
+        S.extract_number("Rating").alias("Rating"),
+        S.strip_separators_to_long("Rating_count").alias("Rating_count"),
+    )
+
+
+_BOOK_VALUES_SQL = "(VALUES " + ", ".join(
+    "(" + ", ".join(f"'{v}'" for v in row) + ")" for row in _RAW_BOOK_ROWS
+) + ") AS raw_books(Title, Author, book_type, Price, Rating, Rating_count)"
+
+register(
+    "books_standardise",
+    _books_standardised,
+    f"""
+    SELECT Title,
+           min_by(Author, Price) AS Author,
+           min_by(book_type, Price) AS book_type,
+           TRY_CAST(min(Price) AS DOUBLE) AS Price,
+           TRY_CAST(regexp_extract(min_by(Rating, Price), '(\\d\\.\\d)', 1) AS DOUBLE) AS Rating,
+           TRY_CAST(replace(min_by(Rating_count, Price), ',', '') AS BIGINT) AS Rating_count
+    FROM {_BOOK_VALUES_SQL}
+    GROUP BY Title
+    """,
+)
+
+
+def _books_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _books_standardised(spark, sf_dir)
+    out = enrich_metrics(df)
+    return out.select(
+        "Author",
+        F.round("Average_rating", 6).alias("Average_rating"),
+        F.round("Average_price", 4).alias("Average_price"),
+        "Total_rating_count",
+        F.round("Sum_rating_count_rating", 4).alias("Sum_rating_count_rating"),
+        "Book_count",
+    )
+
+
+register(
+    "books_enrich",
+    _books_enriched,
+    f"""
+    WITH books AS (
+        SELECT Title,
+               min_by(Author, Price) AS Author,
+               TRY_CAST(min(Price) AS DOUBLE) AS Price,
+               TRY_CAST(regexp_extract(min_by(Rating, Price), '(\\d\\.\\d)', 1) AS DOUBLE) AS Rating,
+               TRY_CAST(replace(min_by(Rating_count, Price), ',', '') AS BIGINT) AS Rating_count
+        FROM {_BOOK_VALUES_SQL}
+        GROUP BY Title
+    )
+    SELECT Author,
+           round(sum(Rating * Rating_count) / sum(Rating_count), 6) AS Average_rating,
+           round(avg(Price), 4) AS Average_price,
+           CAST(sum(Rating_count) AS BIGINT) AS Total_rating_count,
+           round(sum(Rating * Rating_count), 4) AS Sum_rating_count_rating,
+           count(*) AS Book_count
+    FROM books
+    GROUP BY Author
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# S3 — completeness predicate (conjunctive IsNotNull, pushed to the scan)
+# ---------------------------------------------------------------------------
+
+
+def _s3_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return S.drop_incomplete(
+        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_discount"),
+        ["l_quantity", "l_discount"],
+    ).filter(F.col("l_quantity") >= 25)
+
+
+register(
+    "s3_completeness_filter",
+    _s3_completeness,
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+      AND l_quantity >= 25
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# S5 — limit / top-N arrival (made deterministic by an explicit sort key)
+# ---------------------------------------------------------------------------
+
+
+def _s5_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+register(
+    "s5_limit",
+    _s5_topn,
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_orderkey LIMIT 100
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# T2 — dedup by key, deterministic representative (min_by)
+# ---------------------------------------------------------------------------
+
+
+def _t2_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return S.dedup_by_key_deterministic(
+        docs.select("doc_id", "text", "lang"), ["text"], "doc_id"
+    ).select("doc_id", "text", "lang")
+
+
+register(
+    "t2_dedup_by_key",
+    _t2_dedup,
+    """
+    SELECT min(doc_id) AS doc_id, text, min_by(lang, doc_id) AS lang
+    FROM documents GROUP BY text
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# T3 — string→number cast with malformed → NULL (try_cast)
+# ---------------------------------------------------------------------------
+
+
+def _t3_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        S.to_number(F.col("l_partkey").cast("string"), "long").alias("partkey_rt"),
+        S.to_number("l_returnflag", "double").alias("flag_as_num"),  # 'A' → NULL
+    )
+
+
+register(
+    "t3_cast_roundtrip",
+    _t3_casts,
+    """
+    SELECT l_orderkey, l_linenumber,
+           TRY_CAST(CAST(l_partkey AS VARCHAR) AS BIGINT) AS partkey_rt,
+           TRY_CAST(l_returnflag AS DOUBLE) AS flag_as_num
+    FROM lineitem
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# T4 — regex extract + cast; no match → NULL
+# ---------------------------------------------------------------------------
+
+
+def _t4_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return orders.select(
+        "o_orderkey",
+        S.extract_number("o_orderpriority", r"(\d)", "int").alias("priority_num"),
+        S.extract_number("o_orderstatus", r"(\d)", "int").alias("status_num"),  # NULL
+    )
+
+
+register(
+    "t4_regex_extract",
+    _t4_regex,
+    r"""
+    SELECT o_orderkey,
+           TRY_CAST(regexp_extract(o_orderpriority, '(\d)', 1) AS INTEGER) AS priority_num,
+           TRY_CAST(regexp_extract(o_orderstatus, '(\d)', 1) AS INTEGER) AS status_num
+    FROM orders
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# T5 — thousands-separator strip + cast (round-trips n_chars through a
+# comma-grouped string rendering)
+# ---------------------------------------------------------------------------
+
+
+def _t5_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        S.strip_separators_to_long(F.format_number(F.col("n_chars") * 1000, 0)).alias(
+            "n_chars_rt"
+        ),
+    )
+
+
+register(
+    "t5_strip_separators",
+    _t5_strip,
+    """
+    SELECT doc_id,
+           TRY_CAST(replace(format('{:,}', n_chars * 1000), ',', '') AS BIGINT) AS n_chars_rt
+    FROM documents
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# T6 — projection / column drop (pruned ReadSchema)
+# ---------------------------------------------------------------------------
+
+
+def _t6_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return S.project_drop(part, "p_name", "p_type", "p_retailprice")
+
+
+register(
+    "t6_project_drop",
+    _t6_project,
+    "SELECT p_partkey, p_brand, p_size FROM part",
+)
+
+# ---------------------------------------------------------------------------
+# A1-A5 — the enrich aggregate family over the star schema: weighted mean
+# of l_discount (weight l_quantity) per customer market segment
+# ---------------------------------------------------------------------------
+
+
+def _a_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    joined = (
+        li.select("l_orderkey", "l_quantity", "l_discount", "l_extendedprice")
+        .join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    enriched = enrich_metrics(
+        joined,
+        group_key="c_mktsegment",
+        rating="l_discount",
+        count="l_quantity",
+        price="l_extendedprice",
+    )
+    return enriched.select(
+        "c_mktsegment",
+        F.round("Average_rating", 6).alias("avg_weighted_discount"),
+        F.round("Average_price", 4).alias("avg_price"),
+        F.round("Total_rating_count", 2).alias("total_qty"),
+        F.round("Sum_rating_count_rating", 4).alias("sum_disc_qty"),
+        F.col("Book_count").alias("item_count"),
+    )
+
+
+register(
+    "a1_a5_enrich_family",
+    _a_family,
+    """
+    SELECT c_mktsegment,
+           round(sum(l_discount * l_quantity) / sum(l_quantity), 6) AS avg_weighted_discount,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(sum(l_quantity), 2) AS total_qty,
+           round(sum(l_discount * l_quantity), 4) AS sum_disc_qty,
+           count(*) AS item_count
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-style pricing summary — the canonical A-family form (adds
+# conditional expressions + multiple sums in one hash aggregate)
+# ---------------------------------------------------------------------------
+
+
+def _q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+register(
+    "q1_pricing_summary",
+    _q1_pricing,
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# J1-J3 — equi-joins along the star schema FKs
+# ---------------------------------------------------------------------------
+
+
+def _j1_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per region: the full 5-table star join. The three dimension
+    hops (customer→nation→region) broadcast; only lineitem⋈orders shuffles,
+    and AQE converts even that to broadcast at small sf."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        li.select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("item_count"),
+        )
+    )
+
+
+register(
+    "j1_star_join_revenue",
+    _j1_star_join,
+    """
+    SELECT r_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS item_count
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+
+
+def _j_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: every customer with order count + total spend
+    (0 / NULL for customers with no orders — count(col) skips NULLs)."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        customer.select("c_custkey", "c_mktsegment")
+        .join(
+            orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+            customer.c_custkey == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("order_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+    )
+
+
+register(
+    "j_left_join",
+    _j_left,
+    """
+    SELECT c_custkey, c_mktsegment,
+           count(o_orderkey) AS order_count,
+           round(sum(o_totalprice), 2) AS total_spend
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+
+
+def _j_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers having ≥1 urgent order."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return customer.select("c_custkey", "c_name").join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+    )
+
+
+register(
+    "j_semi_join",
+    _j_semi,
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+
+
+def _j_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): orders with no lineitems."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return orders.select("o_orderkey", "o_orderstatus").join(
+        li.select("l_orderkey"), orders.o_orderkey == F.col("l_orderkey"), "left_anti"
+    )
+
+
+register(
+    "j_anti_join",
+    _j_anti,
+    """
+    SELECT o_orderkey, o_orderstatus FROM orders
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+    """,
+)

@@ -1,0 +1,480 @@
+"""Gap-list relational queries (SURVEY §2.7) with DuckDB oracles:
+sort/top-k, set ops, window functions, rollup/cube/grouping sets, pivot,
+distinct aggregates, date/time functions, and JSON extraction (the
+analogue of the reference's HTML field extraction S2, dags/dag.py:83-92).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from orchestrated_etl_spark.operators import relational as R
+from orchestrated_etl_spark.registry import register
+from orchestrated_etl_spark.schemas import EVENT_PROPS
+from orchestrated_etl_spark.sources.catalog import read_events
+
+# ---------------------------------------------------------------------------
+# sort / top-k
+# ---------------------------------------------------------------------------
+
+
+def _topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return R.top_k(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        50,
+        F.col("o_totalprice").desc(),
+        F.col("o_orderkey"),
+    )
+
+
+register(
+    "topk_orders_by_price",
+    _topk,
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 50
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# set operations
+# ---------------------------------------------------------------------------
+
+
+def _union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return (
+        customer.select(F.col("c_nationkey").alias("nationkey"))
+        .union(supplier.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+register(
+    "setop_union",
+    _union,
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+
+
+def _intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return customer.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+register(
+    "setop_intersect",
+    _intersect,
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+
+
+def _except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    # subtract == EXCEPT DISTINCT (exceptAll would keep multiplicity)
+    return customer.select(F.col("c_nationkey").alias("nationkey")).subtract(
+        supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+register(
+    "setop_except",
+    _except,
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+
+
+def _except_nonempty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order keys with no lineitems, as EXCEPT over key projections
+    (non-empty: the fixtures contain childless orders)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return orders.select(F.col("o_orderkey").alias("orderkey")).subtract(
+        li.select(F.col("l_orderkey").alias("orderkey"))
+    )
+
+
+register(
+    "setop_except_orders",
+    _except_nonempty,
+    """
+    SELECT o_orderkey AS orderkey FROM orders
+    EXCEPT
+    SELECT l_orderkey AS orderkey FROM lineitem
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# window functions
+# ---------------------------------------------------------------------------
+
+
+def _win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return R.top_k_per_group(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        3,
+    )
+
+
+register(
+    "window_topk_per_group",
+    _win_topk_per_group,
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+
+
+def _win_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.rank().over(w).alias("ship_rank"),
+        F.lag("l_quantity", 1).over(w).alias("prev_qty"),
+        F.lead("l_quantity", 1).over(w).alias("next_qty"),
+    )
+
+
+register(
+    "window_rank_lag_lead",
+    _win_rank_lag,
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(rank() OVER w AS INTEGER) AS ship_rank,
+           lag(l_quantity, 1) OVER w AS prev_qty,
+           lead(l_quantity, 1) OVER w AS next_qty
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    """,
+)
+
+
+def _win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        F.round(F.avg("o_totalprice").over(w), 4).alias("running_avg"),
+    )
+
+
+register(
+    "window_running_sum",
+    _win_running,
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER w, 2) AS running_spend,
+           round(avg(o_totalprice) OVER w, 4) AS running_avg
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# rollup / cube / grouping sets — one Expand + one hash aggregate, not one
+# shuffle per grouping set
+# ---------------------------------------------------------------------------
+
+
+def _rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+register(
+    "rollup_flag_status",
+    _rollup,
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+
+
+def _cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+register(
+    "cube_flag_status",
+    _cube,
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+
+
+def _grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               round(sum(o_totalprice), 2) AS sum_price,
+               count(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        """
+    )
+
+
+register(
+    "grouping_sets_orders",
+    _grouping_sets,
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# pivot — conditional aggregation fan-out
+# ---------------------------------------------------------------------------
+
+
+def _pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+    )
+
+
+register(
+    "pivot_status_qty",
+    _pivot,
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# distinct aggregates
+# ---------------------------------------------------------------------------
+
+
+def _distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.round(F.sum_distinct(F.col("l_quantity")), 2).alias("sum_distinct_qty"),
+    )
+
+
+register(
+    "distinct_aggregates",
+    _distinct_agg,
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           round(sum(DISTINCT l_quantity), 2) AS sum_distinct_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# date/time functions on events.ts (absent from the reference entirely)
+# ---------------------------------------------------------------------------
+
+
+def _date_trunc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("day", "ts").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+register(
+    "datetime_daily_rollup",
+    _date_trunc_daily,
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+
+
+def _date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        (F.weekday("o_orderdate") + F.lit(1)).alias("isodow"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
+register(
+    "datetime_parts",
+    _date_parts,
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           CAST(day(o_orderdate) AS INTEGER) AS dom,
+           CAST(isodow(o_orderdate) AS INTEGER) AS isodow,
+           strftime(o_orderdate, '%Y-%m') AS ym
+    FROM orders
+    """,
+)
+
+
+def _tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    return R.tumbling_window_agg(
+        ev,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        ],
+    ).select("window_start", "window_end", "event_type", "n_events", "avg_value")
+
+
+register(
+    "window_tumbling_hourly",
+    _tumbling_hourly,
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type,
+           count(*) AS n_events,
+           round(avg(value), 6) AS avg_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# JSON extraction on events.props — the analogue of the reference's HTML
+# field extraction (S2, dags/dag.py:83-92)
+# ---------------------------------------------------------------------------
+
+
+def _json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_path"),
+        F.from_json("props", EVENT_PROPS).getField("k").alias("k_struct"),
+    )
+
+
+register(
+    "json_extract_props",
+    _json_extract,
+    """
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_path,
+           TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_struct
+    FROM events
+    """,
+)
+
+
+def _json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over an extracted JSON field (extraction feeding the
+    relational layer, as the reference's scraped fields feed its groupbys)."""
+    ev = read_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+register(
+    "json_field_agg",
+    _json_agg,
+    """
+    SELECT event_type,
+           round(avg(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k,
+           min(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+           max(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)

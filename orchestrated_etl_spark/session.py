@@ -1,0 +1,76 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32 threads,
+single JVM); the configuration below is nevertheless written for a real
+multi-executor cluster: AQE handles runtime partition coalescing and
+skew-join splitting, shuffle partition count is sized for the local core
+count (raise via env on a cluster), Arrow accelerates every
+pandas_udf/applyInPandas boundary, and the session timezone is pinned to
+UTC so timestamp semantics are deployment-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS: dict[str, str] = {
+    # --- optimizer / runtime re-planning -------------------------------
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # --- deterministic semantics --------------------------------------
+    "spark.sql.session.timeZone": "UTC",
+    # --- python boundary ----------------------------------------------
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # --- broadcast: dimension tables (region/nation/customer/supplier)
+    # stay broadcast-able well past sf0.1; 64 MB threshold keeps them on
+    # the broadcast path at bench scale without risking driver OOM.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # --- scan sizing: 128 MB splits are the parquet sweet spot ---------
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.parquet.compression.codec": "zstd",
+    "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
+}
+
+
+def default_parallelism() -> int:
+    """Thread count for local mode, from $SPARK_GRAFT_CPUS (default 32)."""
+    try:
+        return max(1, int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    except ValueError:
+        return 32
+
+
+def get_spark(
+    app_name: str = "orchestrated_etl_spark",
+    *,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    On a cluster, pass ``master=None`` with an externally-configured
+    master URL; locally this defaults to ``local[$SPARK_GRAFT_CPUS]``.
+    ``spark.sql.shuffle.partitions`` defaults to the local thread count —
+    on a 1000-executor cluster it should instead be ~2-3× total cores
+    (AQE coalesces the excess at runtime, so erring high is safe).
+    """
+    cpus = default_parallelism()
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    conf = dict(_DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)
+    if os.environ.get("SPARK_GRAFT_DRIVER_MEM"):
+        conf["spark.driver.memory"] = os.environ["SPARK_GRAFT_DRIVER_MEM"]
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

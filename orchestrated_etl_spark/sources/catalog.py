@@ -1,0 +1,87 @@
+"""Table catalog: declared-schema readers over the fixture directory.
+
+Replaces the reference's source stage (HTTP scrape + BeautifulSoup DOM
+extraction, /root/reference/dags/dag.py:65-119 — S1/S2/S6 in SURVEY §2.1)
+with Spark's partition-parallel vectorized columnar scans. Filters and
+column selection expressed on the returned DataFrames reach the parquet
+reader via Catalyst pushdown — at 100 TB the scan is the dominant cost and
+pruning there is the single biggest lever.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orchestrated_etl_spark import schemas
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table (parquet, self-describing footer schema)."""
+    if name not in schemas.TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {sorted(schemas.TABLES)}")
+    if name == "events":
+        return read_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects outright (PARQUET_TYPE_ILLEGAL). Read the
+    physical INT64 as nanoseconds-since-epoch (legacy conf) and truncate to
+    microsecond TimestampType — the same floor-truncation DuckDB applies,
+    so oracle comparisons agree."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+def read_csv(spark: SparkSession, path: str, schema, **options) -> DataFrame:
+    """CSV reader with a mandatory declared schema (no inference jobs)."""
+    return spark.read.options(header="true", **options).schema(schema).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema, **options) -> DataFrame:
+    """JSON-lines reader with a mandatory declared schema."""
+    return spark.read.options(**options).schema(schema).json(path)
+
+
+class Catalog:
+    """All fixture tables of one scale factor, lazily loaded and cached.
+
+    ``cat.lineitem`` / ``cat['lineitem']`` return the DataFrame; dimension
+    tables (schemas.BROADCAST_TABLES) are returned with a broadcast hint
+    from ``cat.dim(name)`` so star-schema joins skip the shuffle.
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def __getitem__(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            self._cache[name] = load_table(self.spark, self.sf_dir, name)
+        return self._cache[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name.startswith("_") or name not in schemas.TABLES:
+            raise AttributeError(name)
+        return self[name]
+
+    def dim(self, name: str) -> DataFrame:
+        """A dimension table with an explicit broadcast hint."""
+        if name not in schemas.BROADCAST_TABLES:
+            raise KeyError(f"{name!r} is not a broadcast-safe dimension")
+        return F.broadcast(self[name])
+
+    def register_views(self) -> None:
+        """Expose every table as a SQL temp view (spark.sql access path)."""
+        for name in schemas.TABLES:
+            self[name].createOrReplaceTempView(name)

@@ -1,0 +1,128 @@
+"""Dev-side replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark at a given sf_dir, runs the matching
+``oracle_sql()`` in DuckDB over the same parquet files (views pre-registered
+with the same table names), and compares row count, column names, and an
+order-insensitive multiset of normalized values. Stricter than the driver's
+hash compare: on mismatch it prints example differing rows, so oracle
+misalignment is debuggable locally.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from collections import Counter
+from datetime import date, datetime
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0.0:
+            v = 0.0  # collapse -0.0
+        return f"{v:.9g}"
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(normalize(x) for x in v)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, Counter):
+        return v
+    return v
+
+
+def df_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return Counter(tuple(normalize(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from orchestrated_etl_spark.session import get_spark
+
+    spark = get_spark("oracle_check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(srows)} rows (no oracle) "
+                  f"[{time.time()-t0:.1f}s]")
+            if len(srows) == 0:
+                print(f"      WARNING: rows-only query returned 0 rows")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        ok = True
+        if sorted(scols) != sorted(c.lower() for c in dcols) and sorted(
+            c.lower() for c in scols
+        ) != sorted(c.lower() for c in dcols):
+            ok = False
+            print(f"FAIL  {name}: columns differ\n      spark={sorted(scols)}\n      duck ={sorted(dcols)}")
+        elif len(srows) != len(drows):
+            ok = False
+            print(f"FAIL  {name}: row count spark={len(srows)} duck={len(drows)}")
+        else:
+            sm = df_multiset([c.lower() for c in scols], srows)
+            dm = df_multiset([c.lower() for c in dcols], drows)
+            if sm != dm:
+                ok = False
+                miss = list((dm - sm).items())[:3]
+                extra = list((sm - dm).items())[:3]
+                print(f"FAIL  {name}: value multiset differs")
+                for r, c in miss:
+                    print(f"      oracle-only ×{c}: {r}")
+                for r, c in extra:
+                    print(f"      spark-only ×{c}: {r}")
+        if ok:
+            print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+        else:
+            failures.append(name)
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
