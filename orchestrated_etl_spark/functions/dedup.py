@@ -1,0 +1,296 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, all shuffle-aware and UDF-free:
+
+- **exact**: hash-groupBy on content (or its md5) — one shuffle on the
+  content hash; the representative row is chosen with min_by, so output is
+  deterministic.
+- **MinHash + LSH**: per-doc k-element MinHash signature over the token
+  set, banded into b bands; docs sharing any band bucket become candidate
+  pairs (a self-join on the band key — the ONLY pairwise step, and its
+  size is governed by bucket sizes, not n²); candidates are then verified
+  with exact Jaccard. At 100 TB the band join is the scalable core: no
+  crossJoin anywhere.
+- **SimHash**: per-doc locality-sensitive bit signature from token hashes;
+  near-dup candidates share (or nearly share) signatures.
+- **n-gram Jaccard**: shingle-inverted-index self-join (docs sharing ≥1
+  shingle) → exact Jaccard per pair — the non-approximate baseline; at
+  scale, stop-shingle removal (drop shingles with huge document frequency)
+  bounds the join fan-out.
+- **embedding cosine**: blocked near-dup join (block = cheap partition key
+  such as a cluster/label id) with an exact cosine threshold inside each
+  block — the embedding analogue of LSH banding.
+
+Portability note: signatures are built from md5 (not Spark's xxhash64) so
+independent engines (the DuckDB oracle) can reproduce them bit-for-bit.
+md5-as-hex compares lexicographically == numerically, so ``min(md5)`` is a
+valid MinHash permutation minimum. For pure-Spark production use,
+xxhash64(shingle, seed) is ~4× cheaper; the structure is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from orchestrated_etl_spark.functions.text import tokens
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, content_col: str, id_col: str
+) -> DataFrame:
+    """Keep one deterministic representative (min id) per exact content
+    value; adds ``dup_count``. Single hash aggregate — one shuffle keyed on
+    the (hashed) content."""
+    others = [c for c in df.columns if c not in (content_col, id_col)]
+    return df.groupBy(content_col).agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("dup_count"),
+        *[F.min_by(c, id_col).alias(c) for c in others],
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + exact jaccard (shared building blocks)
+# ---------------------------------------------------------------------------
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the text column."""
+    t = tokens(col)
+    cnt = F.size(t)
+    idx = F.sequence(F.lit(1), F.greatest(cnt - n + 1, F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " "))
+    )
+
+
+def _exploded_sets(df: DataFrame, id_col: str, set_col: Column) -> DataFrame:
+    """(id, element) pairs of the exploded distinct set + per-id set size."""
+    base = df.select(F.col(id_col).alias("_id"), set_col.alias("_set"))
+    return base.select(
+        "_id", F.explode("_set").alias("_elem"), F.size("_set").alias("_n")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    set_col: Column,
+    threshold: float,
+) -> DataFrame:
+    """Exact Jaccard over an inverted-index self-join: only pairs sharing
+    ≥1 element are ever materialized. Returns (id_a, id_b, jaccard) with
+    id_a < id_b. The per-element join is the scale knob — add a
+    document-frequency cap on elements for adversarial corpora."""
+    ex = _exploded_sets(df, id_col, set_col)
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._elem") == F.col("b._elem"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._n").alias("n_a"),
+            F.col("b._n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, set_col: Column, k: int = 8
+) -> DataFrame:
+    """k-element MinHash signature: sig_i = min(md5(elem || '#i')) over the
+    element set. One explode + one hash aggregate (k mins computed
+    side-by-side in a single pass); no pairwise work."""
+    ex = _exploded_sets(df, id_col, set_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("_elem"), F.lit(f"#{i}")))).alias(f"sig{i}")
+        for i in range(k)
+    ]
+    return ex.groupBy(F.col("_id")).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Band the signature (b bands × r rows), bucket by band value, and
+    self-join inside buckets. Pair multiplicity from multiple matching
+    bands is collapsed with distinct. Bucket key is md5(concat(band
+    sigs)) — short, uniform, shuffle-friendly."""
+    bucket_cols = []
+    for b in range(bands):
+        parts = [f"sig{b * rows_per_band + r}" for r in range(rows_per_band)]
+        bucket_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat(*[F.col(p) for p in parts])).alias("bucket"),
+            )
+        )
+    buckets = sigs.select(
+        "_id", F.explode(F.array(*bucket_cols)).alias("bk")
+    ).select("_id", "bk.band", "bk.bucket")
+    a = buckets.alias("a")
+    b2 = buckets.alias("b")
+    return (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    set_col: Column,
+    *,
+    k: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signature → banded candidates →
+    exact-Jaccard verification of candidates only. Output: (id_a, id_b,
+    jaccard ≥ threshold) for LSH-surfaced pairs."""
+    sigs = minhash_signature(df, id_col, set_col, k)
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    ex = _exploded_sets(df, id_col, set_col)
+    shared = (
+        cands.join(ex.alias("ea"), F.col("id_a") == F.col("ea._id"))
+        .join(
+            ex.alias("eb"),
+            (F.col("id_b") == F.col("eb._id"))
+            & (F.col("ea._elem") == F.col("eb._elem")),
+        )
+        .groupBy(
+            "id_a",
+            "id_b",
+            F.col("ea._n").alias("n_a"),
+            F.col("eb._n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        shared.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash over token multiset: each token votes its md5-derived
+    bits (+1/-1 weighted by occurrence); signature bit = majority.
+
+    Bits come from the first 4 hex nibbles of md5(token), decoded with a
+    portable strpos('0123456789abcdef', ·) table so any engine reproduces
+    the signature exactly. One explode + one aggregate — linear, no pairs."""
+    tok = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_tok")
+    )
+    h = F.md5(F.col("_tok"))
+    # nibble j (0..3) of the md5 → 4 bits each → 16 bits total
+    bit_sums = []
+    for j in range(4):
+        nib = F.instr(F.lit("0123456789abcdef"), F.substring(h, j + 1, 1)) - 1
+        for b in range(4):
+            bit = F.shiftright(nib, b).bitwiseAND(F.lit(1))
+            bit_sums.append(
+                F.sum(bit * 2 - 1).alias(f"s{j * 4 + b}")
+            )
+    voted = tok.groupBy("_id").agg(*bit_sums)
+    sig = None
+    for i in range(16):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return voted.select(F.col("_id"), sig.cast("int").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Exact cosine similarity between two float-array columns, computed
+    in double (zip_with product + aggregate sums — codegen'd, no UDF)."""
+    # Cast each element to double BEFORE multiplying: float32 products
+    # differ from double products in the low bits, and reproducibility
+    # across engines (the DuckDB oracle computes on DOUBLE[]) requires
+    # identical arithmetic.
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda v: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return F.try_divide(dot, norm(a) * norm(b))
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Blocked cosine near-dup: pairs only form inside a block (cluster id,
+    LSH bucket, shard key...) so the join is |block|² not n². Exact cosine
+    ≥ threshold inside each block."""
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.col(block_col).alias("_blk"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    sim = cosine(F.col("a._vec"), F.col("b._vec"))
+    return (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(sim, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

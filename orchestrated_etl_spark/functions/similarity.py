@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- **brute-force top-k**: query-set × corpus join with an exact cosine
+  expression and a per-query top-k window. Correct baseline; cost is
+  |Q|·|C|, so it's for small query sets or reranking.
+- **IVF (inverted-file) top-k**: corpus vectors are assigned to their
+  nearest centroid once (linear scan over K centroids — a broadcast
+  join); a query then probes only its own centroid's posting list,
+  cutting the candidate set by ~K×. This is the scale path: at 100 TB the
+  posting lists are partitioned by centroid id, so a query touches one
+  partition. (K-means training itself is out of scope — any fixed,
+  deterministic centroid set works; production would refresh centroids
+  offline with MLlib KMeans.)
+
+Both paths share the exact double-precision cosine from dedup.cosine and
+deterministic (score DESC, id ASC) ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from orchestrated_etl_spark.functions.dedup import cosine
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact top-k neighbors per query (self-matches excluded). The query
+    side is broadcast — it is small by construction; the corpus streams
+    through without a shuffle until the final per-query window, which is
+    partitioned by query id (|Q|·k rows)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def assign_to_centroids(
+    corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """IVF build step: nearest-centroid assignment via broadcast join +
+    deterministic argmax (cosine DESC, centroid_id ASC). Linear in
+    |corpus|·K; at scale, write the result partitioned by centroid_id."""
+    cen = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cenvec")
+    )
+    scored = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    ).join(F.broadcast(cen))
+    # Rank on the ROUNDED cosine with centroid_id tie-break: assignment at
+    # near-equidistant boundaries stays deterministic and reproducible by
+    # an independent engine computing the same rounded score.
+    w = Window.partitionBy("_id").orderBy(
+        F.round(cosine(F.col("_vec"), F.col("_cenvec")), 6).desc(),
+        F.col("centroid_id"),
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("_id", "_vec", "centroid_id")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """IVF search: assign corpus and queries to centroids, then rank only
+    within the query's posting list (nprobe=1; union more assignment ranks
+    for higher recall)."""
+    assigned = assign_to_centroids(corpus, centroids, id_col, vec_col)
+    q_assigned = assign_to_centroids(queries, centroids, id_col, vec_col)
+    q = q_assigned.select(
+        F.col("_id").alias("query_id"),
+        F.col("_vec").alias("_qvec"),
+        F.col("centroid_id").alias("_qcen"),
+    )
+    scored = assigned.join(
+        F.broadcast(q),
+        (F.col("centroid_id") == F.col("_qcen"))
+        & (F.col("_id") != F.col("query_id")),
+    ).withColumn("cosine", F.round(cosine(F.col("_qvec"), F.col("_vec")), 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("_id").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )

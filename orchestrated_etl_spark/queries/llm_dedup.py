@@ -1,1 +1,229 @@
-"""Placeholder — filled in a later milestone."""
+"""Dedup queries over `documents` / `embeddings` (north-star extension):
+exact hash dedup, MinHash+LSH, n-gram Jaccard, SimHash, embedding-cosine
+near-dup. Every signature is md5-derived so the DuckDB oracle reproduces
+it bit-for-bit (see functions/dedup.py portability note)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orchestrated_etl_spark.functions import dedup as D
+from orchestrated_etl_spark.functions.text import tokens
+from orchestrated_etl_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-groupBy) — corpus unioned with a shifted copy of
+# itself, so every text has exactly one duplicate to collapse
+# ---------------------------------------------------------------------------
+
+
+def _exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    doubled = docs.union(
+        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    return D.exact_dedup(doubled, "text", "doc_id").select(
+        "doc_id", "dup_count"
+    )
+
+
+register(
+    "dedup_exact",
+    _exact,
+    """
+    WITH doubled AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents
+    )
+    SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+    FROM doubled GROUP BY text
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup over token sets (k=8, b=4, r=2, j ≥ 0.9)
+# ---------------------------------------------------------------------------
+
+_MINHASH_K, _BANDS, _ROWS = 8, 4, 2
+_MINHASH_THRESHOLD = 0.9
+
+
+def _minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.minhash_lsh_dedup(
+        docs,
+        "doc_id",
+        F.array_distinct(tokens("text")),
+        k=_MINHASH_K,
+        bands=_BANDS,
+        rows_per_band=_ROWS,
+        threshold=_MINHASH_THRESHOLD,
+    )
+
+
+def _minhash_oracle() -> str:
+    sig_cols = ",\n               ".join(
+        f"min(md5(w || '#{i}')) AS sig{i}" for i in range(_MINHASH_K)
+    )
+    band_selects = "\n        UNION ALL ".join(
+        f"SELECT id, {b} AS band, md5(sig{b * _ROWS} || sig{b * _ROWS + 1}) AS bucket FROM sigs"
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id AS id,
+               unnest(list_distinct(string_split(text, ' '))) AS w,
+               len(list_distinct(string_split(text, ' '))) AS n
+        FROM documents
+    ),
+    sigs AS (
+        SELECT id,
+               {sig_cols}
+        FROM tok GROUP BY id
+    ),
+    buckets AS (
+        {band_selects}
+    ),
+    cands AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM buckets a
+        JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    shared AS (
+        SELECT id_a, id_b, ea.n AS n_a, eb.n AS n_b, count(*) AS shared
+        FROM cands
+        JOIN tok ea ON id_a = ea.id
+        JOIN tok eb ON id_b = eb.id AND ea.w = eb.w
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           round(shared * 1.0 / (n_a + n_b - shared), 6) AS jaccard
+    FROM shared
+    WHERE round(shared * 1.0 / (n_a + n_b - shared), 6) >= {_MINHASH_THRESHOLD}
+    """
+
+
+register("dedup_minhash_lsh", _minhash, _minhash_oracle())
+
+# ---------------------------------------------------------------------------
+# n-gram (trigram-shingle) exact Jaccard via inverted-index self-join
+# ---------------------------------------------------------------------------
+
+_NGRAM_THRESHOLD = 0.02  # synthetic token-soup shingles barely overlap
+
+
+def _ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.jaccard_pairs(
+        docs, "doc_id", D.shingles("text", 3), _NGRAM_THRESHOLD
+    )
+
+
+register(
+    "dedup_ngram_jaccard",
+    _ngram,
+    f"""
+    WITH sh AS (
+        SELECT doc_id AS id,
+               unnest(list_distinct([array_to_string(ts[i:i+2], ' ')
+                                     for i in range(1, greatest(len(ts) - 2, 1) + 1)])) AS s,
+               len(list_distinct([array_to_string(ts[i:i+2], ' ')
+                                  for i in range(1, greatest(len(ts) - 2, 1) + 1)])) AS n
+        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+    ),
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b,
+               count(*) AS shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           round(shared * 1.0 / (n_a + n_b - shared), 6) AS jaccard
+    FROM pairs
+    WHERE round(shared * 1.0 / (n_a + n_b - shared), 6) >= {_NGRAM_THRESHOLD}
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit, md5-nibble bits)
+# ---------------------------------------------------------------------------
+
+
+def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.simhash16(docs, "doc_id", "text").select(
+        F.col("_id").alias("doc_id"), "simhash"
+    )
+
+
+def _simhash_oracle() -> str:
+    nib_cols = ",\n               ".join(
+        f"strpos('0123456789abcdef', substr(md5(w), {j + 1}, 1)) - 1 AS n{j}"
+        for j in range(4)
+    )
+    vote_cols = ",\n               ".join(
+        f"sum(((n{j} // {1 << b}) % 2) * 2 - 1) AS s{j * 4 + b}"
+        for j in range(4)
+        for b in range(4)
+    )
+    sig_expr = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    nib AS (
+        SELECT id,
+               {nib_cols}
+        FROM tok
+    ),
+    votes AS (
+        SELECT id,
+               {vote_cols}
+        FROM nib GROUP BY id
+    )
+    SELECT id AS doc_id, CAST({sig_expr} AS INTEGER) AS simhash FROM votes
+    """
+
+
+register("dedup_simhash", _simhash, _simhash_oracle())
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup, blocked by label
+# ---------------------------------------------------------------------------
+
+_COSINE_THRESHOLD = 0.4
+
+
+def _emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return D.embedding_near_dup(
+        emb, "vec_id", "embedding", "label", _COSINE_THRESHOLD
+    )
+
+
+register(
+    "dedup_embedding_cosine",
+    _emb_neardup,
+    f"""
+    WITH scored AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(
+                 list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(a.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])))),
+                 6) AS cosine
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {_COSINE_THRESHOLD}
+    """,
+)

@@ -1,1 +1,148 @@
-"""Placeholder — filled in a later milestone."""
+"""Similarity-search queries over `embeddings` (north-star extension):
+brute-force cosine top-k baseline and the IVF-bucketed scale path, plus
+vector-norm profiling. Cosines are computed in double on both engines
+(Spark: cast-before-multiply aggregate; DuckDB: DOUBLE[] list_dot_product)
+and ranked on the rounded score with id tie-breaks, so rankings are
+engine-independent."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orchestrated_etl_spark.functions import similarity as SIM
+from orchestrated_etl_spark.registry import register
+
+_COS_SQL = (
+    "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+)
+
+# ---------------------------------------------------------------------------
+# brute-force cosine top-k (queries: every 100th vector)
+# ---------------------------------------------------------------------------
+
+
+def _bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return SIM.brute_force_topk(queries, emb, "vec_id", "embedding", 5)
+
+
+register(
+    "sim_bruteforce_topk",
+    _bruteforce,
+    f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round({_COS_SQL.format(a='q.embedding', b='c.embedding')}, 6) AS cosine
+        FROM embeddings q
+        JOIN embeddings c ON q.vec_id != c.vec_id
+        WHERE q.vec_id % 100 = 0
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# IVF top-k (centroids: vec_id < 8, nprobe = 1)
+# ---------------------------------------------------------------------------
+
+
+def _ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return SIM.ivf_topk(queries, emb, centroids, "vec_id", "embedding", 3)
+
+
+register(
+    "sim_ivf_topk",
+    _ivf,
+    f"""
+    WITH centroids AS (
+        SELECT vec_id AS centroid_id, embedding AS cvec
+        FROM embeddings WHERE vec_id < 8
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({_COS_SQL.format(a='e.embedding', b='c.cvec')}, 6) DESC,
+                                c.centroid_id) AS rn
+            FROM embeddings e, centroids c
+        ) WHERE rn = 1
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+               round({_COS_SQL.format(a='q.embedding', b='a.embedding')}, 6) AS cosine
+        FROM assigned q
+        JOIN assigned a ON q.centroid_id = a.centroid_id AND a.vec_id != q.vec_id
+        WHERE q.vec_id % 100 = 0
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# vector norm profile per label (array-function coverage + sanity stats)
+# ---------------------------------------------------------------------------
+
+
+def _norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    norm2 = F.aggregate(
+        F.transform(
+            "embedding", lambda x: x.cast("double") * x.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.select(
+            "label",
+            F.size("embedding").alias("dim"),
+            F.sqrt(norm2).alias("l2"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("l2"), 6).alias("avg_l2"),
+            F.round(F.min("l2"), 6).alias("min_l2"),
+            F.round(F.max("l2"), 6).alias("max_l2"),
+        )
+    )
+
+
+register(
+    "sim_vector_norms",
+    _norms,
+    """
+    WITH n AS (
+        SELECT label,
+               CAST(len(embedding) AS INTEGER) AS dim,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS l2
+        FROM embeddings
+    )
+    SELECT label, dim, count(*) AS n_vecs,
+           round(avg(l2), 6) AS avg_l2,
+           round(min(l2), 6) AS min_l2,
+           round(max(l2), 6) AS max_l2
+    FROM n GROUP BY 1, 2
+    """,
+)

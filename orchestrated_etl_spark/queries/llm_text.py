@@ -1,1 +1,194 @@
-"""Placeholder — filled in a later milestone."""
+"""Text-analysis queries over `documents` (north-star extension: SURVEY
+§2.7 / §7 step 5c): token stats, quality scoring, language profiling,
+word counts, fingerprinting, heuristic language-ID."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orchestrated_etl_spark.functions import text as X
+from orchestrated_etl_spark.registry import register
+
+_STOP_SQL = "['" + "','".join(X.STOPWORDS) + "']"
+
+# ---------------------------------------------------------------------------
+# token statistics
+# ---------------------------------------------------------------------------
+
+
+def _token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        X.unique_token_count("text").alias("n_unique"),
+        F.round(X.avg_token_length("text"), 6).alias("avg_token_len"),
+    )
+
+
+register(
+    "text_token_stats",
+    _token_stats,
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_unique,
+           round(CAST(list_sum(list_transform(string_split(text, ' '),
+                                              x -> length(x))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS avg_token_len
+    FROM documents
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+
+def _quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        F.round(
+            F.try_divide(X.unique_token_count("text"), X.token_count("text")), 6
+        ).alias("uniq_ratio"),
+        F.round(X.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        X.quality_score("text").alias("quality"),
+    )
+
+
+register(
+    "text_quality_score",
+    _quality,
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS INTEGER) AS n_tokens,
+           round(CAST(len(list_distinct(toks)) AS DOUBLE) / n, 6) AS uniq_ratio,
+           round(CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, lower(x)))) AS DOUBLE) / n, 6)
+               AS stopword_ratio,
+           round(0.4 * (CASE WHEN n >= 50 THEN 1.0 ELSE n / 50.0 END)
+                 + 0.4 * coalesce(CAST(len(list_distinct(toks)) AS DOUBLE) / n, 0.0)
+                 + 0.2 * (CASE WHEN len(list_filter(toks, x -> list_contains({_STOP_SQL}, lower(x)))) > 0
+                          THEN 1.0 ELSE 0.5 END), 6) AS quality
+    FROM t
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# per-language corpus profile
+# ---------------------------------------------------------------------------
+
+
+def _lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(X.token_count("text")), 4).alias("avg_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+register(
+    "text_lang_profile",
+    _lang_profile,
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+           count(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# corpus word count (explode + aggregate + top-k)
+# ---------------------------------------------------------------------------
+
+
+def _word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select(F.explode(X.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(30)
+    )
+
+
+register(
+    "text_word_topk",
+    _word_topk,
+    """
+    SELECT w AS word, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY w ORDER BY n DESC, w LIMIT 30
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (canonical bag-of-words md5)
+# ---------------------------------------------------------------------------
+
+
+def _fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", X.fingerprint("text").alias("fingerprint")
+    )
+
+
+register(
+    "text_fingerprint",
+    _fingerprint,
+    """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS fingerprint
+    FROM documents
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# heuristic language-ID vs labeled lang (confusion counts)
+# ---------------------------------------------------------------------------
+
+
+def _lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select("lang", X.lang_id("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+register(
+    "text_lang_id_confusion",
+    _lang_id_confusion,
+    """
+    WITH p AS (
+        SELECT lang,
+               CASE
+                 WHEN list_has_any(string_split(text,' '), ['der','die','das','und','nicht']) THEN 'de'
+                 WHEN list_has_any(string_split(text,' '), ['le','la','les','et','est']) THEN 'fr'
+                 WHEN list_has_any(string_split(text,' '), ['el','los','las','es','y']) THEN 'es'
+                 WHEN list_has_any(string_split(text,' '), ['的','是','了']) THEN 'zh'
+                 WHEN list_has_any(string_split(text,' '), ['the','a','is','and','of']) THEN 'en'
+                 ELSE 'und'
+               END AS predicted
+        FROM documents
+    )
+    SELECT lang, predicted, count(*) AS n FROM p GROUP BY 1, 2
+    """,
+)

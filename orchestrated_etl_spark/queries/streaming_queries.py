@@ -1,1 +1,68 @@
-"""Placeholder — filled in a later milestone."""
+"""Streaming queries (rows-only checks — streaming state is not
+SQL-expressible, so no DuckDB oracle; the driver records the weaker
+check, and tests/test_streaming.py pins exact values against the batch
+equivalents)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orchestrated_etl_spark.registry import register
+from orchestrated_etl_spark.streaming import windows as W
+from orchestrated_etl_spark.streaming.events_stream import (
+    read_events_stream,
+    run_available_now,
+)
+
+
+def _tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    agg = W.tumbling_counts(
+        ev,
+        duration="1 day",
+        watermark="1 hour",
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        ],
+    )
+    return run_available_now(agg, output_mode="complete")
+
+
+register("stream_tumbling_daily", _tumbling)
+
+
+def _sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    agg = W.sliding_counts(
+        ev, duration="2 hours", slide="1 hour", watermark="1 hour"
+    )
+    return run_available_now(agg, output_mode="complete")
+
+
+register("stream_sliding_2h", _sliding)
+
+
+def _sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    agg = W.session_windows(ev, gap="10 minutes", watermark="1 hour")
+    return run_available_now(agg, output_mode="complete")
+
+
+register("stream_session_windows", _sessions)
+
+
+def _dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on (user_id, event_type), then a deterministic
+    batch rollup of the deduped stream (the representative row per key is
+    arbitrary; the per-type count is not)."""
+    ev = read_events_stream(spark, sf_dir)
+    dd = W.streaming_dedup(ev, ["user_id", "event_type"], watermark="1 hour")
+    out = run_available_now(dd, output_mode="append")
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_unique_users")
+    )
+
+
+register("stream_dedup_users", _dedup)

@@ -1,0 +1,68 @@
+"""Streaming source + sink helpers for the events table.
+
+`read_events_stream` exposes events.parquet as a file stream with the same
+nanos→micros normalization the batch reader applies (sources/catalog.py).
+Tests and the rows-only streaming queries drive it with
+``Trigger.AvailableNow`` — deterministic micro-batches over a fixed
+directory — which is also the production pattern for "run every N minutes
+over whatever arrived" (the reference's cron semantics) without keeping a
+cluster hot: each run processes exactly the files not yet committed to the
+checkpoint.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Physical schema under spark.sql.legacy.parquet.nanosAsLong=true:
+# the TIMESTAMP(NANOS) column surfaces as LongType nanoseconds.
+_EVENTS_PHYSICAL = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file-source stream with proper TimestampType
+    ``ts``. File streams need a declared schema — inference would require
+    a listing job per trigger."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The [p] glob makes the path a pattern, so the file source accepts a
+    # single file (basePath = parent dir) instead of demanding a directory.
+    raw = (
+        spark.readStream.schema(_EVENTS_PHYSICAL)
+        .parquet(f"{sf_dir}/events.[p]arquet")
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_available_now(
+    sdf: DataFrame, *, output_mode: str = "append", name: str | None = None
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion with AvailableNow into
+    an in-memory table; return the materialized result as a batch
+    DataFrame. The memory sink is a test/dev harness — production sinks
+    are parquet/Delta via ``writeStream`` or ``foreachBatch`` (see
+    plans/pipeline.py for the JDBC-batch pattern)."""
+    qname = name or f"q_{uuid.uuid4().hex[:12]}"
+    query = (
+        sdf.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return sdf.sparkSession.table(qname)

@@ -1,0 +1,154 @@
+"""Unit tests for the LLM-pipeline extensions: dedup families, similarity
+search, text analysis, multimodal plumbing — on tiny hand-built frames
+where the expected result is computable by hand."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from orchestrated_etl_spark.functions import dedup as D
+from orchestrated_etl_spark.functions import multimodal as M
+from orchestrated_etl_spark.functions import similarity as SIM
+from orchestrated_etl_spark.functions import text as X
+from orchestrated_etl_spark.functions.text import tokens
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "completely different words entirely here now"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    out = D.exact_dedup(docs, "text", "doc_id")
+    got = {r["doc_id"]: r["dup_count"] for r in out.collect()}
+    assert got == {1: 2, 2: 1, 3: 1}
+
+
+def test_jaccard_pairs(docs):
+    out = D.jaccard_pairs(
+        docs, "doc_id", F.array_distinct(tokens("text")), 0.5
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    # docs 1&4 identical → jaccard 1.0; 1&2 share 7 of 9 distinct tokens
+    assert pairs[(1, 4)] == 1.0
+    assert pairs[(1, 2)] == round(7 / 9, 6)
+    assert (1, 3) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    out = D.minhash_lsh_dedup(
+        docs, "doc_id", F.array_distinct(tokens("text")), threshold=0.7
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1, 4) in pairs  # identical docs always share every band
+    assert all(a < b for a, b in pairs)
+
+
+def test_simhash_deterministic_and_locality(spark, docs):
+    out = {r["_id"]: r["simhash"] for r in D.simhash16(docs, "doc_id", "text").collect()}
+    assert out[1] == out[4]  # identical text → identical signature
+    assert 0 <= out[1] < 2**16
+    # near-dup differs in few bits; unrelated doc differs in many
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(out[1], out[2]) <= ham(out[1], out[3])
+
+
+def test_cosine_expression(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [1.0, 0.0]), (2, [1.0, 0.0], [0.0, 1.0]),
+         (3, [1.0, 2.0], [2.0, 4.0])],
+        "id int, a array<float>, b array<float>",
+    )
+    got = {
+        r["id"]: r["c"]
+        for r in df.select("id", F.round(D.cosine("a", "b"), 6).alias("c")).collect()
+    }
+    assert got[1] == 1.0
+    assert got[2] == 0.0
+    assert got[3] == 1.0
+
+
+def test_brute_force_topk_ranks(spark):
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+        (3, [1.0, 0.05]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0)
+    out = SIM.brute_force_topk(q, df, "vec_id", "embedding", 2).collect()
+    ranked = [(r["rank"], r["neighbor_id"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [(1, 3), (2, 1)]  # 3 is closest to the x-axis query
+
+
+def test_ivf_restricts_to_cluster(spark):
+    vecs = [
+        (0, [1.0, 0.0]),  # centroid A
+        (1, [0.0, 1.0]),  # centroid B
+        (10, [0.99, 0.01]),
+        (11, [0.98, 0.02]),
+        (20, [0.01, 0.99]),
+        (100, [1.0, 0.1]),  # query → cluster A
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    cents = df.filter(F.col("vec_id") < 2)
+    q = df.filter(F.col("vec_id") == 100)
+    out = SIM.ivf_topk(q, df, cents, "vec_id", "embedding", 10).collect()
+    neighbors = {r["neighbor_id"] for r in out}
+    assert 20 not in neighbors  # other cluster never probed
+    assert {0, 10, 11} <= neighbors
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the hat")], ["doc_id", "text"]
+    )
+    row = df.select(
+        X.token_count("text").alias("n"),
+        X.unique_token_count("text").alias("u"),
+        X.stopword_ratio("text").alias("sw"),
+        X.fingerprint("text").alias("fp"),
+        X.lang_id("text").alias("lang"),
+    ).collect()[0]
+    assert row["n"] == 5
+    assert row["u"] == 4
+    assert row["sw"] == pytest.approx(3 / 5)  # the, and, the
+    canonical = " ".join(sorted({"the", "cat", "and", "hat"}))
+    assert row["fp"] == hashlib.md5(canonical.encode()).hexdigest()
+    assert row["lang"] == "en"
+
+
+def test_multimodal_decode_stub(spark):
+    df = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
+    payload = df.select("doc_id", M.to_binary("text").alias("media"))
+    row = M.decoded_metadata(payload, "doc_id", "media").collect()[0]
+    digest = hashlib.md5(b"hello world").hexdigest()
+    assert row["digest"] == digest
+    assert row["byte_len"] == 11
+    nib = [int(c, 16) for c in digest[:3]]
+    assert (row["width"], row["height"], row["n_frames"]) == (
+        16 * (1 + nib[0]),
+        16 * (1 + nib[1]),
+        1 + nib[2],
+    )
+
+
+def test_frame_sample(spark):
+    df = spark.createDataFrame([(1, 9)], ["doc_id", "n_frames"])
+    out = M.frame_sample(df, "doc_id", "n_frames", 4).collect()
+    assert sorted(r["frame_idx"] for r in out) == [0, 4, 8]
+
+
+def test_real_decoder_is_stubbed():
+    with pytest.raises((NotImplementedError, Exception)):
+        M.decode_image(b"\x89PNG\r\n")
