@@ -19,4 +19,6 @@ def load() -> None:
         llm_similarity,
         llm_multimodal,
         streaming_queries,
+        scale_ops,
+        training_pipeline,
     )

@@ -1,0 +1,328 @@
+"""Scale-posture operators: deterministic sampling, exact percentiles,
+sketch aggregates, as-of / range joins, source roundtrips, partitioned sink.
+
+None of these exist in the reference (its whole surface is SURVEY §2); they
+are the operations the 100 TB design target demands on top of it:
+
+- Sampling must be *deterministic per key* (reruns and engines agree) and
+  pushdown-friendly — an arithmetic hash predicate evaluated inside the
+  scan, never ``rand()`` (non-reproducible) or ``LIMIT`` (order-dependent).
+- As-of / range joins are shuffle-on-the-equi-key only: the temporal
+  predicate rides along as a join condition or a window, so the plan is one
+  exchange on ``user_id`` regardless of data volume.
+- The CSV/JSON roundtrips exercise the declared-schema readers
+  (sources/catalog.py) the way the reference's scrape stage fed its frame
+  (dags/dag.py:65-119) — files in, declared StructType, no inference job.
+- The partitioned parquet sink is K1-K4 (dags/dag.py:189-227) done the way
+  a 100 TB table needs: directory-partitioned on a low-cardinality key so
+  downstream scans prune.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from orchestrated_etl_spark import schemas
+from orchestrated_etl_spark.registry import register
+from orchestrated_etl_spark.sources import sinks
+from orchestrated_etl_spark.sources.catalog import read_csv, read_events, read_json
+
+# Multiplicative hash (Knuth 2^32 golden ratio) expressed in plain int64
+# arithmetic so Spark and the DuckDB oracle compute bit-identical buckets.
+# Production note: swap for xxhash64(col) when cross-engine parity isn't
+# required — same pushdown behavior, better mixing.
+_HASH_MULT = 2654435761
+_HASH_MOD = 4294967296
+
+
+def _bucket(col: str):
+    return (F.col(col) * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD)
+
+
+def _bucket_sql(col: str) -> str:
+    return f"(({col} * {_HASH_MULT}) % {_HASH_MOD})"
+
+
+def _scratch(name: str, sf_dir: str) -> str:
+    """Per-query, per-sf scratch path inside the repo (gitignored)."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".scratch", f"{name}_{tag}")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    return path
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+def _sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% Bernoulli sample of orders, deterministic per o_orderkey.
+
+    The predicate is pure arithmetic on the key → evaluated pre-shuffle in
+    the scan stage; a rerun (or a different engine) selects the same rows,
+    which ``df.sample()`` cannot guarantee.
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.where(_bucket("o_orderkey") < int(_HASH_MOD * 0.10))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+register(
+    "sample_hash_deterministic",
+    _sample_hash,
+    f"""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE {_bucket_sql('o_orderkey')} < {int(_HASH_MOD * 0.10)}
+    """,
+)
+
+
+def _sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size stratified sample: 200 orders per o_orderstatus, chosen
+    by deterministic hash order (not arrival order). One shuffle on the
+    stratum key; per-stratum state is a row counter, O(1) memory."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy(_bucket("o_orderkey").asc(), F.col("o_orderkey").asc())
+    )
+    return (
+        orders.select("o_orderkey", "o_orderstatus")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 200)
+        .drop("rn")
+    )
+
+
+register(
+    "sample_stratified_fixed",
+    _sample_stratified,
+    f"""
+    SELECT o_orderkey, o_orderstatus FROM orders
+    QUALIFY row_number() OVER (
+        PARTITION BY o_orderstatus
+        ORDER BY {_bucket_sql('o_orderkey')}, o_orderkey) <= 200
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# exact percentiles + approximate sketches
+# ---------------------------------------------------------------------------
+
+
+def _percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quartiles of o_totalprice per status. Exact
+    percentile sorts within each group — fine at dashboard-grouping
+    cardinality; the 100 TB path is percentile_approx (see sketches)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+register(
+    "agg_exact_percentiles",
+    _percentiles,
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           count(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+
+
+def _sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the mergeable-sketch path that replaces
+    exact distinct/percentile at 100 TB (HLL++ and KLL/GK are partial-
+    aggregable, so they combine map-side and never materialise the group).
+    No oracle: estimates are implementation-specific (rows-only check)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.round(
+            F.expr("percentile_approx(o_totalprice, 0.5, 10000)"), 2
+        ).alias("approx_median_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+register("agg_approx_sketches", _sketches)  # rows-only: estimator-specific
+
+
+# ---------------------------------------------------------------------------
+# as-of join / range join (events)
+# ---------------------------------------------------------------------------
+
+
+def _asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase event, the most recent click at or
+    before it by the same user — the point-in-time join feature stores and
+    backtests need, which Spark has no native operator for.
+
+    Implementation is the union-tag trick: interleave both sides in one
+    stream, sort within user by (ts, kind) and carry the last click ts
+    forward with a running-max window. ONE shuffle on user_id, no
+    join explosion, no per-key collect — survives arbitrary scale as long
+    as a single user's history fits a partition (salt by time-range if
+    not)."""
+    ev = read_events(spark, sf_dir).select("event_id", "user_id", "ts", "event_type")
+    tagged = ev.where(F.col("event_type").isin("click", "purchase")).withColumn(
+        "kind", F.when(F.col("event_type") == "click", F.lit(0)).otherwise(F.lit(1))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("kind").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn(
+            "last_click_ts",
+            F.max(F.when(F.col("kind") == 0, F.col("ts"))).over(w),
+        )
+        .where(F.col("kind") == 1)
+        .select("event_id", "user_id", "ts", "last_click_ts")
+    )
+
+
+register(
+    "asof_join_purchase_click",
+    _asof,
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT max(c.ts) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND c.ts <= p.ts) AS last_click_ts
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+
+
+def _range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: clicks in the hour before each purchase, per user.
+    Equi-key (user_id) carries the shuffle; the interval predicate is a
+    post-join condition inside the same sort-merge/hash join — no
+    cross-product stage."""
+    ev = read_events(spark, sf_dir).select("event_id", "user_id", "ts", "event_type")
+    p = ev.where(F.col("event_type") == "purchase").alias("p")
+    c = ev.where(F.col("event_type") == "click").alias("c")
+    joined = p.join(
+        c,
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("c.ts") <= F.col("p.ts"))
+        & (F.col("c.ts") > F.col("p.ts") - F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return joined.groupBy(
+        F.col("p.event_id").alias("event_id"),
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.ts").alias("ts"),
+    ).agg(F.count(F.col("c.event_id")).alias("clicks_1h"))
+
+
+register(
+    "range_join_clicks_before_purchase",
+    _range_join,
+    """
+    SELECT p.event_id, p.user_id, p.ts, count(c.event_id) AS clicks_1h
+    FROM events p
+    LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click'
+     AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# source roundtrips (declared-schema CSV / JSON readers)
+# ---------------------------------------------------------------------------
+
+
+def _csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → CSV → declared-schema read (catalog.read_csv). The engine's
+    file-source analogue of the reference's scrape ingest (S1/S2/S6,
+    dags/dag.py:65-119): external text in, explicit StructType, no
+    inference pass over the data."""
+    path = _scratch("csv_nation", sf_dir)
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nation.write.mode("overwrite").option("header", "true").csv(path)
+    return read_csv(spark, path, schemas.NATION)
+
+
+register(
+    "src_csv_roundtrip",
+    _csv_roundtrip,
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+
+
+def _json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → JSON lines → declared-schema read → aggregate. Doubles
+    survive because Spark writes shortest-roundtrip representations;
+    the aggregate is rounded on both sides regardless."""
+    path = _scratch("json_orders", sf_dir)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.write.mode("overwrite").json(path)
+    back = read_json(spark, path, schemas.ORDERS)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+register(
+    "src_json_roundtrip",
+    _json_roundtrip,
+    """
+    SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# partitioned parquet sink
+# ---------------------------------------------------------------------------
+
+
+def _partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1-K4 (dags/dag.py:189-227) at scale: directory-partition the sink
+    on a low-cardinality key so downstream scans prune whole directories,
+    then verify by reading back through the partition column."""
+    path = _scratch("orders_by_status", sf_dir)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    sinks.write_parquet(
+        orders, path, mode="overwrite", partition_by=["o_orderstatus"]
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+register(
+    "sink_partitioned_parquet",
+    _partitioned_sink,
+    """
+    SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)

@@ -37,9 +37,9 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     so oracle comparisons agree."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    if dict(raw.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) physical int64
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
 def read_csv(spark: SparkSession, path: str, schema, **options) -> DataFrame:

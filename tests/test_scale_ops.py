@@ -1,0 +1,94 @@
+"""Unit tests for scale_ops / training_pipeline semantics on tiny frames:
+as-of tie handling, range-join boundary inclusion, packing bin boundaries,
+and per-key sampling determinism."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from orchestrated_etl_spark.queries import scale_ops, training_pipeline  # noqa: F401
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_same_timestamp_click_counts(spark, tmp_path):
+    """A click at exactly the purchase ts is 'at or before' → included."""
+    rows = [
+        (1, 7, _ts("2024-01-01T10:00:00"), "click"),
+        (2, 7, _ts("2024-01-01T10:00:00"), "purchase"),
+        (3, 7, _ts("2024-01-01T09:00:00"), "click"),
+        (4, 8, _ts("2024-01-01T12:00:00"), "purchase"),  # user with no clicks
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, event_type string")
+    sf = str(tmp_path)
+    df.withColumn("value", F.lit(0.0)).withColumn("props", F.lit("{}")).write.mode(
+        "overwrite"
+    ).parquet(f"{sf}/events.parquet")
+    out = {
+        r["event_id"]: r["last_click_ts"]
+        for r in scale_ops._asof(spark, sf).collect()
+    }
+    assert out[2] == _ts("2024-01-01T10:00:00")  # tie → the same-ts click wins
+    assert out[4] is None  # no click ever → NULL, row still present
+
+
+def test_range_join_boundaries(spark, tmp_path):
+    """(ts-1h, ts] window: exactly-1h-earlier click is OUT, same-ts is IN."""
+    rows = [
+        (1, 7, _ts("2024-01-01T09:00:00"), "click"),     # exactly 1h before: out
+        (2, 7, _ts("2024-01-01T09:00:01"), "click"),     # in
+        (3, 7, _ts("2024-01-01T10:00:00"), "click"),     # same instant: in
+        (4, 7, _ts("2024-01-01T10:00:00"), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, event_type string")
+    sf = str(tmp_path)
+    df.withColumn("value", F.lit(0.0)).withColumn("props", F.lit("{}")).write.mode(
+        "overwrite"
+    ).parquet(f"{sf}/events.parquet")
+    [row] = scale_ops._range_join(spark, sf).collect()
+    assert row["clicks_1h"] == 2
+
+
+def test_sampling_is_deterministic_per_key(spark, sf_dir):
+    a = {r["o_orderkey"] for r in scale_ops._sample_hash(spark, sf_dir).collect()}
+    b = {r["o_orderkey"] for r in scale_ops._sample_hash(spark, sf_dir).collect()}
+    assert a == b and len(a) > 0
+    # roughly 10% (loose bound; hash is coarse but unbiased enough for this)
+    total = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert 0.03 < len(a) / total < 0.25
+
+
+def test_token_packing_respects_budget_boundary(spark, tmp_path):
+    """Docs of 1000 tokens each, budget 2048 → bins of 3 docs (prefix sums
+    0,1000,2000 → bin 0; 3000,4000 → bin 1 ...)."""
+    text = " ".join(["w"] * 1000)
+    rows = [(i, text, "en", "srcA", len(text)) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = {
+        r["doc_id"]: r["bin_id"]
+        for r in training_pipeline._token_packing(spark, sf).collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 2}
+
+
+def test_cap_per_source_keeps_lowest_ids(spark, tmp_path):
+    rows = [(i, "t", "en", f"src{i % 2}", 1) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = training_pipeline._cap_per_source(spark, sf)
+    per = out.groupBy("source").count().collect()
+    assert all(r["count"] == 15 for r in per)
+    # deterministic choice: the 15 lowest doc_ids per source
+    kept = sorted(r["doc_id"] for r in out.where(F.col("source") == "src0").collect())
+    assert kept == [i for i in range(50) if i % 2 == 0][:15]
