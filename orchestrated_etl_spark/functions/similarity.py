@@ -19,6 +19,9 @@ deterministic (score DESC, id ASC) ranking.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -118,3 +121,31 @@ def ivf_topk(
             "rank",
         )
     )
+
+
+def l2_normalize_pandas_udf():
+    """Arrow-batched scalar pandas UDF: L2-normalize an embedding column.
+
+    The JVM-side expression path (F.transform / F.aggregate, see
+    dedup.cosine) is preferred for anything expressible there; this is the
+    documented escape hatch (SURVEY §2.7 "UDF surface") for numeric kernels
+    that need numpy — batched over Arrow, ~10-100x faster than row-at-a-time
+    Python UDFs, and embarrassingly parallel (no shuffle, scales with
+    partition count).
+    """
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def _normalize(vecs: pd.Series) -> pd.Series:
+        def norm(v):
+            if v is None:
+                return None
+            a = np.asarray(v, dtype=np.float64)
+            n = np.sqrt(np.dot(a, a))
+            if n == 0.0:
+                return [0.0] * len(a)
+            return (a / n).tolist()
+
+        return vecs.map(norm)
+
+    return _normalize

@@ -146,3 +146,45 @@ register(
     FROM n GROUP BY 1, 2
     """,
 )
+
+
+def _normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow pandas-UDF L2 normalization (the documented numpy escape
+    hatch) with a profile aggregate over the unit vectors. Rounded to 4
+    on both sides so numpy's pairwise summation vs the oracle's
+    sequential list_sum cannot flip a digit."""
+    from orchestrated_etl_spark.functions.similarity import l2_normalize_pandas_udf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    unit = emb.select(
+        "vec_id",
+        l2_normalize_pandas_udf()(F.col("embedding")).alias("u"),
+    )
+    return unit.select(
+        "vec_id",
+        F.round(
+            F.aggregate("u", F.lit(0.0), lambda acc, x: acc + x * x), 4
+        ).alias("unit_norm2"),
+        F.round(F.element_at("u", 1), 4).alias("u1"),
+        F.size("u").alias("dim"),
+    )
+
+
+register(
+    "sim_normalize_embeddings",
+    _normalize,
+    """
+    WITH u AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                  CAST(embedding AS DOUBLE[])))) AS u
+        FROM embeddings
+    )
+    SELECT vec_id,
+           round(list_dot_product(u, u), 4) AS unit_norm2,
+           round(u[1], 4) AS u1,
+           CAST(len(u) AS INTEGER) AS dim
+    FROM u
+    """,
+)

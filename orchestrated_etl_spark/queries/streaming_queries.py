@@ -66,3 +66,25 @@ def _dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("stream_dedup_users", _dedup)
+
+
+def _stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    count/sum/last-seen held in the state store. tests/test_streaming.py
+    pins the final state against the batch groupBy equivalent."""
+    from orchestrated_etl_spark.streaming.stateful import user_running_totals
+
+    ev = read_events_stream(spark, sf_dir)
+    out = run_available_now(user_running_totals(ev), output_mode="update")
+    # One row per user per micro-batch → keep the final emit per user
+    # (the emit with the highest running count; counts only grow).
+    final = F.max(F.struct("n_events", "total_value", "last_ts")).alias("f")
+    return out.groupBy("user_id").agg(final).select(
+        "user_id",
+        F.col("f.n_events").alias("n_events"),
+        F.col("f.total_value").alias("total_value"),
+        F.col("f.last_ts").alias("last_ts"),
+    )
+
+
+register("stream_stateful_user_totals", _stateful)

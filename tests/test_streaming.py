@@ -90,3 +90,23 @@ def test_session_windows_match_batch(spark, sf_dir):
          for r in batch.collect())
     )
     assert got == want
+
+
+def test_stateful_running_totals_match_batch(spark, sf_dir):
+    """applyInPandasWithState final state == batch groupBy over the same
+    events (count, rounded sum, max ts per user)."""
+    from orchestrated_etl_spark.queries.streaming_queries import _stateful
+
+    out = _stateful(spark, sf_dir)
+    batch = (
+        read_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want
