@@ -45,7 +45,15 @@ register(
 )
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH near-dup over token sets (k=8, b=4, r=2, j ≥ 0.9)
+# MinHash + LSH near-dup over trigram-shingle sets (k=8, b=4, r=2, j ≥ 0.9)
+#
+# Shingles, not unigram tokens: the distinct-unigram sets of same-domain
+# documents converge on the shared vocabulary (at sf0.1 virtually every
+# doc pair had unigram-Jaccard ≥ 0.9 → ~10^6 output pairs, quadratic in
+# cluster size — the classic LSH degeneracy). Word 3-gram sets are
+# discriminative, so buckets stay small and the pair set stays linear in
+# the number of true near-dups; this is the standard pretraining-dedup
+# formulation (MinHash over shingles).
 # ---------------------------------------------------------------------------
 
 _MINHASH_K, _BANDS, _ROWS = 8, 4, 2
@@ -57,7 +65,7 @@ def _minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_dedup(
         docs,
         "doc_id",
-        F.array_distinct(tokens("text")),
+        D.shingles("text", 3),
         k=_MINHASH_K,
         bands=_BANDS,
         rows_per_band=_ROWS,
@@ -76,9 +84,11 @@ def _minhash_oracle() -> str:
     return f"""
     WITH tok AS (
         SELECT doc_id AS id,
-               unnest(list_distinct(string_split(text, ' '))) AS w,
-               len(list_distinct(string_split(text, ' '))) AS n
-        FROM documents
+               unnest(list_distinct([array_to_string(ts[i:i+2], ' ')
+                                     for i in range(1, greatest(len(ts) - 2, 1) + 1)])) AS w,
+               len(list_distinct([array_to_string(ts[i:i+2], ' ')
+                                  for i in range(1, greatest(len(ts) - 2, 1) + 1)])) AS n
+        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
     ),
     sigs AS (
         SELECT id,
