@@ -478,3 +478,57 @@ register(
     FROM events GROUP BY event_type
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# SQL API parity: the same engine surface through spark.sql (TPC-H Q3 shape)
+# ---------------------------------------------------------------------------
+
+
+def _sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority query (TPC-H Q3 shape) issued as pure SQL text —
+    demonstrates that the registered-view + spark.sql path hits the same
+    Catalyst plan (broadcast dims, partial agg, pushed predicates) as the
+    DataFrame API."""
+    for t in ("customer", "orders", "lineitem"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(
+            f"v_{t}"
+        )
+    return spark.sql(
+        """
+        SELECT l.l_orderkey AS orderkey,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               o.o_orderdate AS orderdate,
+               o.o_orderpriority AS orderpriority
+        FROM v_customer c
+        JOIN v_orders o ON c.c_custkey = o.o_custkey
+        JOIN v_lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, orderdate, orderkey
+        LIMIT 20
+        """
+    )
+
+
+register(
+    "sql_q3_shipping_priority",
+    _sql_q3,
+    """
+    SELECT l.l_orderkey AS orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate AS orderdate,
+           o.o_orderpriority AS orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, orderdate, orderkey
+    LIMIT 20
+    """,
+)

@@ -326,3 +326,55 @@ register(
     FROM orders GROUP BY o_orderstatus
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# bucketed tables: shuffle-free co-located join
+# ---------------------------------------------------------------------------
+
+
+def _bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write orders + lineitem bucketed on the join key, then join the two
+    bucketed tables: matching bucket layouts satisfy the join's
+    distribution requirement, so the plan has NO pre-join Exchange (the
+    only shuffle left is the final aggregate). This is the pre-partitioned
+    fact-fact join strategy at 100 TB — pay the shuffle once at write time,
+    reuse it every query. tests/test_scale_ops.py asserts the Exchange
+    count."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    ob, lb = f"orders_b_{tag}", f"lineitem_b_{tag}"
+
+    def _ensure(table: str, src: str, key: str) -> None:
+        if spark.catalog.tableExists(table):
+            return
+        # The in-memory catalog starts empty each session, but the
+        # warehouse directory persists — clear a stale location first.
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(os.path.join(wh, table.lower()), ignore_errors=True)
+        df = spark.read.parquet(f"{sf_dir}/{src}.parquet")
+        df.write.bucketBy(8, key).sortBy(key).mode("overwrite").saveAsTable(table)
+
+    _ensure(ob, "orders", "o_orderkey")
+    _ensure(lb, "lineitem", "l_orderkey")
+    o, l = spark.table(ob), spark.table(lb)
+    joined = l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue"),
+    )
+
+
+register(
+    "join_bucketed_colocated",
+    _bucketed_join,
+    """
+    SELECT o_orderpriority, count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)

@@ -168,3 +168,60 @@ register(
     FROM documents
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# sliding-window document chunking (context-window preparation)
+# ---------------------------------------------------------------------------
+
+_CHUNK, _STRIDE = 64, 48  # 16-token overlap
+
+
+def _chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into overlapping token windows (64 tokens,
+    stride 48) — the chunking step before tokenization/embedding. Pure
+    JVM expressions (split/sequence/explode/slice): no UDF, no shuffle at
+    all — chunking is embarrassingly parallel and stays inside whole-stage
+    codegen."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ts = docs.select("doc_id", F.split("text", " ").alias("ts")).withColumn(
+        "nc",
+        F.greatest(
+            F.ceil((F.size("ts") - F.lit(_CHUNK - _STRIDE)) / F.lit(float(_STRIDE)))
+            .cast("long"),
+            F.lit(1).cast("long"),
+        ),
+    )
+    return (
+        ts.select(
+            "doc_id",
+            "ts",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("nc") - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.array_join(
+                F.slice("ts", F.col("chunk_idx") * _STRIDE + 1, F.lit(_CHUNK)), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.size("ts") - F.col("chunk_idx") * _STRIDE, F.lit(_CHUNK)
+            ).cast("long").alias("chunk_tokens"),
+        )
+    )
+
+
+register(
+    "train_chunk_documents",
+    _chunk_documents,
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+    SELECT doc_id, i AS chunk_idx,
+           array_to_string(ts[(i*{_STRIDE}+1):(i*{_STRIDE}+{_CHUNK})], ' ') AS chunk_text,
+           CAST(least(len(ts) - i*{_STRIDE}, {_CHUNK}) AS BIGINT) AS chunk_tokens
+    FROM t, unnest(range(0, greatest(
+        CAST(ceil((len(ts) - {_CHUNK - _STRIDE}) / {_STRIDE}.0) AS BIGINT), 1))) AS u(i)
+    """,
+)

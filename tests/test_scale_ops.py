@@ -92,3 +92,40 @@ def test_cap_per_source_keeps_lowest_ids(spark, tmp_path):
     # deterministic choice: the 15 lowest doc_ids per source
     kept = sorted(r["doc_id"] for r in out.where(F.col("source") == "src0").collect())
     assert kept == [i for i in range(50) if i % 2 == 0][:15]
+
+
+def test_bucketed_join_has_no_prejoin_shuffle(spark, sf_dir):
+    """Bucketed layouts satisfy the join distribution → the only Exchange
+    in the plan is the post-join aggregate's."""
+    from orchestrated_etl_spark.queries.scale_ops import _bucketed_join
+
+    # Disable broadcast so the join must satisfy its distribution
+    # requirement from the bucketed layout (at real scale neither side
+    # broadcasts anyway).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = _bucketed_join(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # the only shuffle is the post-join aggregate's
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
+def test_chunking_covers_text_with_overlap(spark, sf_dir):
+    from orchestrated_etl_spark.queries.training_pipeline import _chunk_documents
+
+    chunks = _chunk_documents(spark, sf_dir)
+    # every chunk except a doc's last has exactly 64 tokens; strides overlap by 16
+    agg = chunks.groupBy("doc_id").agg(
+        F.max("chunk_idx").alias("last_idx"),
+        F.sum("chunk_tokens").alias("sum_tokens"),
+    )
+    row = agg.agg(F.count(F.lit(1)), F.min("sum_tokens")).collect()[0]
+    assert row[0] > 0 and row[1] > 0
+    bad = chunks.where(
+        (F.col("chunk_tokens") > 64) | (F.col("chunk_tokens") <= 0)
+    ).count()
+    assert bad == 0
