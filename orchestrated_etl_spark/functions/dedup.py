@@ -242,26 +242,38 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def cosine(a: Column, b: Column) -> Column:
-    """Exact cosine similarity between two float-array columns, computed
-    in double (zip_with product + aggregate sums — codegen'd, no UDF)."""
-    # Cast each element to double BEFORE multiplying: float32 products
-    # differ from double products in the low bits, and reproducibility
-    # across engines (the DuckDB oracle computes on DOUBLE[]) requires
-    # identical arithmetic.
-    dot = F.aggregate(
+def dot(a: Column, b: Column) -> Column:
+    """Double-precision dot product of two float-array columns (zip_with
+    product + aggregate sum — codegen'd, no UDF).
+
+    Each element is cast to double BEFORE multiplying: float32 products
+    differ from double products in the low bits, and reproducibility
+    across engines (the DuckDB oracle computes on DOUBLE[]) requires
+    identical arithmetic."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda v: F.sqrt(  # noqa: E731
+
+
+def vec_norm(v: Column) -> Column:
+    """Double-precision L2 norm of a float-array column."""
+    return F.sqrt(
         F.aggregate(
             F.transform(v, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
     )
-    return F.try_divide(dot, norm(a) * norm(b))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Exact cosine similarity between two float-array columns. For
+    pairwise joins, prefer precomputing ``vec_norm`` per side BEFORE the
+    join (see embedding_near_dup) — this form recomputes both norms for
+    every pair."""
+    return F.try_divide(dot(a, b), vec_norm(a) * vec_norm(b))
 
 
 def embedding_near_dup(
@@ -273,14 +285,20 @@ def embedding_near_dup(
 ) -> DataFrame:
     """Blocked cosine near-dup: pairs only form inside a block (cluster id,
     LSH bucket, shard key...) so the join is |block|² not n². Exact cosine
-    ≥ threshold inside each block."""
+    ≥ threshold inside each block. Norms are computed ONCE per vector
+    before the join (O(n·d)), so per-pair work is the dot product alone —
+    at |block|² pairs that's the difference between 1× and 3× the
+    arithmetic."""
     base = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
         F.col(block_col).alias("_blk"),
-    )
+    ).withColumn("_norm", vec_norm(F.col("_vec")))
     a, b = base.alias("a"), base.alias("b")
-    sim = cosine(F.col("a._vec"), F.col("b._vec"))
+    sim = F.try_divide(
+        dot(F.col("a._vec"), F.col("b._vec")),
+        F.col("a._norm") * F.col("b._norm"),
+    )
     return (
         a.join(
             b,

@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from orchestrated_etl_spark.functions.dedup import cosine
+from orchestrated_etl_spark.functions.dedup import cosine, dot, vec_norm
 
 
 def brute_force_topk(
@@ -41,13 +41,23 @@ def brute_force_topk(
     partitioned by query id (|Q|·k rows)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
-    )
+    ).withColumn("_qnorm", vec_norm(F.col("_qvec")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
-    )
+    ).withColumn("_cnorm", vec_norm(F.col("_cvec")))
+    # norms precomputed per side → per-pair work is the dot product alone
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.try_divide(
+                    dot(F.col("_qvec"), F.col("_cvec")),
+                    F.col("_qnorm") * F.col("_cnorm"),
+                ),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -103,11 +113,24 @@ def ivf_topk(
         F.col("_vec").alias("_qvec"),
         F.col("centroid_id").alias("_qcen"),
     )
-    scored = assigned.join(
-        F.broadcast(q),
-        (F.col("centroid_id") == F.col("_qcen"))
-        & (F.col("_id") != F.col("query_id")),
-    ).withColumn("cosine", F.round(cosine(F.col("_qvec"), F.col("_vec")), 6))
+    scored = (
+        assigned.withColumn("_cnorm", vec_norm(F.col("_vec")))
+        .join(
+            F.broadcast(q.withColumn("_qnorm", vec_norm(F.col("_qvec")))),
+            (F.col("centroid_id") == F.col("_qcen"))
+            & (F.col("_id") != F.col("query_id")),
+        )
+        .withColumn(
+            "cosine",
+            F.round(
+                F.try_divide(
+                    dot(F.col("_qvec"), F.col("_vec")),
+                    F.col("_qnorm") * F.col("_cnorm"),
+                ),
+                6,
+            ),
+        )
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("_id")
     )
