@@ -312,3 +312,56 @@ def embedding_near_dup(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# connected components (near-dup cluster collapse)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Collapse a near-dup pair graph into clusters: every node gets the
+    MIN node id reachable from it (its component's canonical id).
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels — one join + one aggregate
+    per round, all distributed, converging in graph-diameter rounds
+    (near-dup clusters are shallow, so typically < 5). The loop runs to a
+    FIXPOINT with a changed-row count as the stop condition;
+    ``localCheckpoint`` truncates the growing lineage each round.
+    Production note: for adversarial graphs (long chains) switch to the
+    alternating large-star/small-star algorithm (Kiveris et al.) — same
+    join shape, O(log² n) rounds.
+
+    nodes: one column ``id``; edges: columns ``src``/``dst`` (undirected —
+    both orientations are generated here).
+    """
+    both = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = nodes.select(F.col("id"), F.col("id").alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            both.join(labels, on=F.col("src") == F.col("id"))
+            .groupBy("dst")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["dst"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"], F.coalesce(F.col("nlabel"), labels["label"])
+                ).alias("label"),
+                (F.col("nlabel") < labels["label"]).alias("_changed"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = updated.where(F.col("_changed")).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("component"))

@@ -73,7 +73,9 @@ def _minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_ctes() -> str:
+    """The MinHash pipeline as CTE bodies (shared by the pair oracle and
+    the connected-components oracle, which prepends WITH RECURSIVE)."""
     sig_cols = ",\n               ".join(
         f"min(md5(w || '#{i}')) AS sig{i}" for i in range(_MINHASH_K)
     )
@@ -82,7 +84,7 @@ def _minhash_oracle() -> str:
         for b in range(_BANDS)
     )
     return f"""
-    WITH tok AS (
+    tok AS (
         SELECT doc_id AS id,
                unnest(list_distinct([array_to_string(ts[i:i+2], ' ')
                                      for i in range(1, greatest(len(ts) - 2, 1) + 1)])) AS w,
@@ -110,11 +112,19 @@ def _minhash_oracle() -> str:
         JOIN tok eb ON id_b = eb.id AND ea.w = eb.w
         GROUP BY 1, 2, 3, 4
     )
+    """
+
+
+_MINHASH_PAIR_SELECT = f"""
     SELECT id_a, id_b,
            round(shared * 1.0 / (n_a + n_b - shared), 6) AS jaccard
     FROM shared
     WHERE round(shared * 1.0 / (n_a + n_b - shared), 6) >= {_MINHASH_THRESHOLD}
     """
+
+
+def _minhash_oracle() -> str:
+    return f"WITH {_minhash_ctes()} {_MINHASH_PAIR_SELECT}"
 
 
 register("dedup_minhash_lsh", _minhash, _minhash_oracle())
@@ -237,3 +247,45 @@ register(
     SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {_COSINE_THRESHOLD}
     """,
 )
+
+# ---------------------------------------------------------------------------
+# near-dup cluster collapse: connected components over the MinHash pairs
+# ---------------------------------------------------------------------------
+
+
+def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash pairs → undirected graph → per-doc canonical id (min doc_id
+    in the component). The iterative min-label propagation runs
+    join+aggregate rounds to a fixpoint (functions/dedup.py
+    connected_components); the oracle computes the same fixpoint with a
+    recursive CTE. Docs with no near-dup are their own component."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = _minhash(spark, sf_dir)
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return D.connected_components(nodes, edges).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
+def _components_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    pairs AS ({_MINHASH_PAIR_SELECT}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    walk(id, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id
+    )
+    SELECT id AS doc_id, min(label) AS component FROM walk GROUP BY id
+    """
+
+
+register("dedup_cluster_components", _components, _components_oracle())

@@ -378,3 +378,67 @@ register(
     GROUP BY o_orderpriority
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# batch sessionization (gap-based session ids)
+# ---------------------------------------------------------------------------
+
+
+def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization in batch: a new session starts when a user
+    is idle > 30 minutes. lag → new-session flag → running sum = session
+    id; one shuffle on user_id for both windows (same partitioning is
+    reused), then the aggregate rides the same key. The batch twin of the
+    streaming session_window query."""
+    ev = read_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+                > 1800.0
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+register(
+    "sessionize_events_30m",
+    _sessionize,
+    """
+    WITH x AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM x
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM s GROUP BY user_id, session_id
+    """,
+)

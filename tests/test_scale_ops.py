@@ -129,3 +129,19 @@ def test_chunking_covers_text_with_overlap(spark, sf_dir):
         (F.col("chunk_tokens") > 64) | (F.col("chunk_tokens") <= 0)
     ).count()
     assert bad == 0
+
+
+def test_connected_components_fixpoint(spark):
+    """Chain 1-2-3-4 + isolated 5 + pair (6,7): components collapse to the
+    min id even when propagation needs multiple rounds."""
+    from orchestrated_etl_spark.functions.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (6, 7)], "src long, dst long"
+    )
+    out = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6}
