@@ -18,7 +18,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Headline set: one per operator family — scan+agg, star join, window,
-# rollup, dedup, json/datetime, and the LLM-extension paths.
+# rollup, dedup, json/datetime, temporal joins, sessionization, and the
+# LLM-extension paths (fuzzy dedup, similarity, chunking).
 HEADLINE = [
     "flagship",
     "q1_pricing_summary",
@@ -30,6 +31,12 @@ HEADLINE = [
     "datetime_daily_rollup",
     "json_field_agg",
     "t2_dedup_by_key",
+    "asof_join_purchase_click",
+    "sessionize_events_30m",
+    "sample_hash_deterministic",
+    "dedup_minhash_lsh",
+    "sim_ivf_topk",
+    "train_chunk_documents",
 ]
 
 

@@ -442,3 +442,44 @@ register(
     FROM s GROUP BY user_id, session_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# salted two-phase aggregation (skew mitigation)
+# ---------------------------------------------------------------------------
+
+
+def _salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation via explicit salting: events has only 5
+    event_type values, so a direct groupBy sends each key's entire volume
+    to one reducer. Phase 1 groups on (key, salt) — 16-way fan-out of the
+    hot keys; phase 2 merges the 5×16 partials. Same result as the direct
+    aggregate (oracle is the plain GROUP BY); the salt is deterministic
+    (event_id mod 16) so reruns agree. Spark's map-side partial
+    aggregation makes this unnecessary for sums — the pattern matters for
+    distinct/collect-style aggs and skewed JOIN keys, and this query is
+    the executable documentation of it."""
+    ev = read_events(spark, sf_dir).select("event_id", "event_type", "value")
+    phase1 = (
+        ev.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(16)))
+        .groupBy("event_type", "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum("value").alias("psum"),
+        )
+    )
+    return phase1.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.round(F.sum("psum"), 2).alias("sum_value"),
+    )
+
+
+register(
+    "agg_salted_twophase",
+    _salted_agg,
+    """
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
