@@ -192,3 +192,46 @@ register(
     SELECT lang, predicted, count(*) AS n FROM p GROUP BY 1, 2
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish pre-tokenizer counts (regex word/number/symbol pieces)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with the BPE-ish regex pre-tokenizer
+    (functions/text.py bpe_ish_tokens) next to the whitespace count —
+    the piece/word ratio is the standard fertility proxy for token-budget
+    estimates. Per-lang aggregate; regexp_extract_all is JVM-side."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_doc = docs.select(
+        "lang",
+        F.size(X.bpe_ish_tokens("text")).alias("n_pieces"),
+        X.token_count("text").alias("n_words"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_pieces").cast("long").alias("total_pieces"),
+        F.round(
+            F.try_divide(F.sum("n_pieces"), F.sum("n_words")), 6
+        ).alias("pieces_per_word"),
+    )
+
+
+register(
+    "text_bpe_token_counts",
+    _bpe_counts,
+    r"""
+    WITH d AS (
+        SELECT lang,
+               len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_pieces,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words
+        FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_pieces) AS BIGINT) AS total_pieces,
+           round(sum(n_pieces) * 1.0 / sum(n_words), 6) AS pieces_per_word
+    FROM d GROUP BY lang
+    """,
+)

@@ -532,3 +532,72 @@ register(
     LIMIT 20
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# NTILE quantile bucketing + two-variable statistics
+# ---------------------------------------------------------------------------
+
+
+def _ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile bucketing of order value within each status (NTILE) with a
+    per-bucket profile — the binning step for calibration/quantile
+    features. One shuffle on the partition key."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    b = orders.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.ntile(10).over(w).alias("decile"),
+    )
+    return b.groupBy("o_orderstatus", "decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+register(
+    "window_ntile_deciles",
+    _ntile,
+    """
+    WITH b AS (
+        SELECT o_orderstatus, o_totalprice,
+               ntile(10) OVER (PARTITION BY o_orderstatus
+                               ORDER BY o_totalprice, o_orderkey) AS decile
+        FROM orders
+    )
+    SELECT o_orderstatus, decile, count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM b GROUP BY o_orderstatus, decile
+    """,
+)
+
+
+def _stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-variable statistics per returnflag: sample stddev, Pearson
+    correlation, covariance — all partial-aggregable (sum/sum-of-squares/
+    cross-products combine map-side), so one pass at any scale."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qty_price"),
+    )
+
+
+register(
+    "agg_stats_corr",
+    _stats,
+    """
+    SELECT l_returnflag, count(*) AS n,
+           round(stddev_samp(l_extendedprice), 4) AS sd_price,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
