@@ -483,3 +483,57 @@ register(
     FROM events GROUP BY event_type
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# upsert / MERGE emulation on a parquet sink
+# ---------------------------------------------------------------------------
+
+
+def _merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent upsert the reference never had (its sinks only append —
+    K4, dags/dag.py:198-204): a deterministic 'updates' batch (every 20th
+    order, price +10%) merged into the base table as
+    updates ∪ (base ANTI-JOIN updates) — the MERGE emulation for plain
+    parquet. One shuffle on the key; with Delta/Iceberg this becomes
+    MERGE INTO with file-level pruning, same logical shape."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = orders.where(F.col("o_orderkey") % 20 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 1.10, 2).alias("o_totalprice"),
+    )
+    merged = updates.unionByName(
+        orders.join(updates.select("o_orderkey"), "o_orderkey", "left_anti")
+    )
+    path = _scratch("orders_merged", sf_dir)
+    sinks.write_parquet(merged, path, mode="overwrite")
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+register(
+    "sink_merge_upsert",
+    _merge_upsert,
+    """
+    WITH updates AS (
+        SELECT o_orderkey, 'U' AS o_orderstatus,
+               round(o_totalprice * 1.10, 2) AS o_totalprice
+        FROM orders WHERE o_orderkey % 20 = 0
+    ),
+    merged AS (
+        SELECT * FROM updates
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+    )
+    SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM merged GROUP BY o_orderstatus
+    """,
+)

@@ -88,3 +88,48 @@ def _stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("stream_stateful_user_totals", _stateful)
+
+
+def _foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: each micro-batch lands in the same parquet
+    target via the batch writer (the pattern that gives streaming access
+    to any batch sink — JDBC, MERGE, multi-sink fan-out). The read-back
+    aggregate equals the plain batch aggregate no matter how the stream
+    was micro-batched, so this one IS oracle-checkable."""
+    import shutil
+    import tempfile
+
+    from orchestrated_etl_spark.sources import sinks as K
+
+    target = tempfile.mkdtemp(prefix="febatch_") + "/events"
+    shutil.rmtree(target, ignore_errors=True)
+    ev = read_events_stream(spark, sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    q = (
+        ev.writeStream.foreachBatch(
+            lambda batch_df, batch_id: K.write_parquet(
+                batch_df, target, mode="append"
+            )
+        )
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(target)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+register(
+    "stream_foreachbatch_sink",
+    _foreachbatch,
+    """
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
