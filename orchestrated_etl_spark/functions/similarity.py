@@ -172,3 +172,23 @@ def l2_normalize_pandas_udf():
         return vecs.map(norm)
 
     return _normalize
+
+
+def mean_norm_grouped_udaf():
+    """Arrow grouped-aggregate pandas UDF (the UDAF surface): mean L2 norm
+    of a group's embedding vectors, computed with numpy over the whole
+    Arrow batch. Partial-aggregation does NOT apply to grouped-agg pandas
+    UDFs (each group's rows all reach one task) — acceptable for
+    bounded-cardinality groups; for unbounded keys, use the expression
+    path (sim_vector_norms) which partial-aggregates."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _mean_norm(vecs: pd.Series) -> float:
+        norms = [
+            float(np.sqrt(np.dot(a, a)))
+            for a in (np.asarray(v, dtype=np.float64) for v in vecs if v is not None)
+        ]
+        return float(np.mean(norms)) if norms else float("nan")
+
+    return _mean_norm

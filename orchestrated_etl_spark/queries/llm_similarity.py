@@ -188,3 +188,33 @@ register(
     FROM u
     """,
 )
+
+
+def _udaf_mean_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF (UDAF) per label, next to the pure-JVM
+    count — rounded to 4 on both sides (numpy pairwise vs sequential
+    summation)."""
+    from orchestrated_etl_spark.functions.similarity import mean_norm_grouped_udaf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    udaf = mean_norm_grouped_udaf()
+    # Grouped-agg pandas UDFs cannot share an agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — compute separately, join on the key.
+    norms = emb.groupBy("label").agg(
+        F.round(udaf(F.col("embedding")), 4).alias("mean_l2")
+    )
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return counts.join(norms, "label").select("label", "n_vecs", "mean_l2")
+
+
+register(
+    "sim_udaf_mean_norm",
+    _udaf_mean_norm,
+    """
+    SELECT label, count(*) AS n_vecs,
+           round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))), 4)
+               AS mean_l2
+    FROM embeddings GROUP BY label
+    """,
+)
