@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from orchestrated_etl_spark.functions import text as X
+from orchestrated_etl_spark.functions.dedup import shingles as D_shingles
 from orchestrated_etl_spark.registry import register
 
 _HASH_MULT = 2654435761
@@ -223,5 +224,143 @@ register(
            CAST(least(len(ts) - i*{_STRIDE}, {_CHUNK}) AS BIGINT) AS chunk_tokens
     FROM t, unnest(range(0, greatest(
         CAST(ceil((len(ts) - {_CHUNK - _STRIDE}) / {_STRIDE}.0) AS BIGINT), 1))) AS u(i)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# vocabulary building + OOV rate + benchmark decontamination
+# ---------------------------------------------------------------------------
+
+_VOCAB_SIZE = 20  # the synthetic corpus has ~31 distinct words; V=20 leaves a real OOV tail
+
+
+def _build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-V vocabulary with stable ids: corpus word counts (partial-
+    aggregable — the only heavy stage), then rank by (count DESC, word)
+    for a deterministic id assignment. The final window runs over V rows,
+    not the corpus, so the global ordering is cheap at any corpus size."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = (
+        docs.select(F.explode(X.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("word"))
+    return (
+        counts.withColumn("vocab_id", F.row_number().over(w))
+        .where(F.col("vocab_id") <= _VOCAB_SIZE)
+        .select("vocab_id", "word", "freq")
+    )
+
+
+register(
+    "train_build_vocab",
+    _build_vocab,
+    f"""
+    WITH counts AS (
+        SELECT w AS word, count(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w
+    )
+    SELECT row_number() OVER (ORDER BY freq DESC, word) AS vocab_id,
+           word, freq
+    FROM counts
+    QUALIFY vocab_id <= {_VOCAB_SIZE}
+    """,
+)
+
+
+def _oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per language against the top-V vocab: the
+    vocab is tiny by construction → broadcast anti-membership via a left
+    join, aggregated per lang. The corpus-side explode+join is the only
+    O(tokens) stage and shuffles once on the word."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = _build_vocab(spark, sf_dir).select("word")
+    toks = docs.select("lang", F.explode(X.tokens("text")).alias("word"))
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("_in", F.lit(1))), "word", "left"
+    )
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
+        F.round(
+            F.try_divide(
+                F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)),
+                F.count(F.lit(1)),
+            ),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
+register(
+    "train_oov_rate",
+    _oov_rate,
+    f"""
+    WITH counts AS (
+        SELECT w AS word, count(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w
+    ),
+    vocab AS (
+        SELECT word FROM counts
+        QUALIFY row_number() OVER (ORDER BY freq DESC, word) <= {_VOCAB_SIZE}
+    ),
+    toks AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+    )
+    SELECT lang, count(*) AS n_tokens,
+           sum(CASE WHEN vocab.word IS NULL THEN 1 ELSE 0 END) AS n_oov,
+           round(sum(CASE WHEN vocab.word IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS oov_rate
+    FROM toks LEFT JOIN vocab USING (word)
+    GROUP BY lang
+    """,
+)
+
+
+_DECONTAM_N = 8  # 8-token shingles, the usual contamination unit
+_BENCH_DOCS = 10  # fixture "benchmark set" = doc_id < 10
+
+
+def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any 8-token
+    shingle with the (tiny) benchmark set. The benchmark shingle set is
+    broadcast; the corpus side explodes its shingles once and semi-joins —
+    linear in corpus tokens, no pairwise stage at all. Returns the flagged
+    doc ids with how many distinct benchmark shingles they hit."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") < _BENCH_DOCS)
+    bench_sh = (
+        bench.select(F.explode(D_shingles("text", _DECONTAM_N)).alias("sh"))
+        .distinct()
+    )
+    corpus_sh = docs.where(F.col("doc_id") >= _BENCH_DOCS).select(
+        "doc_id", F.explode(D_shingles("text", _DECONTAM_N)).alias("sh")
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("sh").alias("n_hits"))
+    )
+
+
+register(
+    "train_decontaminate",
+    _decontaminate,
+    f"""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct([array_to_string(ts[i:i+{_DECONTAM_N - 1}], ' ')
+                   for i in range(1, greatest(len(ts) - {_DECONTAM_N - 1}, 1) + 1)])) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+    ),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < {_BENCH_DOCS})
+    SELECT c.doc_id, count(DISTINCT c.s) AS n_hits
+    FROM sh c JOIN bench USING (s)
+    WHERE c.doc_id >= {_BENCH_DOCS}
+    GROUP BY c.doc_id
     """,
 )
