@@ -88,6 +88,11 @@ def jaccard_pairs(
     ≥1 element are ever materialized. Returns (id_a, id_b, jaccard) with
     id_a < id_b. The per-element join is the scale knob — add a
     document-frequency cap on elements for adversarial corpora."""
+    # Explicit-count repartition for the same reason as minhash_lsh_dedup:
+    # parallelize per-doc set construction even from a one-file scan, and
+    # keep AQE from coalescing the byte-small exchange to one partition.
+    sc = df.sparkSession.sparkContext
+    df = df.repartition(sc.defaultParallelism, F.col(id_col))
     ex = _exploded_sets(df, id_col, set_col)
     a = ex.alias("a")
     b = ex.alias("b")
@@ -117,16 +122,45 @@ def jaccard_pairs(
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------
 
+# Universal-hash family over the Mersenne-ish prime P = 2^31 - 1: one
+# md5 per element gives h (60-bit, cross-engine reproducible — see module
+# docstring), then sig_i = min((A_i·(h mod P) + B_i) mod P). Constants are
+# arbitrary fixed odd values < P shared with the DuckDB oracle.
+MINHASH_P = 2147483647
+_MINHASH_A = [1_000_003 + 2_000_033 * i for i in range(16)]
+_MINHASH_B = [777_777_777 + 111_111_113 * i for i in range(16)]
+
+
+def minhash_hash_constants(k: int) -> list[tuple[int, int]]:
+    """(A_i, B_i) pairs for oracle construction."""
+    return [(_MINHASH_A[i], _MINHASH_B[i]) for i in range(k)]
+
 
 def minhash_signature(
     df: DataFrame, id_col: str, set_col: Column, k: int = 8
 ) -> DataFrame:
-    """k-element MinHash signature: sig_i = min(md5(elem || '#i')) over the
-    element set. One explode + one hash aggregate (k mins computed
-    side-by-side in a single pass); no pairwise work."""
+    """k-element MinHash signature via universal hashing: each element is
+    md5'd ONCE (the expensive part), reduced to a 60-bit integer h, and
+    the k permutations are the cheap affine maps sig_i = min((A_i·(h mod
+    P) + B_i) mod P) over the set — one explode + one k-min hash
+    aggregate, all whole-stage-codegen. (k separate salted md5 calls cost
+    k× the hashing; the affine family has the same collision guarantees.)
+
+    Measured note: the tempting no-shuffle formulation —
+    array_min(transform(set, ...)) — is 2-3× SLOWER because higher-order
+    -function lambdas evaluate interpreted; the exploded aggregate also
+    spreads hash work across all cores regardless of input file count.
+    """
     ex = _exploded_sets(df, id_col, set_col)
+    h = (
+        F.conv(F.substring(F.md5(F.col("_elem").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        % MINHASH_P
+    )
+    ex = ex.withColumn("_h", h)
     aggs = [
-        F.min(F.md5(F.concat(F.col("_elem"), F.lit(f"#{i}")))).alias(f"sig{i}")
+        F.min((F.lit(_MINHASH_A[i]) * F.col("_h") + F.lit(_MINHASH_B[i])) % MINHASH_P)
+        .alias(f"sig{i}")
         for i in range(k)
     ]
     return ex.groupBy(F.col("_id")).agg(*aggs)
@@ -137,30 +171,47 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signature (b bands × r rows), bucket by band value, and
     self-join inside buckets. Pair multiplicity from multiple matching
-    bands is collapsed with distinct. Bucket key is md5(concat(band
-    sigs)) — short, uniform, shuffle-friendly."""
+    bands is collapsed with distinct. Bucket key is the '|'-joined band
+    sig values — already uniform integers, no extra hashing needed."""
     bucket_cols = []
     for b in range(bands):
         parts = [f"sig{b * rows_per_band + r}" for r in range(rows_per_band)]
         bucket_cols.append(
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(F.concat(*[F.col(p) for p in parts])).alias("bucket"),
+                F.concat_ws("|", *[F.col(p) for p in parts]).alias("bucket"),
             )
         )
     buckets = sigs.select(
         "_id", F.explode(F.array(*bucket_cols)).alias("bk")
     ).select("_id", "bk.band", "bk.bucket")
-    a = buckets.alias("a")
-    b2 = buckets.alias("b")
-    return (
-        a.join(
-            b2,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a._id") < F.col("b._id")),
+    # Pairs are generated WITHIN each bucket from a collected id list, not
+    # via a bucket self-join: the self-join's two branches would each
+    # recompute the whole upstream signature pipeline (scan → shingles →
+    # hash → aggregate), which dominated the runtime. collect_list is safe
+    # exactly because LSH makes buckets small — a bucket that collects
+    # millions of ids would mean the banding scheme has already failed.
+    grouped = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    n = F.size("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: F.struct(
+                    F.element_at("ids", i).alias("id_a"),
+                    F.element_at("ids", j).alias("id_b"),
+                ),
+            ),
         )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+    )
+    return (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -177,28 +228,41 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signature → banded candidates →
     exact-Jaccard verification of candidates only. Output: (id_a, id_b,
-    jaccard ≥ threshold) for LSH-surfaced pairs."""
+    jaccard ≥ threshold) for LSH-surfaced pairs.
+
+    Verification joins the candidate pairs (few, by LSH construction)
+    back to the full element arrays and computes Jaccard with
+    array_intersect — per-pair O(|set|) with no explode and no extra
+    aggregate. The only shuffles in the whole pipeline are the band-bucket
+    self-join and these two id-equi-joins."""
+    # Repartition the COMPACT doc rows before the heavy per-row work: the
+    # md5×k signature cost must spread over all cores even when the input
+    # is a single small file (1-2 scan partitions locally). This shuffles
+    # n doc rows — far cheaper than the explode-based formulation's
+    # shuffle of n×|set| element rows, and a no-op on a well-partitioned
+    # 100 TB input.
+    # Spread the per-doc shingle/hash work across all cores FIRST: a
+    # small corpus arrives as one file → one scan partition, and every
+    # downstream expression would run single-threaded in that scan stage.
+    # Shuffling the n compact doc rows is far cheaper than the compute it
+    # parallelizes (and a no-op cost on a well-partitioned 100 TB input).
+    # The partition count is EXPLICIT because AQE would coalesce a
+    # by-column repartition of byte-small data back to one partition —
+    # optimizing for bytes-per-partition when the cost here is
+    # compute-per-row.
+    sc = df.sparkSession.sparkContext
+    df = df.repartition(sc.defaultParallelism, F.col(id_col))
+    sets = df.select(F.col(id_col).alias("_id"), set_col.alias("_set"))
     sigs = minhash_signature(df, id_col, set_col, k)
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
-    ex = _exploded_sets(df, id_col, set_col)
-    shared = (
-        cands.join(ex.alias("ea"), F.col("id_a") == F.col("ea._id"))
-        .join(
-            ex.alias("eb"),
-            (F.col("id_b") == F.col("eb._id"))
-            & (F.col("ea._elem") == F.col("eb._elem")),
-        )
-        .groupBy(
-            "id_a",
-            "id_b",
-            F.col("ea._n").alias("n_a"),
-            F.col("eb._n").alias("n_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    pa = sets.select(F.col("_id").alias("id_a"), F.col("_set").alias("_sa"))
+    pb = sets.select(F.col("_id").alias("id_b"), F.col("_set").alias("_sb"))
+    shared = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    union = F.size("_sa") + F.size("_sb") - shared
     return (
-        shared.withColumn("jaccard", F.round(jac, 6))
+        cands.join(pa, "id_a")
+        .join(pb, "id_b")
+        .withColumn("jaccard", F.round(shared / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

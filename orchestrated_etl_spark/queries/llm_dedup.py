@@ -75,12 +75,22 @@ def _minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_ctes() -> str:
     """The MinHash pipeline as CTE bodies (shared by the pair oracle and
-    the connected-components oracle, which prepends WITH RECURSIVE)."""
+    the connected-components oracle, which prepends WITH RECURSIVE).
+    Mirrors functions/dedup.py exactly: h = 60-bit md5 prefix, k affine
+    permutations over P, '|'-joined band buckets."""
+    from orchestrated_etl_spark.functions.dedup import (
+        MINHASH_P,
+        minhash_hash_constants,
+    )
+
+    ab = minhash_hash_constants(_MINHASH_K)
     sig_cols = ",\n               ".join(
-        f"min(md5(w || '#{i}')) AS sig{i}" for i in range(_MINHASH_K)
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS sig{i}"
+        for i, (a, b) in enumerate(ab)
     )
     band_selects = "\n        UNION ALL ".join(
-        f"SELECT id, {b} AS band, md5(sig{b * _ROWS} || sig{b * _ROWS + 1}) AS bucket FROM sigs"
+        f"SELECT id, {b} AS band, concat(CAST(sig{b * _ROWS} AS VARCHAR), '|', "
+        f"CAST(sig{b * _ROWS + 1} AS VARCHAR)) AS bucket FROM sigs"
         for b in range(_BANDS)
     )
     return f"""
@@ -92,10 +102,16 @@ def _minhash_ctes() -> str:
                                   for i in range(1, greatest(len(ts) - 2, 1) + 1)])) AS n
         FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
     ),
+    tokh AS (
+        SELECT id, w, n,
+               CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT)
+                   % {MINHASH_P} AS h
+        FROM tok
+    ),
     sigs AS (
         SELECT id,
                {sig_cols}
-        FROM tok GROUP BY id
+        FROM tokh GROUP BY id
     ),
     buckets AS (
         {band_selects}
