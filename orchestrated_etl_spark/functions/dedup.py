@@ -353,11 +353,18 @@ def embedding_near_dup(
     before the join (O(n·d)), so per-pair work is the dot product alone —
     at |block|² pairs that's the difference between 1× and 3× the
     arithmetic."""
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_vec"),
-        F.col(block_col).alias("_blk"),
-    ).withColumn("_norm", vec_norm(F.col("_vec")))
+    # Explicit-count repartition: the per-pair dot products must spread
+    # across cores even from a one-row-group file (see minhash_lsh_dedup).
+    sc = df.sparkSession.sparkContext
+    base = (
+        df.repartition(sc.defaultParallelism, F.col(id_col))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_vec"),
+            F.col(block_col).alias("_blk"),
+        )
+        .withColumn("_norm", vec_norm(F.col("_vec")))
+    )
     a, b = base.alias("a"), base.alias("b")
     sim = F.try_divide(
         dot(F.col("a._vec"), F.col("b._vec")),

@@ -42,9 +42,16 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
     ).withColumn("_qnorm", vec_norm(F.col("_qvec")))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
-    ).withColumn("_cnorm", vec_norm(F.col("_cvec")))
+    # Corpus side carries the |Q|·|C| dot-product work — spread it across
+    # cores explicitly (one-row-group fixture files scan as 1 partition).
+    sc = corpus.sparkSession.sparkContext
+    c = (
+        corpus.repartition(sc.defaultParallelism, F.col(id_col))
+        .select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+        )
+        .withColumn("_cnorm", vec_norm(F.col("_cvec")))
+    )
     # norms precomputed per side → per-pair work is the dot product alone
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
@@ -78,9 +85,12 @@ def assign_to_centroids(
     cen = centroids.select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cenvec")
     )
-    scored = corpus.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
-    ).join(F.broadcast(cen))
+    sc = corpus.sparkSession.sparkContext
+    scored = (
+        corpus.repartition(sc.defaultParallelism, F.col(id_col))
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+        .join(F.broadcast(cen))
+    )
     # Rank on the ROUNDED cosine with centroid_id tie-break: assignment at
     # near-equidistant boundaries stays deterministic and reproducible by
     # an independent engine computing the same rounded score.
