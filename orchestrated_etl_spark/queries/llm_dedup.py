@@ -305,3 +305,44 @@ def _components_oracle() -> str:
 
 
 register("dedup_cluster_components", _components, _components_oracle())
+
+# ---------------------------------------------------------------------------
+# MLlib MinHashLSH variant (the library path; rows-only check)
+# ---------------------------------------------------------------------------
+
+
+def _minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same near-dup task through MLlib's MinHashLSH
+    (HashingTF token vectors → approxSimilarityJoin), seeded for
+    determinism — included as the library alternative to the explicit
+    SQL-expression pipeline in functions/dedup.py (SURVEY §4.2). Values
+    depend on MLlib's internal hash family → rows-only check; the
+    distance threshold 0.1 ≈ jaccard ≥ 0.9 over hashed token buckets
+    (matching the explicit pipeline's threshold — looser cuts re-create
+    the unigram degeneracy the shingle pipeline avoids)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("words")
+    )
+    tf = HashingTF(
+        inputCol="words", outputCol="features", numFeatures=1 << 16, binary=True
+    )
+    feats = tf.transform(toks)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=4, seed=42
+    )
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.1, distCol="jaccard_dist")
+    return (
+        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            F.round(F.col("jaccard_dist"), 6).alias("jaccard_dist"),
+        )
+    )
+
+
+register("dedup_minhash_mllib", _minhash_mllib)  # rows-only: MLlib hash family
