@@ -218,3 +218,49 @@ register(
     FROM embeddings GROUP BY label
     """,
 )
+
+
+def _groupmap_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: z-score each vector's L2 norm within its
+    label group (whole group as one pandas frame in, frame out — the
+    grouped-map UDF shape). Oracle: the same standardization via window
+    mean/stddev_samp. Norm computed JVM-side; only the per-group
+    standardization crosses into pandas."""
+    import pandas as pd
+
+    from orchestrated_etl_spark.functions.dedup import vec_norm
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    norms = emb.select(
+        "vec_id", "label", F.round(vec_norm(F.col("embedding")), 9).alias("l2")
+    )
+
+    def standardize(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["l2"].mean()
+        sd = pdf["l2"].std(ddof=1)
+        z = (pdf["l2"] - mu) / sd if sd and sd > 0 else pdf["l2"] * 0.0
+        return pd.DataFrame(
+            {"vec_id": pdf["vec_id"], "label": pdf["label"], "znorm": z.round(4)}
+        )
+
+    return norms.groupBy("label").applyInPandas(
+        standardize, schema="vec_id long, label int, znorm double"
+    )
+
+
+register(
+    "sim_groupmap_zscore",
+    _groupmap_zscore,
+    """
+    WITH n AS (
+        SELECT vec_id, label,
+               round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))), 9) AS l2
+        FROM embeddings
+    )
+    SELECT vec_id, label,
+           round((l2 - avg(l2) OVER (PARTITION BY label))
+                 / stddev_samp(l2) OVER (PARTITION BY label), 4) AS znorm
+    FROM n
+    """,
+)

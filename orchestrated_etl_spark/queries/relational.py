@@ -601,3 +601,37 @@ register(
     FROM lineitem GROUP BY l_returnflag
     """,
 )
+
+
+def _unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) the lineitem measures into (measure, value) rows via
+    stack() — the inverse of pivot_status_qty — then profile each measure.
+    stack is a generator expression: no shuffle until the aggregate."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    long = li.selectExpr(
+        "l_returnflag",
+        "stack(3, 'quantity', l_quantity, 'price', l_extendedprice,"
+        " 'discount', l_discount) AS (measure, value)"
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+register(
+    "unpivot_lineitem_measures",
+    _unpivot,
+    """
+    WITH long AS (
+        SELECT l_returnflag, 'quantity' AS measure, l_quantity AS value FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'price', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'discount', l_discount FROM lineitem
+    )
+    SELECT l_returnflag, measure, count(*) AS n,
+           round(avg(value), 6) AS avg_value
+    FROM long GROUP BY l_returnflag, measure
+    """,
+)
