@@ -110,3 +110,72 @@ def test_stateful_running_totals_match_batch(spark, sf_dir):
     got = sorted(map(tuple, out.collect()))
     want = sorted(map(tuple, batch.collect()))
     assert got == want
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """True late-data semantics, which a single availableNow batch can't
+    show: two micro-batches (maxFilesPerTrigger=1, mtime-ordered files).
+    Batch 1 advances the watermark past the 10:00 window; batch 2's late
+    10:15 row must be DROPPED, while its 14:00 row closes the 12:00
+    window. Append mode emits exactly the closed windows."""
+    import os
+    import tempfile
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "stream_in")
+    os.makedirs(d)
+
+    def write(name, rows, mtime):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] * 10**6 for r in rows], pa.timestamp("us")),
+                "event_type": pa.array(["click"] * len(rows), pa.string()),
+            }
+        )
+        path = f"{d}/{name}"
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+
+    H = 3600
+    base = 1704067200  # 2024-01-01 00:00 UTC
+    # The watermark a batch observes is computed from the event times of
+    # EARLIER batches with one batch of lag, hence three files:
+    # batch 1: two rows in [10:00,11:00) + one at 12:00
+    write("b1.parquet", [(1, base + 10 * H), (2, base + 10 * H + 1800),
+                         (3, base + 12 * H)], mtime=1_000_000)
+    # batch 2: 12:30 row (joins the 12:00 window; watermark now >= 11:30)
+    write("b2.parquet", [(6, base + 12 * H + 1800)], mtime=2_000_000)
+    # batch 3: LATE row at 10:15 — watermark is 12:00 by now, its window
+    # closed → DROPPED; the 14:00 row closes the 12:00 window.
+    write("b3.parquet", [(4, base + 10 * H + 900), (5, base + 14 * H)],
+          mtime=3_000_000)
+
+    ev = (
+        spark.readStream.schema("event_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    agg = W.tumbling_counts(
+        ev, duration="1 hour", watermark="30 minutes",
+        aggs=[F.count(F.lit(1)).alias("n_events")],
+    )
+    qname = f"wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"].hour, r["n_events"])
+        for r in spark.table(qname).collect()
+    }
+    # 10:00 window emitted with 2 rows (late row 4 dropped), 12:00 window
+    # with rows 3+6; the 14:00 window never closes so append never emits it.
+    assert got == {(10, 2), (12, 2)}
