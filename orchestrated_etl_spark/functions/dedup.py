@@ -409,9 +409,13 @@ def connected_components(
     nodes: one column ``id``; edges: columns ``src``/``dst`` (undirected —
     both orientations are generated here).
     """
+    # Materialize the edge list ONCE: its lineage is typically a whole
+    # near-dup pipeline (MinHash LSH etc.), and every propagation round
+    # joins against it — without this checkpoint each round re-executes
+    # that entire upstream pipeline.
     both = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint(eager=True)
     labels = nodes.select(F.col("id"), F.col("id").alias("label"))
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):
