@@ -364,3 +364,113 @@ register(
     GROUP BY c.doc_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end training-data pipeline (flagship for the LLM-data side)
+# ---------------------------------------------------------------------------
+
+
+def _e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data path as ONE declarative Pipeline
+    (plans/pipeline.py — O1-O4 applied to the LLM stage): read documents →
+    exact-dedup on text (keep min doc_id) → quality gate (≥ 20 tokens) →
+    language-weighted mixture sample → per-source token packing → per-bin
+    shard summary. One lazy Catalyst plan end-to-end; stage boundaries
+    cost nothing (contrast the reference's per-stage XCom materialisation,
+    dags/dag.py §3.1)."""
+    from orchestrated_etl_spark.plans.pipeline import Pipeline, Stage
+
+    def dedup_stage(df: DataFrame) -> DataFrame:
+        return df.groupBy("text").agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("lang", "doc_id").alias("lang"),
+            F.min_by("source", "doc_id").alias("source"),
+        )
+
+    def quality_stage(df: DataFrame) -> DataFrame:
+        return df.where(X.token_count("text") >= 20)
+
+    def mixture_stage(df: DataFrame) -> DataFrame:
+        weight = (
+            F.when(F.col("lang") == "en", F.lit(1.0))
+            .when(F.col("lang") == "zh", F.lit(0.5))
+            .otherwise(F.lit(0.25))
+        )
+        bucket = (F.col("doc_id") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD)
+        return df.where(bucket < weight * F.lit(float(_HASH_MOD)))
+
+    def packing_stage(df: DataFrame) -> DataFrame:
+        w = (
+            Window.partitionBy("source")
+            .orderBy(F.col("doc_id").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        toks = df.select(
+            "doc_id", "source", "lang", X.token_count("text").alias("n_tokens")
+        )
+        return toks.withColumn(
+            "bin_id",
+            F.floor(
+                (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(2048)
+            ).cast("long"),
+        )
+
+    def shard_summary(df: DataFrame) -> DataFrame:
+        return df.groupBy("source", "bin_id").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("bin_tokens"),
+        )
+
+    pipe = Pipeline(
+        name="training_data_e2e",
+        source=lambda s: s.read.parquet(f"{sf_dir}/documents.parquet"),
+        stages=[
+            Stage("dedup", dedup_stage),
+            Stage("quality", quality_stage),
+            Stage("mixture", mixture_stage),
+            Stage("packing", packing_stage),
+            Stage("shards", shard_summary),
+        ],
+    )
+    return pipe.build(spark)
+
+
+register(
+    "train_e2e_pipeline",
+    _e2e_pipeline,
+    f"""
+    WITH dedup AS (
+        SELECT min(doc_id) AS doc_id,
+               min_by(lang, doc_id) AS lang,
+               min_by(source, doc_id) AS source,
+               text
+        FROM documents GROUP BY text
+    ),
+    quality AS (
+        SELECT * FROM dedup
+        WHERE CAST(len(string_split(text, ' ')) AS INTEGER) >= 20
+    ),
+    mixture AS (
+        SELECT * FROM quality
+        WHERE ((doc_id * {_HASH_MULT}) % {_HASH_MOD}) <
+              (CASE WHEN lang = 'en' THEN 1.0
+                    WHEN lang = 'zh' THEN 0.5
+                    ELSE 0.25 END) * {_HASH_MOD}.0
+    ),
+    packed AS (
+        SELECT doc_id, source, lang,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+               CAST(floor(
+                   (sum(CAST(len(string_split(text, ' ')) AS INTEGER))
+                        OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING)
+                    - CAST(len(string_split(text, ' ')) AS INTEGER)
+                   ) / 2048) AS BIGINT) AS bin_id
+        FROM mixture
+    )
+    SELECT source, bin_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY source, bin_id
+    """,
+)
