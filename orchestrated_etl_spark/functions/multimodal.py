@@ -118,3 +118,67 @@ def frame_sample(df: DataFrame, id_col: str, n_frames_col: str, every: int) -> D
     return df.select(
         F.col(id_col), F.explode(idx).alias("frame_idx")
     )
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, width int, height int, out_w int, out_h int, resized int"
+)
+
+
+def resized_metadata(df: DataFrame, id_col: str, bin_col: str, target: int = 256) -> DataFrame:
+    """The resize stage (STUB decode, real plumbing): fit the fake-decoded
+    (width, height) into a target×target box preserving aspect ratio with
+    pure integer arithmetic (floor(d·target / long_side)), never upscaling.
+    Swap the digest-derived dimensions for a real decoder + PIL resize;
+    batch shape and schema stay the same."""
+
+    def resize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            digests = pdf[bin_col].map(lambda b: hashlib.md5(bytes(b)).hexdigest())
+            meta = digests.map(_fake_meta_from_digest)
+            w = meta.map(lambda m: m[0]).astype("int64")
+            h = meta.map(lambda m: m[1]).astype("int64")
+            long_side = pd.concat([w, h], axis=1).max(axis=1)
+            need = long_side > target
+            out_w = w.where(~need, (w * target) // long_side).astype("int32")
+            out_h = h.where(~need, (h * target) // long_side).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": w.astype("int32"),
+                    "height": h.astype("int32"),
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "resized": need.astype("int32"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+        resize_batches, RESIZED_SCHEMA
+    )
+
+
+FAKE_EMBED_SCHEMA = "doc_id long, embedding array<double>"
+
+
+def fake_embeddings(df: DataFrame, id_col: str, bin_col: str, dim: int = 8) -> DataFrame:
+    """The feature-extract stage (STUB model, real plumbing): an
+    'embedding' from the payload digest's first `dim` nibbles, scaled to
+    [0, 1]. Swap for a real encoder (CLIP et al.) behind the same
+    mapInPandas signature; downstream similarity search is unchanged."""
+
+    def embed_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            digests = pdf[bin_col].map(lambda b: hashlib.md5(bytes(b)).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "embedding": digests.map(
+                        lambda d: [int(c, 16) / 15.0 for c in d[:dim]]
+                    ),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+        embed_batches, FAKE_EMBED_SCHEMA
+    )
