@@ -235,3 +235,91 @@ register(
     FROM d GROUP BY lang
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (email/phone redaction) + repetition scoring
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+
+
+def _pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: count and redact email/phone patterns with
+    JVM-side regexp functions (T4's regex machinery applied to the
+    training-data compliance step). Returns per-doc match counts plus the
+    scrubbed length; patterns are RE2-compatible so the DuckDB oracle
+    evaluates them identically. The synthetic corpus contains no real
+    PII — counts are legitimately zero — but the scrub plan itself is
+    what's under test."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), 0)).alias("n_phones"),
+        F.length(scrubbed).cast("long").alias("scrubbed_len"),
+    )
+
+
+register(
+    "train_pii_scrub",
+    _pii_scrub,
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS INTEGER) AS n_phones,
+           CAST(length(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                      '{_PHONE_RE}', '<PHONE>', 'g')) AS BIGINT) AS scrubbed_len
+    FROM documents
+    """,
+)
+
+
+def _repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal: the share of a doc's trigram occurrences
+    taken by its single most-frequent trigram (NON-distinct shingles —
+    repeats are the signal). High values flag boilerplate/spam for the
+    quality gate. One explode + two-level aggregate, shuffled on doc_id."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - 2, F.lit(1)))
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(idx, lambda i: F.array_join(F.slice(t, i, 3), " "))
+        ).alias("g"),
+    )
+    per_gram = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_grams"),
+        F.max("c").cast("long").alias("max_gram"),
+        F.round(F.try_divide(F.max("c"), F.sum("c")), 6).alias("repetition"),
+    )
+
+
+register(
+    "text_repetition_score",
+    _repetition,
+    """
+    WITH g AS (
+        SELECT doc_id,
+               unnest([array_to_string(ts[i:i+2], ' ')
+                       for i in range(1, greatest(len(ts) - 2, 1) + 1)]) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+    ),
+    per AS (
+        SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_grams,
+           CAST(max(c) AS BIGINT) AS max_gram,
+           round(max(c) * 1.0 / sum(c), 6) AS repetition
+    FROM per GROUP BY doc_id
+    """,
+)
