@@ -635,3 +635,36 @@ register(
     FROM long GROUP BY l_returnflag, measure
     """,
 )
+
+
+def _json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType coverage: parse props into map<string,int>, access by key
+    and explode entries — the dynamic-schema alternative to the typed
+    from_json struct in json_extract_props. Aggregates per event_type."""
+    ev = read_events(spark, sf_dir)
+    m = F.from_json("props", "map<string,int>")
+    entries = ev.select(
+        "event_type",
+        F.explode(m).alias("key", "val"),
+    )
+    return entries.groupBy("event_type", "key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("val").cast("long").alias("sum_val"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
+register(
+    "json_map_entries",
+    _json_map,
+    """
+    SELECT event_type, 'k' AS key, count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_val,
+           min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_val,
+           max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_val
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    """,
+)
