@@ -114,3 +114,68 @@ def test_shingles_match_python(spark, toks):
     else:
         want = sorted({" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)})
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.sampled_from(["foo", "bar", "baz", "qux"]),
+                min_size=1, max_size=12))
+def test_simhash_matches_python(spark, toks):
+    import hashlib
+
+    df = spark.createDataFrame([(0, " ".join(toks))], "doc_id long, text string")
+    [row] = D.simhash16(df, "doc_id", "text").collect()
+
+    votes = [0] * 16
+    for t in toks:
+        nibs = [int(c, 16) for c in hashlib.md5(t.encode()).hexdigest()[:4]]
+        for j, nib in enumerate(nibs):
+            for b in range(4):
+                votes[j * 4 + b] += 1 if (nib >> b) & 1 else -1
+    want = sum(1 << i for i in range(16) if votes[i] > 0)
+    assert row["simhash"] == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=40)
+)
+def test_minhash_band_collision_iff_band_equal(spark, seeds):
+    """Candidate pairs appear iff two docs share at least one full band of
+    signature values — checked against a python reimplementation of the
+    same universal-hash family."""
+    import hashlib
+
+    docs = [(i, " ".join(f"w{s + i * 7 + k}" for k in range(4)))
+            for i, s in enumerate(seeds)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_candidate_pairs(
+            D.minhash_signature(
+                df, "doc_id", F.array_distinct(F.split("text", " ")), 8
+            ),
+            bands=4,
+            rows_per_band=2,
+        ).collect()
+    }
+
+    P = D.MINHASH_P
+    ab = D.minhash_hash_constants(8)
+
+    def sig(text):
+        hs = [
+            int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % P
+            for w in set(text.split(" "))
+        ]
+        return [min((a * h + b) % P for h in hs) for a, b in ab]
+
+    sigs = {i: sig(t) for i, t in docs}
+    want = set()
+    for i in sigs:
+        for j in sigs:
+            if i < j and any(
+                sigs[i][2 * b : 2 * b + 2] == sigs[j][2 * b : 2 * b + 2]
+                for b in range(4)
+            ):
+                want.add((i, j))
+    assert got == want
