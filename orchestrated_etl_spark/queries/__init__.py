@@ -14,6 +14,7 @@ def load() -> None:
     from orchestrated_etl_spark.queries import (  # noqa: F401
         reference_surface,
         relational,
+        sql_subqueries,
         llm_text,
         llm_dedup,
         llm_similarity,

@@ -145,3 +145,35 @@ def test_connected_components_fixpoint(spark):
         for r in connected_components(nodes, edges).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6}
+
+
+def test_exists_subquery_decorrelates_to_semi_join(spark, sf_dir):
+    """Correlated EXISTS (sql_q4 shape) must become a left-semi join in
+    the physical plan — never a per-row subquery — or it cannot run on a
+    large fact table."""
+    from orchestrated_etl_spark.queries.sql_subqueries import _q4_exists
+
+    plan = _q4_exists(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan
+
+
+def test_scalar_subquery_decorrelates_to_agg_join(spark, sf_dir):
+    """Correlated scalar aggregate (sql_q17 shape) must decorrelate to a
+    per-key aggregate joined back — the plan contains an aggregate over
+    l_partkey and no unresolved per-row subquery node."""
+    from orchestrated_etl_spark.queries.sql_subqueries import _q17_below_avg
+
+    plan = _q17_below_avg(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    # decorrelated: an aggregate keyed on l_partkey feeds a join
+    assert "l_partkey" in plan and ("HashAggregate" in plan or "SortAggregate" in plan)
+    assert "Join" in plan, plan
+
+
+def test_array_hof_profile_is_map_only(spark, sf_dir):
+    """HOF per-vector profile: no explode, no exchange — a single
+    map-only stage per scan partition."""
+    from orchestrated_etl_spark.queries.sql_subqueries import _array_hof
+
+    plan = _array_hof(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan, plan  # no explode
+    assert "Exchange" not in plan, plan  # no shuffle
