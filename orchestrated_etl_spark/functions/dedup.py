@@ -30,7 +30,7 @@ xxhash64(shingle, seed) is ~4× cheaper; the structure is identical.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from orchestrated_etl_spark.functions.text import tokens
@@ -136,22 +136,12 @@ def minhash_hash_constants(k: int) -> list[tuple[int, int]]:
     return [(_MINHASH_A[i], _MINHASH_B[i]) for i in range(k)]
 
 
-def minhash_signature(
-    df: DataFrame, id_col: str, set_col: Column, k: int = 8
-) -> DataFrame:
-    """k-element MinHash signature via universal hashing: each element is
-    md5'd ONCE (the expensive part), reduced to a 60-bit integer h, and
-    the k permutations are the cheap affine maps sig_i = min((A_i·(h mod
-    P) + B_i) mod P) over the set — one explode + one k-min hash
-    aggregate, all whole-stage-codegen. (k separate salted md5 calls cost
-    k× the hashing; the affine family has the same collision guarantees.)
-
-    Measured note: the tempting no-shuffle formulation —
-    array_min(transform(set, ...)) — is 2-3× SLOWER because higher-order
-    -function lambdas evaluate interpreted; the exploded aggregate also
-    spreads hash work across all cores regardless of input file count.
-    """
-    ex = _exploded_sets(df, id_col, set_col)
+def _minhash_agg(ex: DataFrame, k: int) -> DataFrame:
+    """(_id, _elem) rows → k-column signature: each element is md5'd ONCE
+    (the expensive part), reduced to a 60-bit integer h, and the k
+    permutations are the cheap affine maps sig_i = min((A_i·(h mod P) +
+    B_i) mod P). Duplicate _elem rows are harmless — min is idempotent —
+    so callers may feed multiset rows and skip the distinct."""
     h = (
         F.conv(F.substring(F.md5(F.col("_elem").cast("binary")), 1, 15), 16, 10)
         .cast("long")
@@ -164,6 +154,69 @@ def minhash_signature(
         for i in range(k)
     ]
     return ex.groupBy(F.col("_id")).agg(*aggs)
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, set_col: Column, k: int = 8
+) -> DataFrame:
+    """k-element MinHash signature of an arbitrary array column — one
+    explode + one k-min hash aggregate.
+
+    Measured note: the tempting no-shuffle formulation —
+    array_min(transform(set, ...)) — is 2-3× SLOWER because higher-order
+    -function lambdas evaluate interpreted; the exploded aggregate also
+    spreads hash work across all cores regardless of input file count.
+    For text shingles prefer ``minhash_signature_text`` (4× faster: no
+    array materialization at all).
+    """
+    return _minhash_agg(_exploded_sets(df, id_col, set_col), k)
+
+
+def shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(_id, _elem) word n-gram shingle rows WITHOUT building shingle
+    arrays: posexplode tokens, then each shingle is concat_ws of the
+    token and its n-1 window leads. Byte-identical strings to
+    ``shingles()`` (including the whole-text shingle for docs shorter
+    than n tokens) but stays out of interpreted higher-order-function
+    evaluation — measured 4× faster at sf0.1 — and emits multiset rows
+    (duplicate shingles survive; fine for min-hash, not for Jaccard).
+    The window's partitionBy(_id) reuses an upstream repartition on the
+    id, so per-doc sorting is the only added work — no extra shuffle."""
+    t = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(t).alias("_pos", "_tok"),
+        F.size(t).alias("_cnt"),
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    leads = [F.lead("_tok", i).over(w) for i in range(1, n)]
+    last = leads[-1] if leads else F.col("_tok")
+    sh = base.select(
+        "_id",
+        F.concat_ws(" ", F.col("_tok"), *leads).alias("_elem"),
+        last.alias("_last"),
+        "_pos",
+        "_cnt",
+    )
+    # full n-grams only, except: a doc shorter than n tokens contributes
+    # its whole text as the single shingle (concat_ws skips the null
+    # leads), exactly like shingles()'s greatest(cnt-n+1, 1) floor.
+    keep = F.col("_last").isNotNull() | (
+        (F.col("_pos") == 0) & (F.col("_cnt") < n)
+    )
+    return sh.filter(keep).select("_id", "_elem")
+
+
+def minhash_signature_text(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 8
+) -> DataFrame:
+    """MinHash signature over word n-gram shingles of a text column via
+    ``shingle_rows`` — the fast path for the standard pretraining-dedup
+    formulation. Identical signature values to
+    ``minhash_signature(df, id, shingles(text, n), k)``."""
+    return _minhash_agg(shingle_rows(df, id_col, text_col, n), k)
 
 
 def lsh_candidate_pairs(
@@ -219,8 +272,10 @@ def lsh_candidate_pairs(
 def minhash_lsh_dedup(
     df: DataFrame,
     id_col: str,
-    set_col: Column,
+    set_col: Column | None = None,
     *,
+    text_col: str | None = None,
+    shingle_n: int = 3,
     k: int = 8,
     bands: int = 4,
     rows_per_band: int = 2,
@@ -252,8 +307,17 @@ def minhash_lsh_dedup(
     # compute-per-row.
     sc = df.sparkSession.sparkContext
     df = df.repartition(sc.defaultParallelism, F.col(id_col))
+    if text_col is not None:
+        # text fast path: signature from window-lead shingle rows (no
+        # array materialization, stays in codegen); verification arrays
+        # are still built, but only joined against the few candidates.
+        set_col = shingles(text_col, shingle_n)
+        sigs = minhash_signature_text(df, id_col, text_col, shingle_n, k)
+    elif set_col is not None:
+        sigs = minhash_signature(df, id_col, set_col, k)
+    else:
+        raise ValueError("pass set_col or text_col")
     sets = df.select(F.col(id_col).alias("_id"), set_col.alias("_set"))
-    sigs = minhash_signature(df, id_col, set_col, k)
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
     pa = sets.select(F.col("_id").alias("id_a"), F.col("_set").alias("_sa"))
     pb = sets.select(F.col("_id").alias("id_b"), F.col("_set").alias("_sb"))

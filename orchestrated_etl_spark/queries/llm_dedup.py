@@ -65,7 +65,8 @@ def _minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_dedup(
         docs,
         "doc_id",
-        D.shingles("text", 3),
+        text_col="text",
+        shingle_n=3,
         k=_MINHASH_K,
         bands=_BANDS,
         rows_per_band=_ROWS,

@@ -179,3 +179,34 @@ def test_minhash_band_collision_iff_band_equal(spark, seeds):
             ):
                 want.add((i, j))
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=1, max_size=12).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_minhash_text_fast_path_matches_array_path(spark, texts):
+    """minhash_signature_text (window-lead shingle rows, no arrays) must
+    produce the exact signature of minhash_signature over shingles() —
+    including docs shorter than n tokens (whole-text shingle) and docs
+    with repeated shingles (multiset rows, min unaffected)."""
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    via_array = {
+        tuple(r)
+        for r in D.minhash_signature(
+            df, "doc_id", D.shingles("text", 3), 8
+        ).collect()
+    }
+    via_rows = {
+        tuple(r)
+        for r in D.minhash_signature_text(df, "doc_id", "text", 3, 8).collect()
+    }
+    assert via_array == via_rows
