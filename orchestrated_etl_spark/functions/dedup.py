@@ -372,7 +372,9 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def dot(a: Column, b: Column) -> Column:
     """Double-precision dot product of two float-array columns (zip_with
-    product + aggregate sum — codegen'd, no UDF).
+    product + aggregate sum — a JVM expression, no Python boundary;
+    higher-order functions evaluate interpreted, which is acceptable here
+    because pairwise scoring is already join-bounded).
 
     Each element is cast to double BEFORE multiplying: float32 products
     differ from double products in the low bits, and reproducibility
@@ -504,3 +506,38 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
+# ---------------------------------------------------------------------------
+# Blocked edit-distance (Levenshtein) near-dup — entity-resolution shape
+# ---------------------------------------------------------------------------
+
+
+def levenshtein_blocked(
+    df: DataFrame,
+    name_col: str,
+    block_col: Column,
+    max_dist: int,
+) -> DataFrame:
+    """Edit-distance near-dup over a string key with explicit blocking:
+    distinct names → block key → in-block self-join → levenshtein ≤
+    max_dist, name_a < name_b.
+
+    Levenshtein is O(len²) PER PAIR, so the blocking key IS the scale
+    contract: pairs exist only within a block, and block sizes bound the
+    quadratic stage exactly like LSH bands bound minhash_lsh_dedup. The
+    distinct() first collapses exact duplicates so a hot name cannot
+    quadratically explode its own block (the same degeneracy noted for
+    pair outputs in SCALING.md)."""
+    names = df.select(
+        F.col(name_col).alias("_name"), block_col.alias("_blk")
+    ).distinct()
+    a = names.select(F.col("_name").alias("name_a"), "_blk")
+    b = names.select(F.col("_name").alias("name_b"), "_blk")
+    return (
+        a.join(b, "_blk")
+        .where(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("dist") <= max_dist)
+        .select("name_a", "name_b", "dist")
+    )

@@ -186,6 +186,42 @@ register(
 )
 
 # ---------------------------------------------------------------------------
+# Blocked edit-distance near-dup on part names (entity-resolution shape)
+# ---------------------------------------------------------------------------
+
+_LEV_MAX_DIST = 4
+
+
+def _levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-name near-dup: distinct part names, blocked by their last
+    token (the product noun), in-block pairwise Levenshtein ≤ 4. The
+    block key bounds the O(len²)-per-pair stage exactly as LSH bands
+    bound minhash — the entity-resolution member of the dedup family."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return D.levenshtein_blocked(
+        part,
+        "p_name",
+        F.element_at(F.split("p_name", " "), -1),
+        _LEV_MAX_DIST,
+    )
+
+
+register(
+    "dedup_levenshtein_blocked",
+    _levenshtein,
+    f"""
+    WITH names AS (
+        SELECT DISTINCT p_name, string_split(p_name, ' ')[-1] AS blk
+        FROM part
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+    FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= {_LEV_MAX_DIST}
+    """,
+)
+
+# ---------------------------------------------------------------------------
 # SimHash (16-bit, md5-nibble bits)
 # ---------------------------------------------------------------------------
 

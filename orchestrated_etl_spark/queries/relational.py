@@ -424,6 +424,49 @@ register(
     """,
 )
 
+def _sliding_2h_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window in BATCH: window(ts, 2h, 1h) assigns each
+    event to its two overlapping hour-aligned windows (a row expansion of
+    exactly duration/slide — bounded, unlike an explode over arbitrary
+    arrays), then one hash aggregate per (window, type). The streaming
+    twin is stream_sliding_2h; this batch form is the backfill path."""
+    ev = read_events(spark, sf_dir)
+    w = F.window("ts", "2 hours", "1 hour")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+register(
+    "window_sliding_2h_batch",
+    _sliding_2h_batch,
+    """
+    WITH starts AS (
+        SELECT unnest([time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour',
+                       time_bucket(INTERVAL '1 hour', ts)]) AS window_start,
+               event_type, value
+        FROM events
+    )
+    SELECT window_start,
+           window_start + INTERVAL '2 hours' AS window_end,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM starts GROUP BY 1, 2, 3
+    """,
+)
+
 # ---------------------------------------------------------------------------
 # JSON extraction on events.props — the analogue of the reference's HTML
 # field extraction (S2, dags/dag.py:83-92)

@@ -133,3 +133,50 @@ register(
     FROM events GROUP BY event_type
     """,
 )
+
+
+def _stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: the streaming form of
+    range_join_clicks_before_purchase. Purchases and clicks are two
+    streams over the same source; the equi-key (user_id) carries the
+    state partitioning and the watermark + interval condition bound the
+    join state (clicks older than the interval past the watermark are
+    evicted — the state-cleanup contract that makes this runnable
+    forever). The joined pairs are then rolled up in batch for a
+    deterministic result; tests pin it against the batch range join."""
+    ev = read_events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    pairs = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    out = run_available_now(pairs, output_mode="append")
+    return out.groupBy(
+        F.col("p_id").alias("event_id"),
+        F.col("p_user").alias("user_id"),
+        F.col("p_ts").alias("ts"),
+    ).agg(F.count(F.lit(1)).alias("clicks_1h"))
+
+
+register("stream_stream_join", _stream_stream_join)

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from orchestrated_etl_spark.functions import text as X
+from orchestrated_etl_spark.functions.dedup import shingle_rows
 from orchestrated_etl_spark.functions.dedup import shingles as D_shingles
 from orchestrated_etl_spark.registry import register
 
@@ -337,9 +338,12 @@ def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         bench.select(F.explode(D_shingles("text", _DECONTAM_N)).alias("sh"))
         .distinct()
     )
-    corpus_sh = docs.where(F.col("doc_id") >= _BENCH_DOCS).select(
-        "doc_id", F.explode(D_shingles("text", _DECONTAM_N)).alias("sh")
-    )
+    # Corpus side uses the codegen shingle fast path (window-lead rows,
+    # see functions/dedup.shingle_rows); duplicate shingle rows are fine
+    # under countDistinct, and the semi-join existence test is unaffected.
+    corpus_sh = shingle_rows(
+        docs.where(F.col("doc_id") >= _BENCH_DOCS), "doc_id", "text", _DECONTAM_N
+    ).select(F.col("_id").alias("doc_id"), F.col("_elem").alias("sh"))
     return (
         corpus_sh.join(F.broadcast(bench_sh), "sh")
         .groupBy("doc_id")

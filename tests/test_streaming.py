@@ -179,3 +179,24 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     # 10:00 window emitted with 2 rows (late row 4 dropped), 12:00 window
     # with rows 3+6; the 14:00 window never closes so append never emits it.
     assert got == {(10, 2), (12, 2)}
+
+
+def test_stream_stream_join_matches_batch_range_join(spark, sf_dir):
+    """The streaming interval join must produce exactly the batch range
+    join's per-purchase click counts (inner form: purchases with ≥1
+    click in the window)."""
+    from orchestrated_etl_spark.queries.scale_ops import _range_join
+    from orchestrated_etl_spark.queries.streaming_queries import (
+        _stream_stream_join,
+    )
+
+    batch = {
+        (r["event_id"], r["clicks_1h"])
+        for r in _range_join(spark, sf_dir).collect()
+        if r["clicks_1h"] > 0
+    }
+    stream = {
+        (r["event_id"], r["clicks_1h"])
+        for r in _stream_stream_join(spark, sf_dir).collect()
+    }
+    assert stream == batch
