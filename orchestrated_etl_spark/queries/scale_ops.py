@@ -537,3 +537,72 @@ register(
     FROM merged GROUP BY o_orderstatus
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# S1 proper: the scraper stage as a Spark 4 Python Data Source
+# ---------------------------------------------------------------------------
+
+_BOOKS_N, _BOOKS_PAGE = 1000, 100
+
+
+def _src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's paginated HTTP extract (S1, dags/dag.py:65-119) as
+    a first-class partition-parallel Python Data Source: each scrape
+    'page' is an input partition, read concurrently by executors instead
+    of a driver-side loop. The raw string records then flow through the
+    reference's own standardise casts (T3/T4/T5) into the A-family
+    aggregate — extract → transform → enrich as ONE lazy plan over a
+    custom source."""
+    from orchestrated_etl_spark.operators import standardise as S
+    from orchestrated_etl_spark.sources.books_source import (
+        register_books_source,
+    )
+
+    register_books_source(spark)
+    raw = (
+        spark.read.format("books")
+        .option("n", _BOOKS_N)
+        .option("page_size", _BOOKS_PAGE)
+        .load()
+    )
+    std = raw.select(
+        "author",
+        S.to_number("price").alias("price"),
+        S.extract_number("rating").alias("rating"),
+        S.strip_separators_to_long("rating_count").alias("rating_count"),
+    )
+    wsum = F.sum(F.col("rating") * F.col("rating_count"))
+    csum = F.sum("rating_count")
+    return std.groupBy("author").agg(
+        F.round(F.try_divide(wsum, csum), 6).alias("avg_rating"),
+        F.round(F.avg("price"), 4).alias("avg_price"),
+        csum.alias("total_rating_count"),
+        F.count(F.lit(1)).alias("n_books"),
+    )
+
+
+def _src_python_datasource_oracle() -> str:
+    from orchestrated_etl_spark.sources.books_source import books_oracle_cte
+
+    return f"""
+    WITH {books_oracle_cte(_BOOKS_N)}
+    SELECT author,
+           round(sum(TRY_CAST(regexp_extract(rating, '(\\d\\.\\d)', 1) AS DOUBLE)
+                     * TRY_CAST(replace(rating_count, ',', '') AS BIGINT))
+                 / sum(TRY_CAST(replace(rating_count, ',', '') AS BIGINT)), 6)
+               AS avg_rating,
+           round(avg(TRY_CAST(price AS DOUBLE)), 4) AS avg_price,
+           CAST(sum(TRY_CAST(replace(rating_count, ',', '') AS BIGINT)) AS BIGINT)
+               AS total_rating_count,
+           count(*) AS n_books
+    FROM raw
+    GROUP BY author
+    """
+
+
+register(
+    "src_python_datasource",
+    _src_python_datasource,
+    _src_python_datasource_oracle(),
+)

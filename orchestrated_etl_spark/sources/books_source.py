@@ -1,0 +1,119 @@
+"""Custom Spark 4 Python Data Source replacing the reference's HTTP
+scraper stage (SURVEY §2.1 S1, /root/reference/dags/dag.py:65-119).
+
+The reference's extract is a driver-side, single-threaded page loop that
+yields string-typed records (title, author, type, price, rating, rating
+count — all str, dags/dag.py:95-105). This source exposes the same
+record shape as a first-class, PARTITION-PARALLEL Spark source: the
+"pages" of the scrape become input partitions, so a 1000-executor
+cluster pulls pages concurrently — the idiomatic Spark form of paginated
+ingestion (no driver-side loop, no collect).
+
+Rows are generated deterministically from the row index with integer
+arithmetic only, so an independent engine (the DuckDB oracle) reproduces
+the dataset bit-for-bit from a `range()` — the same reproducibility
+contract every md5-derived signature in functions/dedup.py follows. A
+real HTTP source would swap `_row()` for a page fetch + parse; the
+partition/schema/iterator plumbing is exactly what production needs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+# The scraper's raw record shape: everything a string, exactly as
+# BeautifulSoup .text yields it (dags/dag.py:95-105). Quirks reproduced:
+# rating embedded in prose ("X.Y out of 5 stars"), thousands separators
+# in rating_count — the dirt T3/T4/T5 standardise ops exist to clean.
+BOOKS_SCHEMA = (
+    "title string, author string, book_type string, "
+    "price string, rating string, rating_count string"
+)
+
+_TYPES = ("Paperback", "Hardcover", "Kindle")
+
+
+def _row(i: int) -> tuple[str, str, str, str, str, str]:
+    """Deterministic synthetic scraped record for global row index i.
+    Integer arithmetic only — mirrored literally in the SQL oracle."""
+    cents = (i * 37) % 9000 + 199
+    rating10 = (i * 7) % 41 + 10  # 1.0 .. 5.0 in tenths
+    count = (i * 211) % 20000
+    # thousands separator like "1,234" (the T5 dirt)
+    count_s = (
+        f"{count // 1000},{count % 1000:03d}" if count >= 1000 else str(count)
+    )
+    return (
+        f"book {i}",
+        f"author {(i * 13) % 40}",
+        _TYPES[i % 3],
+        f"{cents // 100}.{cents % 100:02d}",
+        f"{rating10 // 10}.{rating10 % 10} out of 5 stars",
+        count_s,
+    )
+
+
+class _PagePartition(InputPartition):
+    def __init__(self, start: int, end: int) -> None:
+        self.start = start
+        self.end = end
+
+
+class BooksReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.n = int(options.get("n", 1000))
+        self.page_size = int(options.get("page_size", 100))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        """One partition per 'page' — the unit the reference fetched
+        serially (dags/dag.py:76-111), here read concurrently."""
+        return [
+            _PagePartition(s, min(s + self.page_size, self.n))
+            for s in range(0, self.n, self.page_size)
+        ]
+
+    def read(self, partition: _PagePartition) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            yield _row(i)
+
+
+class BooksDataSource(DataSource):
+    """spark.read.format("books").option("n", N).load()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "books"
+
+    def schema(self) -> str:
+        return BOOKS_SCHEMA
+
+    def reader(self, schema) -> BooksReader:
+        return BooksReader(self.options)
+
+
+def register_books_source(spark) -> None:
+    """Idempotent per-session registration."""
+    spark.dataSource.register(BooksDataSource)
+
+
+def books_oracle_cte(n: int) -> str:
+    """DuckDB CTE reproducing the source's rows from range(n) with the
+    same integer arithmetic as _row()."""
+    return f"""
+    raw AS (
+        SELECT 'book ' || i AS title,
+               'author ' || ((i * 13) % 40) AS author,
+               ['Paperback', 'Hardcover', 'Kindle'][(i % 3) + 1] AS book_type,
+               (((i * 37) % 9000 + 199) // 100) || '.' ||
+                   lpad((((i * 37) % 9000 + 199) % 100)::VARCHAR, 2, '0') AS price,
+               (((i * 7) % 41 + 10) // 10) || '.' || (((i * 7) % 41 + 10) % 10)
+                   || ' out of 5 stars' AS rating,
+               CASE WHEN (i * 211) % 20000 >= 1000
+                    THEN (((i * 211) % 20000) // 1000) || ',' ||
+                         lpad((((i * 211) % 20000) % 1000)::VARCHAR, 3, '0')
+                    ELSE (((i * 211) % 20000))::VARCHAR END AS rating_count
+        FROM range({n}) t(i)
+    )
+    """

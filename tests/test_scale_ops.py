@@ -177,3 +177,27 @@ def test_array_hof_profile_is_map_only(spark, sf_dir):
     plan = _array_hof(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "Generate" not in plan, plan  # no explode
     assert "Exchange" not in plan, plan  # no shuffle
+
+
+def test_books_source_partitions_and_determinism(spark):
+    """The custom Python Data Source reads page-parallel (one partition
+    per page) and is deterministic across reads."""
+    from orchestrated_etl_spark.sources.books_source import (
+        register_books_source,
+    )
+
+    register_books_source(spark)
+    df = (
+        spark.read.format("books")
+        .option("n", 250)
+        .option("page_size", 100)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3  # ceil(250/100) pages
+    assert df.count() == 250
+    a = sorted(tuple(r) for r in df.collect())
+    b = sorted(tuple(r) for r in df.collect())
+    assert a == b
+    assert df.columns == [
+        "title", "author", "book_type", "price", "rating", "rating_count",
+    ]
