@@ -323,3 +323,52 @@ register(
     FROM per GROUP BY doc_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (Spark 4): row → rows expansion as a lateral table function
+# ---------------------------------------------------------------------------
+
+
+def _udtf_chunk_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF in a LATERAL join: each document expands to its
+    non-overlapping 32-token chunk descriptors. This is the genuinely-
+    Python member of the UDF matrix (scalar pandas UDF / grouped-agg /
+    grouped-map / mapInPandas / applyInPandasWithState are covered by
+    sim_* and stream_*); the JVM explode/sequence form of the same
+    expansion is train_chunk_documents — prefer that in hot paths, use a
+    UDTF when per-row Python logic (a real tokenizer) is unavoidable."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_idx int, n_tokens int")
+    class ChunkExpand:
+        def eval(self, doc_id: int, text: str):
+            toks = text.split(" ")
+            for idx in range((len(toks) + 31) // 32):
+                yield doc_id, idx, min(32, len(toks) - 32 * idx)
+
+    spark.udtf.register("chunk_expand_udtf", ChunkExpand)
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "v_documents"
+    )
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.chunk_idx, c.n_tokens
+        FROM v_documents d, LATERAL chunk_expand_udtf(d.doc_id, d.text) c
+        """
+    )
+
+
+register(
+    "udtf_chunk_expand",
+    _udtf_chunk_expand,
+    """
+    WITH ts AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS chunk_idx,
+           CAST(least(32, len(toks) - 32 * i) AS INTEGER) AS n_tokens
+    FROM ts, LATERAL unnest(range(0, (len(toks) + 31) // 32)) AS u(i)
+    """,
+)
