@@ -82,20 +82,37 @@ def assign_to_centroids(
     """IVF build step: nearest-centroid assignment via broadcast join +
     deterministic argmax (cosine DESC, centroid_id ASC). Linear in
     |corpus|·K; at scale, write the result partitioned by centroid_id."""
+    # Norms are hoisted to one eval per row on EACH side before the
+    # broadcast join: cosine() inline would re-evaluate both interpreted
+    # higher-order-function norms for every (vector, centroid) pair —
+    # 3× the HOF evals for identical doubles (dot/(na*nb) is the same
+    # expression, just computed once per operand).
     cen = centroids.select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cenvec")
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).alias("_cenvec"),
+        vec_norm(F.col(vec_col)).alias("_cennorm"),
     )
     sc = corpus.sparkSession.sparkContext
     scored = (
         corpus.repartition(sc.defaultParallelism, F.col(id_col))
-        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_vec"),
+            vec_norm(F.col(vec_col)).alias("_vnorm"),
+        )
         .join(F.broadcast(cen))
     )
     # Rank on the ROUNDED cosine with centroid_id tie-break: assignment at
     # near-equidistant boundaries stays deterministic and reproducible by
     # an independent engine computing the same rounded score.
     w = Window.partitionBy("_id").orderBy(
-        F.round(cosine(F.col("_vec"), F.col("_cenvec")), 6).desc(),
+        F.round(
+            F.try_divide(
+                dot(F.col("_vec"), F.col("_cenvec")),
+                F.col("_vnorm") * F.col("_cennorm"),
+            ),
+            6,
+        ).desc(),
         F.col("centroid_id"),
     )
     return (
