@@ -606,3 +606,82 @@ register(
     _src_python_datasource,
     _src_python_datasource_oracle(),
 )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension history — the versioned form of the upsert sink (K2-K4)
+# ---------------------------------------------------------------------------
+
+
+def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 merge: an update batch against the
+    customer dimension closes the superseded row (valid_to = effective
+    date) and opens the new version, while touched-but-unchanged and
+    untouched rows pass through. Everything is one plan: the update batch
+    is broadcast (dimension updates are small relative to the dimension),
+    so history rewrite is a map-side operation per base row — the pattern
+    that keeps dimension versioning viable when the dimension itself is
+    billions of rows. The reference's sinks could only append (K4,
+    dags/dag.py:198-204); this is the versioned correction path its
+    near-duplicate accumulation actually needed."""
+    eff = F.to_date(F.lit("1996-06-01"))
+    base = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.to_date(F.lit("1995-01-01")).alias("valid_from"),
+    )
+    # deterministic synthetic update batch: every 10th customer moves to
+    # MACHINERY (a no-op for those already there — SCD2 must not version
+    # unchanged rows)
+    updates = base.where(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", F.lit("MACHINERY").alias("new_segment")
+    )
+    joined = base.join(F.broadcast(updates), "c_custkey", "left")
+    changed = F.col("new_segment").isNotNull() & (
+        F.col("new_segment") != F.col("c_mktsegment")
+    )
+    closed = joined.select(
+        "c_custkey",
+        "c_mktsegment",
+        "valid_from",
+        F.when(changed, eff).alias("valid_to"),
+        (~F.coalesce(changed, F.lit(False))).alias("is_current"),
+    )
+    opened = joined.where(changed).select(
+        "c_custkey",
+        F.col("new_segment").alias("c_mktsegment"),
+        eff.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed.unionByName(opened)
+
+
+register(
+    "sink_scd2_history",
+    _scd2_history,
+    """
+    WITH base AS (
+        SELECT c_custkey, c_mktsegment,
+               DATE '1995-01-01' AS valid_from
+        FROM customer
+    ),
+    updates AS (
+        SELECT c_custkey, 'MACHINERY' AS new_segment
+        FROM base WHERE c_custkey % 10 = 0
+    ),
+    joined AS (
+        SELECT b.*, u.new_segment,
+               u.new_segment IS NOT NULL
+                   AND u.new_segment != b.c_mktsegment AS changed
+        FROM base b LEFT JOIN updates u USING (c_custkey)
+    )
+    SELECT c_custkey, c_mktsegment, valid_from,
+           CASE WHEN changed THEN DATE '1996-06-01' END AS valid_to,
+           NOT coalesce(changed, false) AS is_current
+    FROM joined
+    UNION ALL
+    SELECT c_custkey, new_segment, DATE '1996-06-01', NULL, true
+    FROM joined WHERE changed
+    """,
+)
