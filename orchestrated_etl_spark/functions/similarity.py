@@ -219,3 +219,56 @@ def mean_norm_grouped_udaf():
         return float(np.mean(norms)) if norms else float("nan")
 
     return _mean_norm
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int = 3,
+) -> DataFrame:
+    """Lloyd iterations refining IVF centroids: assign every vector to its
+    nearest current centroid (cosine, via assign_to_centroids), then the
+    new centroid is the element-wise mean of its members. Returns the
+    final (centroid_id, centroid) table.
+
+    Scale shape: per round, one broadcast-join assignment over the corpus
+    + one (centroid_id, pos) hash aggregate over exploded elements — both
+    fully distributed; the only driver-side state is the k-row centroid
+    table itself (localCheckpoint per round cuts the lineage so round r+1
+    does not replay rounds 1..r). Initialization is deterministic (lowest
+    k ids), so runs are reproducible."""
+    init = (
+        corpus.orderBy(F.col(id_col))
+        .limit(k)
+        .select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+        )
+    )
+    centroids = init.localCheckpoint(eager=True)
+    for _ in range(iters):
+        assigned = assign_to_centroids(
+            corpus,
+            centroids.select(
+                F.col("centroid_id").alias(id_col), F.col("cvec").alias(vec_col)
+            ),
+            id_col,
+            vec_col,
+        )
+        elems = assigned.select(
+            "centroid_id", F.posexplode("_vec").alias("pos", "v")
+        )
+        means = (
+            elems.groupBy("centroid_id", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.m,
+                ).alias("cvec")
+            )
+        )
+        centroids = means.localCheckpoint(eager=True)
+    return centroids

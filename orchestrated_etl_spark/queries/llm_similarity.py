@@ -264,3 +264,26 @@ register(
     FROM n
     """,
 )
+
+
+def _kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF centroid training: 3 Lloyd iterations over the embedding
+    corpus (deterministic lowest-k init), returning a per-centroid
+    profile. Rows-only: the per-element means depend on float summation
+    order, so no cross-engine value oracle — tests/test_llm_functions.py
+    pins the algorithm against a numpy reimplementation on a small frame
+    instead."""
+    from orchestrated_etl_spark.functions.similarity import kmeans_refine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cen = kmeans_refine(emb, "vec_id", "embedding", k=8, iters=3)
+    return cen.select(
+        "centroid_id",
+        F.size("cvec").alias("dim"),
+        F.round(
+            F.sqrt(F.aggregate("cvec", F.lit(0.0), lambda a, x: a + x * x)), 4
+        ).alias("l2"),
+    )
+
+
+register("sim_kmeans_refine", _kmeans)  # rows-only: iterative, fp-order-dependent

@@ -152,3 +152,41 @@ def test_frame_sample(spark):
 def test_real_decoder_is_stubbed():
     with pytest.raises((NotImplementedError, Exception)):
         M.decode_image(b"\x89PNG\r\n")
+
+
+def test_kmeans_refine_matches_numpy(spark):
+    """3 Lloyd iterations on a tiny separable dataset must produce the
+    numpy-computed centroids (same deterministic init and cosine argmax)."""
+    import numpy as np
+
+    from orchestrated_etl_spark.functions.similarity import kmeans_refine
+
+    rng = [
+        [1.0, 0.0, 0.0], [0.9, 0.1, 0.0], [0.8, 0.0, 0.1],  # cluster around x
+        [0.0, 1.0, 0.0], [0.1, 0.9, 0.0], [0.0, 0.8, 0.1],  # cluster around y
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(rng)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["centroid_id"]: np.array(r["cvec"])
+        for r in kmeans_refine(df, "vec_id", "embedding", k=2, iters=3).collect()
+    }
+
+    c = {0: np.array(rng[0]), 1: np.array(rng[1])}
+    vecs = [np.array(v, dtype=np.float32).astype(np.float64) for v in rng]
+    for _ in range(3):
+        members = {0: [], 1: []}
+        for v in vecs:
+            sims = {
+                k: round(v @ c[k] / (np.linalg.norm(v) * np.linalg.norm(c[k])), 6)
+                for k in c
+            }
+            best = max(c, key=lambda k: (sims[k], -k))
+            members[best].append(v)
+        c = {k: np.mean(members[k], axis=0) for k in c if members[k]}
+
+    assert set(got) == set(c)
+    for k in c:
+        assert np.allclose(got[k], c[k], atol=1e-9), (k, got[k], c[k])
