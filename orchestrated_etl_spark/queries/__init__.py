@@ -15,6 +15,7 @@ def load() -> None:
         reference_surface,
         relational,
         sql_subqueries,
+        sql_tpch_more,
         llm_text,
         llm_dedup,
         llm_similarity,

@@ -201,3 +201,45 @@ def test_books_source_partitions_and_determinism(spark):
     assert df.columns == [
         "title", "author", "book_type", "price", "rating", "rating_count",
     ]
+
+
+def test_q18_in_subquery_becomes_semi_join(spark, sf_dir):
+    """Q18's IN-over-grouped-HAVING must execute as a left-semi join
+    against the pre-aggregated qualifying keys — the fact table is
+    aggregated once, never re-scanned per outer row."""
+    from orchestrated_etl_spark.queries.sql_tpch_more import _q18_large_orders
+
+    plan = (
+        _q18_large_orders(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in plan, plan
+
+
+def test_q19_disjunction_keeps_hash_join(spark, sf_dir):
+    """Q19's OR-of-ANDs predicate must not degrade the equi-join: the
+    common p_partkey = l_partkey conjunct stays the hash-join key and the
+    disjunction evaluates as a residual filter (no cartesian product)."""
+    from orchestrated_etl_spark.queries.sql_tpch_more import _q19_disjunctive
+
+    plan = (
+        _q19_disjunctive(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert "HashJoin" in plan, plan
+
+
+def test_q10_topk_avoids_global_sort(spark, sf_dir):
+    """Q10's ORDER BY revenue LIMIT 20 must plan as TakeOrderedAndProject
+    (k rows per partition to the driver), not a full global Sort — the
+    difference between shipping 20 rows and shipping every group."""
+    from orchestrated_etl_spark.queries.sql_tpch_more import (
+        _q10_returned_revenue,
+    )
+
+    plan = (
+        _q10_returned_revenue(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
