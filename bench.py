@@ -64,6 +64,11 @@ def main() -> None:
         spark.read.parquet(p).count()
     qs["datetime_daily_rollup"](spark, sf_dir).count()  # events path + conf
     qs["q1_pricing_summary"](spark, sf_dir).collect()
+    # Start the Python-worker daemons + Arrow serializers once (first
+    # pandas-UDF query otherwise pays ~1 s of process fork/import), and
+    # JIT the interpreted higher-order-function expression paths.
+    qs["sim_normalize_embeddings"](spark, sf_dir).count()
+    qs["sim_vector_norms"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in names:
