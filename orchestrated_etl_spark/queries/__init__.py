@@ -16,6 +16,7 @@ def load() -> None:
         relational,
         sql_subqueries,
         sql_tpch_more,
+        sql_tpch_wave3,
         llm_text,
         llm_dedup,
         llm_similarity,

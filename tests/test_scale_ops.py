@@ -243,3 +243,68 @@ def test_q10_topk_avoids_global_sort(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q6_filters_reach_parquet_scan(spark, sf_dir):
+    """Q6 is the pushed-filter baseline: the shipdate range and quantity
+    bound must appear as PushedFilters on the parquet scan, not as a
+    post-scan Filter-only plan — at 100 TB this is the difference between
+    reading a year and reading everything."""
+    from orchestrated_etl_spark.queries.sql_tpch_wave3 import (
+        _q6_forecast_revenue,
+    )
+
+    plan = (
+        _q6_forecast_revenue(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in plan and "l_shipdate" in plan, plan
+
+
+def test_q21_exists_chain_becomes_semi_then_anti(spark, sf_dir):
+    """Q21's EXISTS and NOT EXISTS self-joins must plan as a left-semi
+    and a left-anti join on l_orderkey — never a per-row subquery or a
+    nested loop over the fact table."""
+    from orchestrated_etl_spark.queries.sql_tpch_wave3 import (
+        _q21_waiting_supplier,
+    )
+
+    plan = (
+        _q21_waiting_supplier(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_q13_outer_join_preserves_orderless_customers(spark, sf_dir):
+    """Q13 must keep zero-order customers: the join is LeftOuter in the
+    plan, and the count histogram contains a c_count=0 bucket whenever
+    some customer has only '5-LOW' orders (filter sits in the join
+    condition, not a pre-filter that would drop the customer row)."""
+    from orchestrated_etl_spark.queries.sql_tpch_wave3 import (
+        _q13_order_count_distribution,
+    )
+
+    df = _q13_order_count_distribution(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftOuter" in plan, plan
+    total = sum(r["custdist"] for r in df.collect())
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert total == n_cust  # outer join: every customer lands in a bucket
+
+
+def test_q7_pair_disjunction_keeps_hash_joins(spark, sf_dir):
+    """Q7's symmetric two-nation disjunction is a residual filter on
+    already-joined rows — all five joins must stay hash joins (no
+    cartesian product, no nested loop)."""
+    from orchestrated_etl_spark.queries.sql_tpch_wave3 import (
+        _q7_volume_shipping,
+    )
+
+    plan = (
+        _q7_volume_shipping(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert "HashJoin" in plan, plan

@@ -30,6 +30,7 @@ PAIRWISE_OK = {
     "sim_bruteforce_topk",
     "sim_ivf_topk",
     "dedup_embedding_cosine",
+    "mm_fake_embed_topk",  # brute-force query-set x corpus scoring is the baseline path
 }
 
 # Queries whose POINT is per-row Python: the UDTF demo exists to cover the
