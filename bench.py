@@ -70,6 +70,15 @@ def main() -> None:
     qs["sim_normalize_embeddings"](spark, sf_dir).count()
     qs["sim_vector_norms"](spark, sf_dir).count()
 
+    # Full warm pass: every headline query once, untimed. Each distinct
+    # query pays one-time whole-stage-codegen compilation (hundreds of ms
+    # for the wide plans) the first time it runs; timing the SECOND run
+    # measures steady-state engine throughput — what repeats at 100 TB —
+    # not single-shot JIT cost.
+    for name in names:
+        df = qs[name](spark, sf_dir)
+        df.collect() if name == "flagship" else df.count()
+
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
