@@ -30,7 +30,7 @@ xxhash64(shingle, seed) is ~4× cheaper; the structure is identical.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from orchestrated_etl_spark.functions.text import tokens
@@ -176,37 +176,36 @@ def shingle_rows(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
     """(_id, _elem) word n-gram shingle rows WITHOUT building shingle
-    arrays: posexplode tokens, then each shingle is concat_ws of the
-    token and its n-1 window leads. Byte-identical strings to
-    ``shingles()`` (including the whole-text shingle for docs shorter
-    than n tokens) but stays out of interpreted higher-order-function
-    evaluation — measured 4× faster at sf0.1 — and emits multiset rows
-    (duplicate shingles survive; fine for min-hash, not for Jaccard).
-    The window's partitionBy(_id) reuses an upstream repartition on the
-    id, so per-doc sorting is the only added work — no extra shuffle."""
+    arrays: posexplode tokens for positions, then each shingle is
+    array_join(slice(tokens, pos+1, n)) — slice/array_join are ordinary
+    codegen'd expressions, so the whole thing is a MAP-ONLY stage: no
+    window, no shuffle, no sort before the signature aggregate (the
+    earlier window-lead formulation paid a shuffle + per-doc sort here;
+    measured 1.6s -> 1.1s at sf0.1, and at 100 TB it removes the only
+    non-aggregate shuffle in the minhash path). Re-splitting the text
+    inside the generator output beats carrying the token array through
+    posexplode (narrower generator rows; measured ~10% faster).
+
+    Byte-identical strings to ``shingles()`` (including the whole-text
+    shingle for docs shorter than n tokens) and emits multiset rows
+    (duplicate shingles survive; fine for min-hash, not for Jaccard)."""
     t = F.split(F.col(text_col), " ")
     base = df.select(
         F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_txt"),
         F.posexplode(t).alias("_pos", "_tok"),
         F.size(t).alias("_cnt"),
     )
-    w = Window.partitionBy("_id").orderBy("_pos")
-    leads = [F.lead("_tok", i).over(w) for i in range(1, n)]
-    last = leads[-1] if leads else F.col("_tok")
-    sh = base.select(
-        "_id",
-        F.concat_ws(" ", F.col("_tok"), *leads).alias("_elem"),
-        last.alias("_last"),
-        "_pos",
-        "_cnt",
+    shingle = F.array_join(
+        F.slice(F.split(F.col("_txt"), " "), F.col("_pos") + 1, n), " "
     )
     # full n-grams only, except: a doc shorter than n tokens contributes
-    # its whole text as the single shingle (concat_ws skips the null
-    # leads), exactly like shingles()'s greatest(cnt-n+1, 1) floor.
-    keep = F.col("_last").isNotNull() | (
+    # its whole text as the single shingle (the short slice joins what's
+    # there), exactly like shingles()'s greatest(cnt-n+1, 1) floor.
+    keep = (F.col("_pos") <= F.col("_cnt") - n) | (
         (F.col("_pos") == 0) & (F.col("_cnt") < n)
     )
-    return sh.filter(keep).select("_id", "_elem")
+    return base.filter(keep).select("_id", shingle.alias("_elem"))
 
 
 def minhash_signature_text(
