@@ -316,8 +316,22 @@ def minhash_lsh_dedup(
         sigs = minhash_signature(df, id_col, set_col, k)
     else:
         raise ValueError("pass set_col or text_col")
-    sets = df.select(F.col(id_col).alias("_id"), set_col.alias("_set"))
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    # Build the verification shingle ARRAYS only for docs that appear in
+    # some candidate pair: the array builder (sequence+transform) is an
+    # interpreted higher-order function, so constructing it for the whole
+    # corpus costs more than everything else in this pipeline combined
+    # once candidates are sparse — which is precisely what LSH guarantees.
+    # The semi-join shuffles only (id) rows and candidate ids are few.
+    cand_ids = (
+        cands.select(F.col("id_a").alias("_cid"))
+        .union(cands.select(F.col("id_b").alias("_cid")))
+        .distinct()
+    )
+    sets = (
+        df.join(cand_ids, df[id_col] == F.col("_cid"), "left_semi")
+        .select(F.col(id_col).alias("_id"), set_col.alias("_set"))
+    )
     pa = sets.select(F.col("_id").alias("id_a"), F.col("_set").alias("_sa"))
     pb = sets.select(F.col("_id").alias("id_b"), F.col("_set").alias("_sb"))
     shared = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
