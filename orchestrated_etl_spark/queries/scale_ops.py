@@ -28,7 +28,12 @@ from pyspark.sql import functions as F
 from orchestrated_etl_spark import schemas
 from orchestrated_etl_spark.registry import register
 from orchestrated_etl_spark.sources import sinks
-from orchestrated_etl_spark.sources.catalog import read_csv, read_events, read_json
+from orchestrated_etl_spark.sources.catalog import (
+    read_csv,
+    read_events,
+    read_json,
+    read_orc,
+)
 
 # Multiplicative hash (Knuth 2^32 golden ratio) expressed in plain int64
 # arithmetic so Spark and the DuckDB oracle compute bit-identical buckets.
@@ -683,5 +688,92 @@ register(
     UNION ALL
     SELECT c_custkey, new_segment, DATE '1996-06-01', NULL, true
     FROM joined WHERE changed
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# ORC source roundtrip (columnar format breadth beyond parquet)
+# ---------------------------------------------------------------------------
+
+
+def _orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → ORC → declared-schema read → per-nation aggregate. Same
+    contract as the CSV/JSON roundtrips but through the second columnar
+    format Spark ships natively — column pruning and predicate pushdown
+    apply to the ORC scan exactly as to parquet, so a 100 TB ORC lake
+    needs no conversion pass to be queried by this engine."""
+    path = _scratch("orc_supplier", sf_dir)
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    supplier.write.mode("overwrite").orc(path)
+    back = read_orc(spark, path, schemas.SUPPLIER)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+    )
+
+
+register(
+    "src_orc_roundtrip",
+    _orc_roundtrip,
+    """
+    SELECT s_nationkey, count(*) AS n_suppliers,
+           round(sum(s_acctbal), 2) AS total_acctbal
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# dynamic partition pruning: dim filter prunes fact DIRECTORIES at runtime
+# ---------------------------------------------------------------------------
+
+
+def _dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join a directory-partitioned fact to a filtered dimension ON THE
+    PARTITION COLUMN: dynamic partition pruning turns the dim's filter
+    into a runtime partition filter on the fact scan (the broadcast that
+    feeds the join is reused as the pruning subquery), so only the
+    surviving status directories are read at all. At 100 TB this is the
+    canonical date-dimension pattern — the fact scan reads the partitions
+    the dim filter selects, never the whole table. Plan assertion in
+    tests: the fact scan carries a ``dynamicpruning`` expression."""
+    path = _scratch("orders_part_status", sf_dir)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # one-time layout: directory-partition the fact on the join key
+    sinks.write_parquet(
+        orders, path, mode="overwrite", partition_by=["o_orderstatus"]
+    )
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("F", "closed"), ("O", "open"), ("P", "pending")],
+        "status string, label string",
+    )
+    return (
+        fact.join(
+            F.broadcast(dim.where(F.col("label") == "closed")),
+            F.col("o_orderstatus") == F.col("status"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+register(
+    "join_dpp_partition_pruned",
+    _dpp_join,
+    """
+    WITH dim AS (
+        SELECT * FROM (VALUES ('F', 'closed'), ('O', 'open'), ('P', 'pending'))
+            AS t(status, label)
+    )
+    SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders JOIN dim ON o_orderstatus = status
+    WHERE label = 'closed'
+    GROUP BY 1
     """,
 )

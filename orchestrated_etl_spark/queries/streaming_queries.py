@@ -180,3 +180,48 @@ def _stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("stream_stream_join", _stream_stream_join)
+
+
+def _stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the streaming form of the star-
+    schema dim join (J1) and the standard way a 100 TB event stream picks
+    up slowly-changing reference data: the static side is a bounded
+    DataFrame re-resolved per micro-batch (no state store, no watermark
+    needed on the static side), the stream side shuffles only on the join
+    key. Here the static dim is each user's first-seen timestamp; the
+    stream counts returning events (ts strictly after first seen) per
+    event type. Deterministic, so this is the second streaming query with
+    a full DuckDB oracle (after stream_foreachbatch_sink)."""
+    from orchestrated_etl_spark.sources.catalog import read_events
+
+    first_seen = (
+        read_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+    )
+    ev = read_events_stream(spark, sf_dir)
+    joined = ev.join(first_seen, "user_id")
+    agg = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.col("ts") > F.col("first_ts"), 1).otherwise(0)
+        ).alias("n_returning"),
+    )
+    return run_available_now(agg, output_mode="complete")
+
+
+register(
+    "stream_static_join",
+    _stream_static_join,
+    """
+    WITH first_seen AS (
+        SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN e.ts > f.first_ts THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_returning
+    FROM events e JOIN first_seen f USING (user_id)
+    GROUP BY 1
+    """,
+)

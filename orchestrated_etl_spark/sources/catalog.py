@@ -52,6 +52,13 @@ def read_json(spark: SparkSession, path: str, schema, **options) -> DataFrame:
     return spark.read.options(**options).schema(schema).json(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema, **options) -> DataFrame:
+    """ORC reader with a declared schema (columnar like parquet: column
+    pruning + predicate pushdown both apply; the declared schema guards
+    against drift between writer and reader versions)."""
+    return spark.read.options(**options).schema(schema).orc(path)
+
+
 class Catalog:
     """All fixture tables of one scale factor, lazily loaded and cached.
 

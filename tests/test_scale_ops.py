@@ -308,3 +308,16 @@ def test_q7_pair_disjunction_keeps_hash_joins(spark, sf_dir):
     )
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
     assert "HashJoin" in plan, plan
+
+
+def test_dpp_join_prunes_fact_partitions(spark, sf_dir):
+    """The dim filter must reach the partitioned fact scan as a runtime
+    dynamic-partition-pruning subquery — reading only the surviving
+    status directories is the entire point of the layout."""
+    from orchestrated_etl_spark.queries.scale_ops import _dpp_join
+
+    plan = (
+        _dpp_join(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "dynamicpruning" in plan.lower(), plan
