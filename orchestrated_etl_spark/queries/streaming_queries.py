@@ -225,3 +225,68 @@ register(
     GROUP BY 1
     """,
 )
+
+
+def _books_stream_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scraper stage as a STREAM: the custom Python data source's
+    micro-batch reader pages through the synthetic catalog (offset = next
+    row index, checkpointable — a restarted scrape resumes, not
+    re-fetches), and a complete-mode aggregate maintains per-type counts
+    and standardised price totals as pages arrive. The finite source
+    drains over several micro-batches (AvailableNow isn't supported by
+    Python micro-batch streams, so the driver polls the sink until all
+    n rows have been aggregated — test-harness plumbing, not operator
+    semantics)."""
+    import time
+    import uuid
+
+    from orchestrated_etl_spark.sources.books_source import (
+        register_books_source,
+    )
+
+    register_books_source(spark)
+    n, page = 300, 100
+    sdf = (
+        spark.readStream.format("books")
+        .option("n", n)
+        .option("page_size", page)
+        .load()
+    )
+    agg = sdf.groupBy("book_type").agg(
+        F.count(F.lit(1)).alias("n_books"),
+        F.round(F.sum(F.col("price").cast("double")), 2).alias("total_price"),
+    )
+    qname = f"books_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120.0
+        while time.time() < deadline:
+            rows = spark.table(qname).agg(F.sum("n_books")).collect()
+            if rows and rows[0][0] == n:
+                break
+            time.sleep(0.3)
+        else:
+            raise TimeoutError(f"books stream did not drain {n} rows")
+    finally:
+        q.stop()
+    return spark.table(qname)
+
+
+from orchestrated_etl_spark.sources.books_source import books_oracle_cte  # noqa: E402
+
+register(
+    "stream_books_pages",
+    _books_stream_pages,
+    f"""
+    WITH {books_oracle_cte(300)}
+    SELECT book_type, count(*) AS n_books,
+           round(sum(CAST(price AS DOUBLE)), 2) AS total_price
+    FROM raw GROUP BY 1
+    """,
+)

@@ -21,7 +21,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 # The scraper's raw record shape: everything a string, exactly as
 # BeautifulSoup .text yields it (dags/dag.py:95-105). Quirks reproduced:
@@ -79,8 +84,37 @@ class BooksReader(DataSourceReader):
             yield _row(i)
 
 
+class BooksStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch form of the paginated scrape: each batch is one page,
+    the offset is the next global row index — exactly the cursor the
+    reference carried in its `page` loop variable (dags/dag.py:76-111),
+    made durable: offsets are checkpointed by the engine, so a restarted
+    stream resumes at the page it stopped on instead of re-scraping.
+    SimpleDataSourceStreamReader prefetches on the driver — right for a
+    rate-limited scrape (one polite fetcher), while the batch reader
+    above stays partition-parallel for backfills."""
+
+    def __init__(self, options: dict) -> None:
+        self.n = int(options.get("n", 1000))
+        self.page_size = int(options.get("page_size", 100))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        s = start["i"]
+        e = min(s + self.page_size, self.n)
+        return (iter([_row(j) for j in range(s, e)]), {"i": e})
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        # replay path (failure recovery between commits) — deterministic
+        # rows make replay trivially exact
+        return iter([_row(j) for j in range(start["i"], end["i"])])
+
+
 class BooksDataSource(DataSource):
-    """spark.read.format("books").option("n", N).load()"""
+    """spark.read.format("books").option("n", N).load() — batch;
+    spark.readStream.format("books") — micro-batch pages."""
 
     @classmethod
     def name(cls) -> str:
@@ -91,6 +125,9 @@ class BooksDataSource(DataSource):
 
     def reader(self, schema) -> BooksReader:
         return BooksReader(self.options)
+
+    def simpleStreamReader(self, schema) -> BooksStreamReader:
+        return BooksStreamReader(self.options)
 
 
 def register_books_source(spark) -> None:

@@ -79,3 +79,84 @@ def user_running_totals(events: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas — the Spark 4 arbitrary-state API
+# ---------------------------------------------------------------------------
+
+# Output/state schemas for the transformWithState twin of
+# user_running_totals. Kept as DDL strings: getValueState accepts either.
+TWS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+
+
+from pyspark.sql.streaming import StatefulProcessor  # noqa: E402
+
+
+class UserTotalsProcessor(StatefulProcessor):
+    """StatefulProcessor with one ValueState cell per user holding
+    (count, running max of value). transformWithStateInPandas is the
+    successor API to applyInPandasWithState: typed state cells
+    (value/list/map) instead of one opaque tuple, timers instead of a
+    single timeout mode, and schema evolution support — this class is the
+    engine's coverage of that surface next to the legacy operator above."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("totals", "n BIGINT, mx DOUBLE")
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self._state.exists():
+            n, mx = self._state.get()
+        else:
+            n, mx = 0, float("-inf")
+        for pdf in rows:
+            n += len(pdf)
+            batch_max = pdf["value"].max()
+            if pd.notna(batch_max):
+                mx = max(mx, float(batch_max))
+        self._state.update((n, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "max_value": [None if mx == float("-inf") else round(mx, 4)],
+            }
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user (count, max value) through transformWithStateInPandas;
+    one output row per user per micro-batch, state bounded at two scalars
+    per key.
+
+    ENVIRONMENT GATE: the transformWithState Python runner imports
+    google.protobuf at stream start; in containers without a working
+    protobuf install the stream fails with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE. The operator is
+    therefore exercised by a skip-if-unavailable test rather than a
+    registered query (the applyInPandasWithState twin
+    ``user_running_totals`` covers the registered-query path
+    everywhere)."""
+    proc = UserTotalsProcessor()
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=proc,
+            outputStructType=TWS_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

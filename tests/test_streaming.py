@@ -4,6 +4,7 @@ aggregation computed in batch."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from orchestrated_etl_spark.sources.catalog import read_events
@@ -200,3 +201,43 @@ def test_stream_stream_join_matches_batch_range_join(spark, sf_dir):
         for r in _stream_stream_join(spark, sf_dir).collect()
     }
     assert stream == batch
+
+
+def _protobuf_ok() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_ok(),
+    reason="transformWithState's Python runner needs google.protobuf",
+)
+def test_transform_with_state_matches_batch(spark, sf_dir):
+    """transformWithStateInPandas running totals: final emission per user
+    equals the batch groupBy."""
+    from orchestrated_etl_spark.sources.catalog import read_events
+    from orchestrated_etl_spark.streaming.events_stream import (
+        read_events_stream,
+        run_available_now,
+    )
+    from orchestrated_etl_spark.streaming.stateful import user_totals_tws
+
+    out = run_available_now(
+        user_totals_tws(read_events_stream(spark, sf_dir)),
+        output_mode="update",
+    )
+    got = {
+        r["user_id"]: r["n_events"]
+        for r in out.groupBy("user_id").agg(
+            F.max("n_events").alias("n_events")
+        ).collect()
+    }
+    want = {
+        r["user_id"]: r["n"]
+        for r in read_events(spark, sf_dir)
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
