@@ -321,3 +321,49 @@ def test_dpp_join_prunes_fact_partitions(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_runtime_bloom_filter_injects_on_sort_merge_join(spark, sf_dir):
+    """When a sort-merge join's build side carries a selective filter,
+    Spark injects a bloom filter from that side into the fact scan as a
+    runtime might_contain() predicate — the row-level analogue of
+    dynamic partition pruning, and the mechanism that prunes a 100 TB
+    probe side joined on a non-partition key. The injection thresholds
+    (creation side ≤ 10 MB, application side ≥ 10 GB) are cluster-scale
+    defaults, so they're overridden for the assertion window; results
+    never depend on them."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "100MB",
+        )
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        urgent = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(urgent, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower(), plan
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
