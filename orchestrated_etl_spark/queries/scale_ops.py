@@ -777,3 +777,63 @@ register(
     GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# SQL DDL surface: CREATE TABLE AS SELECT + INSERT INTO on the catalog
+# ---------------------------------------------------------------------------
+
+
+def _ctas_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1's DDL surface (dags/dag.py:32-62: CREATE TABLE IF NOT EXISTS +
+    INSERT loops) through the engine catalog as SQL text: CTAS creates a
+    managed parquet table from one query, INSERT INTO appends a second
+    source's rows — both land as parallel parquet writes, not row
+    round-trips. Idempotent per run: the table is dropped and its
+    (session-persistent) warehouse directory cleared first."""
+    import shutil
+    from urllib.parse import urlparse
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    tbl = f"region_profile_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(os.path.join(wh, tbl.lower()), ignore_errors=True)
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+        "nation_ddl_src"
+    )
+    spark.read.parquet(f"{sf_dir}/supplier.parquet").createOrReplaceTempView(
+        "supplier_ddl_src"
+    )
+    spark.sql(
+        f"""
+        CREATE TABLE {tbl} USING PARQUET AS
+        SELECT 'nation' AS source, n_regionkey AS regionkey,
+               count(*) AS n_rows
+        FROM nation_ddl_src GROUP BY 2
+        """
+    )
+    spark.sql(
+        f"""
+        INSERT INTO {tbl}
+        SELECT 'supplier', n.n_regionkey, count(*)
+        FROM supplier_ddl_src s
+        JOIN nation_ddl_src n ON s.s_nationkey = n.n_nationkey
+        GROUP BY 2
+        """
+    )
+    return spark.table(tbl)
+
+
+register(
+    "sink_ctas_insert",
+    _ctas_insert,
+    """
+    SELECT 'nation' AS source, n_regionkey AS regionkey, count(*) AS n_rows
+    FROM nation GROUP BY 2
+    UNION ALL
+    SELECT 'supplier', n.n_regionkey, count(*)
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY 2
+    """,
+)
