@@ -711,3 +711,46 @@ register(
     GROUP BY event_type
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT (Spark 4 semi-structured type) over the props JSON
+# ---------------------------------------------------------------------------
+
+
+def _variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface: parse_json gives a binary-encoded
+    semi-structured value (shredded access without re-parsing the string
+    per path — the scale answer to repeated get_json_object calls on wide
+    JSON), try_variant_get extracts typed fields. Functionally the twin
+    of json_field_agg; the difference is the column TYPE carried between
+    operators is variant, not string."""
+    ev = read_events(spark, sf_dir)
+    parsed = ev.select(
+        "event_type",
+        F.try_variant_get(F.parse_json("props"), "$.k", "int").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+register(
+    "json_variant_props",
+    _variant_props,
+    """
+    SELECT event_type,
+           count(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER))
+               AS n_with_k,
+           CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER))
+               AS BIGINT) AS sum_k,
+           min(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER))
+               AS min_k,
+           max(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER))
+               AS max_k
+    FROM events GROUP BY event_type
+    """,
+)

@@ -290,3 +290,51 @@ register(
     FROM raw GROUP BY 1
     """,
 )
+
+
+def _state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 state-store data source: run a checkpointed streaming
+    aggregate to completion, then read the query's STATE as a DataFrame
+    (spark.read.format("statestore")). This is streaming observability
+    at scale — debugging a 100 TB stateful job means inspecting what the
+    state store actually holds, without stopping the stream or adding
+    debug sinks. The state of a completed count-by-type aggregate equals
+    the batch groupBy, so this has a full DuckDB oracle."""
+    import os
+    import shutil
+
+    ckpt = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        ".scratch",
+        f"ckpt_state_inspect_{sf_dir.rstrip('/').rsplit('/', 1)[-1]}",
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    ev = read_events_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    q = (
+        agg.writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    state = spark.read.format("statestore").option("path", ckpt).load()
+    # the value struct's field name is the internal agg-buffer name
+    # ("count"), not the query alias — resolve it from the state schema
+    val_field = state.schema["value"].dataType.fieldNames()[0]
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col(f"value.{val_field}").alias("n_events"),
+    )
+
+
+register(
+    "stream_state_inspect",
+    _state_inspect,
+    """
+    SELECT event_type, count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
