@@ -287,3 +287,46 @@ def _kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("sim_kmeans_refine", _kmeans)  # rows-only: iterative, fp-order-dependent
+
+
+def _mapinarrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow API surface: per-batch L2 norms computed directly on
+    pyarrow RecordBatches (no pandas materialization — the lowest-
+    overhead Python boundary Spark offers; right for kernels that consume
+    Arrow buffers natively, e.g. tokenizers or FAISS). The numpy
+    reduction is pairwise-summed, so norms are rounded to 6dp where the
+    sequential-sum engines agree. Repartitions like the other sim_*
+    queries so the Python workers parallelize from a one-file scan."""
+    import pyarrow as pa
+
+    def batch_norms(batches):
+        import numpy as np
+
+        for batch in batches:
+            ids = batch.column("vec_id")
+            mat = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False))
+            l2 = np.sqrt((mat.astype("float64") ** 2).sum(axis=1))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(np.round(l2, 6), type=pa.float64())],
+                names=["vec_id", "l2"],
+            )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = emb.repartition(
+        spark.sparkContext.defaultParallelism, F.col("vec_id")
+    )
+    return emb.select("vec_id", "embedding").mapInArrow(
+        batch_norms, "vec_id long, l2 double"
+    )
+
+
+register(
+    "sim_mapinarrow_norms",
+    _mapinarrow_norms,
+    """
+    SELECT vec_id,
+           round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))), 6) AS l2
+    FROM embeddings
+    """,
+)

@@ -837,3 +837,47 @@ register(
     GROUP BY 2
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# observe(): pipeline data-quality metrics without a second pass
+# ---------------------------------------------------------------------------
+
+
+def _observed_standardise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality observability: the standardise-style cast/filter pass
+    over orders carries an ``observe`` node that accumulates row counts
+    and a null-cast counter AS THE QUERY RUNS — at 100 TB the metrics
+    come for free with the one pass instead of a second validation scan
+    (the reference validated by raising on empty frames only,
+    dags/dag.py:129-130,160-161). The observation is registered under a
+    fixed name; callers fetch it from the QueryExecution listener or the
+    Observation object — tests assert the captured values."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cleaned = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("string").try_cast("double").alias(
+            "price"
+        ),
+    )
+    observed = cleaned.observe(
+        "standardise_metrics",
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.col("price").isNull().cast("long")).alias("null_prices"),
+    )
+    return observed.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("price"), 2).alias("total_price"),
+    )
+
+
+register(
+    "obs_standardise_metrics",
+    _observed_standardise,
+    """
+    SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders GROUP BY 1
+    """,
+)

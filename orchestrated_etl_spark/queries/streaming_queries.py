@@ -338,3 +338,26 @@ register(
     FROM events GROUP BY event_type
     """,
 )
+
+
+def _dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark: dedup whose state is BOUNDED by the
+    watermark (keys older than the delay are evicted) — the production
+    form of streaming dedup for unbounded key domains, where plain
+    dropDuplicates' state grows forever. Output counts depend on batch
+    boundaries in general, so this is a rows-only check like the other
+    windowed streaming queries; tests pin the single-batch case against
+    the batch distinct."""
+    ev = read_events_stream(spark, sf_dir)
+    deduped = ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    out = run_available_now(deduped, output_mode="append")
+    return (
+        out.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_distinct_users"))
+        .orderBy("event_type")
+    )
+
+
+register("stream_dedup_within_watermark", _dedup_within_watermark)

@@ -367,3 +367,21 @@ def test_runtime_bloom_filter_injects_on_sort_merge_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_observation_captures_pass_metrics(spark, sf_dir):
+    """observe() accumulates data-quality metrics during the one pass —
+    the Observation variant returns them directly after the action."""
+    from pyspark.sql import Observation
+
+    obs = Observation("m")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_seen"),
+        F.sum(F.col("o_totalprice").isNull().cast("long")).alias("null_prices"),
+    )
+    df.groupBy("o_orderstatus").count().collect()
+    got = obs.get
+    assert got["rows_seen"] == orders.count()
+    assert got["null_prices"] == 0

@@ -241,3 +241,24 @@ def test_transform_with_state_matches_batch(spark, sf_dir):
         .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want
+
+
+def test_dedup_within_watermark_single_batch_matches_distinct(spark, sf_dir):
+    """With the whole file source in one micro-batch, watermark-bounded
+    dedup equals the batch count-distinct per type."""
+    from orchestrated_etl_spark.queries.streaming_queries import (
+        _dedup_within_watermark,
+    )
+
+    got = {
+        r["event_type"]: r["n_distinct_users"]
+        for r in _dedup_within_watermark(spark, sf_dir).collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in read_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want
