@@ -754,3 +754,37 @@ register(
     FROM events GROUP BY event_type
     """,
 )
+
+
+def _pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4): the ETL-natural top-to-bottom form of
+    the same Catalyst plan — each |> stage is a relational operator
+    applied to the previous result, exactly how this engine's DataFrame
+    pipelines read. Plan-identical to the nested-SELECT form; this query
+    exists to pin the parser surface."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "orders_pipe_src"
+    )
+    return spark.sql(
+        """
+        FROM orders_pipe_src
+        |> WHERE o_orderpriority = '1-URGENT'
+        |> AGGREGATE count(*) AS n_orders,
+                     round(sum(o_totalprice), 2) AS total_price
+           GROUP BY o_orderstatus
+        |> ORDER BY o_orderstatus
+        """
+    )
+
+
+register(
+    "sql_pipe_syntax",
+    _pipe_syntax,
+    """
+    SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY 1 ORDER BY 1
+    """,
+)

@@ -262,3 +262,51 @@ def test_dedup_within_watermark_single_batch_matches_distinct(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_books_stream_resumes_from_checkpoint(spark, tmp_path):
+    """Offset durability: a stream over the paginated source is run to
+    completion with n=100, then RESTARTED on the same checkpoint with
+    n=300. The second run must resume at row 100 — if the offset were
+    not honored, rows 0-99 would be appended twice."""
+    from orchestrated_etl_spark.sources.books_source import (
+        register_books_source,
+    )
+
+    register_books_source(spark)
+    ckpt = str(tmp_path / "ckpt")
+    target = str(tmp_path / "out")
+
+    def run(n: int) -> None:
+        sdf = (
+            spark.readStream.format("books")
+            .option("n", n)
+            .option("page_size", 50)
+            .load()
+        )
+        q = (
+            sdf.writeStream.foreachBatch(
+                lambda b, _id: b.write.mode("append").parquet(target)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        import time
+
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(target).count() >= n:
+                    break
+            except Exception:
+                pass  # target not yet created
+            time.sleep(0.3)
+        q.stop()
+
+    run(100)
+    assert spark.read.parquet(target).count() == 100
+    run(300)
+    out = spark.read.parquet(target)
+    assert out.count() == 300  # no re-read of pages 0-99
+    assert out.select("title").distinct().count() == 300
