@@ -402,9 +402,12 @@ def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_s",
         F.when(
             F.lag("ts").over(w).isNull()
+            # Interval comparison, not cast-to-double: works for both
+            # TIMESTAMP and TIMESTAMP_NTZ inputs (fixture parquet has
+            # shipped both) and is timezone-agnostic.
             | (
-                F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
-                > 1800.0
+                F.col("ts") - F.lag("ts").over(w)
+                > F.expr("INTERVAL 30 MINUTES")
             ),
             F.lit(1),
         )

@@ -19,32 +19,52 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Physical schema under spark.sql.legacy.parquet.nanosAsLong=true:
-# the TIMESTAMP(NANOS) column surfaces as LongType nanoseconds.
-_EVENTS_PHYSICAL = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), False),
-        T.StructField("ts", T.LongType(), False),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+def _events_schema(sf_dir: str) -> tuple[T.StructType, bool]:
+    """Declared file-stream schema for events.parquet, probed from the
+    parquet footer (driver-side, one footer read). TIMESTAMP(NANOS) files
+    must be declared LongType under ``nanosAsLong`` and converted;
+    micro/millisecond files read as TimestampType directly. Returns
+    (schema, ts_is_nanos_long)."""
+    import pyarrow.parquet as pq
+
+    field = pq.read_schema(f"{sf_dir}/events.parquet").field("ts")
+    nanos = field.type.unit == "ns"
+    # Watermarks require TimestampType (LTZ) — TIMESTAMP_NTZ is rejected by
+    # withWatermark — so micro/millis columns are declared LTZ: the stored
+    # micros are read as UTC instants. Run streaming sessions with
+    # spark.sql.session.timeZone=UTC (session.py default) so window
+    # boundaries line up with the batch reader's NTZ wall clock.
+    ts_type: T.DataType = T.LongType() if nanos else T.TimestampType()
+    return (
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType(), False),
+                T.StructField("ts", ts_type, False),
+                T.StructField("user_id", T.LongType(), True),
+                T.StructField("event_type", T.StringType(), True),
+                T.StructField("value", T.DoubleType(), True),
+                T.StructField("props", T.StringType(), True),
+            ]
+        ),
+        nanos,
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a file-source stream with proper TimestampType
     ``ts``. File streams need a declared schema — inference would require
     a listing job per trigger."""
+    schema, nanos = _events_schema(sf_dir)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The [p] glob makes the path a pattern, so the file source accepts a
     # single file (basePath = parent dir) instead of demanding a directory.
     raw = (
-        spark.readStream.schema(_EVENTS_PHYSICAL)
+        spark.readStream.schema(schema)
         .parquet(f"{sf_dir}/events.[p]arquet")
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def run_available_now(
