@@ -24,4 +24,5 @@ def load() -> None:
         streaming_queries,
         scale_ops,
         training_pipeline,
+        surface_wave4,
     )

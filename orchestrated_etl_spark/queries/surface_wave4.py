@@ -1,0 +1,308 @@
+"""Wave-4 API surface: gap-fill date spines, interval RANGE frames,
+FILTER-clause aggregates, string-function profile, character entropy.
+
+None of these exist in the reference (SURVEY §2.7 gap list); they round out
+the function surface a training-data pipeline leans on daily:
+
+- Gap-fill + forward-fill is the canonical "regularize an irregular
+  time series" op (metrics backfill, feature snapshots). The spine comes
+  from ``sequence()`` — generated, never cross-joined against a calendar
+  table — and the fill is one partitioned window, no self-join.
+- RANGE frames over time intervals (rolling 7-day spend) are the
+  window-function shape ROWS frames can't express when events are
+  irregularly spaced.
+- FILTER-clause aggregates compute N conditional metrics in ONE pass —
+  at 100 TB the alternative (N self-joined subqueries) is N fact scans.
+- Character-entropy is a standard quality-scoring signal (gibberish and
+  boilerplate both have distinctive entropy); computed via explode +
+  two hash aggregates, all JVM-side, no Python.
+
+Scale posture: every window here is partitioned by a key (user_id /
+c_custkey / doc_id — never a global ORDER BY); the entropy explode fans
+out ~n_chars rows but aggregates immediately with map-side combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from orchestrated_etl_spark.registry import register
+from orchestrated_etl_spark.sources.catalog import read_events
+
+
+# ---------------------------------------------------------------------------
+# date-spine gap fill + forward fill
+# ---------------------------------------------------------------------------
+
+
+def _gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize each user's daily event-value series: build the full
+    min→max day spine per user with ``sequence()`` (no calendar-table
+    cross join, no driver loop), left-join the observed daily sums, and
+    forward-fill gaps with ``last(..., ignorenulls)`` over one partitioned
+    window. Two shuffles total (daily agg, spine join) — both on user_id,
+    and AQE coalesces them at small SF."""
+    ev = (
+        read_events(spark, sf_dir)
+        .where(F.col("user_id").isNotNull() & (F.col("user_id") < 40))
+        .select("user_id", F.col("ts").cast("date").alias("day"), "value")
+    )
+    daily = ev.groupBy("user_id", "day").agg(
+        F.round(F.sum("value"), 4).alias("day_value")
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("day_value", F.lit(0.0)).alias("day_value"),
+            F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )
+
+
+register(
+    "datetime_gap_fill",
+    _gap_fill,
+    """
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               round(sum(value), 4) AS day_value
+        FROM events
+        WHERE user_id IS NOT NULL AND user_id < 40
+        GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    spine AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(min(day), max(day),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM daily GROUP BY user_id
+    )
+    SELECT s.user_id, s.day,
+           coalesce(d.day_value, 0.0) AS day_value,
+           last_value(d.day_value IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM spine s LEFT JOIN daily d
+      ON s.user_id = d.user_id AND s.day = d.day
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# interval RANGE window frame
+# ---------------------------------------------------------------------------
+
+
+def _range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day spend per customer — a RANGE frame bounded by a time
+    interval, which a ROWS frame cannot express over irregular order
+    dates. Issued as SQL text (the DataFrame ``rangeBetween`` API takes
+    only numeric offsets; interval frames are SQL-surface). Window is
+    partitioned by customer — no global sort at any scale."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "v_orders_w4"
+    )
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+               ), 2) AS spend_7d,
+               count(*) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+               ) AS n_orders_7d
+        FROM v_orders_w4
+        """
+    )
+
+
+register(
+    "window_range_7day_spend",
+    _range_frame,
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+           ), 2) AS spend_7d,
+           CAST(count(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_orders_7d
+    FROM orders
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# FILTER-clause conditional aggregates
+# ---------------------------------------------------------------------------
+
+
+def _filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N conditional metrics in ONE fact scan via the SQL FILTER clause
+    (plus bool_and/bool_or/count_if) — the single-pass replacement for
+    the reference's three-separate-groupbys style (dags/dag.py:167-181).
+    One hash aggregate, map-side partials, no self-joins."""
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "v_lineitem_w4"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n_rows,
+               count(*) FILTER (WHERE l_discount > 0.05) AS n_high_disc,
+               round(sum(l_extendedprice) FILTER (WHERE l_tax > 0.04), 2)
+                   AS taxed_price,
+               count_if(l_quantity >= 49.0) AS n_near_cap,
+               bool_and(l_quantity > 0.0) AS all_positive_qty,
+               bool_or(l_discount >= 0.10) AS any_max_disc
+        FROM v_lineitem_w4
+        GROUP BY l_returnflag
+        """
+    )
+
+
+register(
+    "agg_filtered_conditional",
+    _filtered_agg,
+    """
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           count(*) FILTER (WHERE l_discount > 0.05) AS n_high_disc,
+           round(sum(l_extendedprice) FILTER (WHERE l_tax > 0.04), 2)
+               AS taxed_price,
+           CAST(count_if(l_quantity >= 49.0) AS BIGINT) AS n_near_cap,
+           bool_and(l_quantity > 0.0) AS all_positive_qty,
+           bool_or(l_discount >= 0.10) AS any_max_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# string-function profile
+# ---------------------------------------------------------------------------
+
+
+def _string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface over part names: pad, translate,
+    split_part, reverse, levenshtein — the standardise-stage vocabulary
+    (dags/dag.py:138-146 did only replace+cast) extended to the full
+    set an entity-resolution / catalog-cleaning pipeline needs. Pure
+    map-stage projection: no shuffle, whole-stage codegen."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return part.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("brand_padded"),
+        F.translate("p_type", " ", "_").alias("type_snake"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.reverse("p_name").alias("name_rev"),
+        F.levenshtein("p_brand", F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)))
+        .alias("brand_name_dist"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+register(
+    "string_funcs_profile",
+    _string_funcs,
+    """
+    SELECT p_partkey,
+           lpad(p_brand, 12, '*') AS brand_padded,
+           translate(p_type, ' ', '_') AS type_snake,
+           split_part(p_type, ' ', 1) AS type_head,
+           reverse(p_name) AS name_rev,
+           CAST(levenshtein(p_brand, split_part(p_name, ' ', 1)) AS INTEGER)
+               AS brand_name_dist,
+           CAST(length(p_name) AS INTEGER) AS name_len
+    FROM part
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# character entropy (quality signal)
+# ---------------------------------------------------------------------------
+
+
+def _char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language character-entropy profile: Shannon entropy of each
+    document's character distribution (gibberish scores high, repeated
+    boilerplate low), averaged per lang. Explode → two hash aggregates,
+    all JVM expressions; the explode fan-out (~n_chars rows) combines
+    map-side immediately, so the shuffle carries only (doc, char) counts."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chars = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.filter(F.split("text", ""), lambda c: c != "")).alias("ch"),
+    )
+    per_char = chars.groupBy("doc_id", "lang", "ch").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    with_total = per_char.withColumn(
+        "p", F.col("cnt") / F.sum("cnt").over(Window.partitionBy("doc_id"))
+    )
+    per_doc = with_total.groupBy("doc_id", "lang").agg(
+        (-F.sum(F.col("p") * F.log("p"))).alias("entropy"),
+        F.count(F.lit(1)).alias("uniq_chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.round(F.avg("entropy"), 4).alias("avg_entropy"),
+        F.round(F.avg("uniq_chars"), 4).alias("avg_uniq_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+register(
+    "text_char_entropy",
+    _char_entropy,
+    """
+    WITH chars AS (
+        SELECT doc_id, lang, unnest(regexp_extract_all(text, '.')) AS ch
+        FROM documents
+    ),
+    per_char AS (
+        SELECT doc_id, lang, ch, count(*) AS cnt
+        FROM chars GROUP BY doc_id, lang, ch
+    ),
+    with_total AS (
+        SELECT doc_id, lang, cnt,
+               cnt * 1.0 / sum(cnt) OVER (PARTITION BY doc_id) AS p
+        FROM per_char
+    ),
+    per_doc AS (
+        SELECT doc_id, lang,
+               -sum(p * ln(p)) AS entropy,
+               count(*) AS uniq_chars
+        FROM with_total GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           round(avg(entropy), 4) AS avg_entropy,
+           round(avg(uniq_chars), 4) AS avg_uniq_chars,
+           count(*) AS n_docs
+    FROM per_doc GROUP BY lang
+    """,
+)
