@@ -276,6 +276,146 @@ def _char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# ordered funnel conversion
+# ---------------------------------------------------------------------------
+
+
+def _funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel: a user converts a stage only if
+    it happens strictly AFTER the previous stage's first completion. Three
+    stacked conditional-min windows over the SAME user_id partitioning —
+    Catalyst plans one shuffle and evaluates the three Window nodes on the
+    co-partitioned data, so the funnel costs one exchange at any scale
+    (the classic alternative, one self-join per stage, costs three)."""
+    ev = (
+        read_events(spark, sf_dir)
+        .where(F.col("user_id").isNotNull())
+        .select("user_id", "event_type", "ts")
+    )
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.select("user_id", "t_view", "t_click", "t_purchase").distinct()
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.count("t_click").alias("n_clicked_after_view"),
+        F.count("t_purchase").alias("n_purchased_after_click"),
+    )
+
+
+register(
+    "funnel_view_click_purchase",
+    _funnel,
+    """
+    WITH s1 AS (
+        SELECT user_id, event_type, ts,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t_view
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    s2 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_view
+                      THEN ts END) OVER (PARTITION BY user_id) AS t_click
+        FROM s1
+    ),
+    s3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click
+                      THEN ts END) OVER (PARTITION BY user_id) AS t_purchase
+        FROM s2
+    ),
+    per_user AS (
+        SELECT DISTINCT user_id, t_view, t_click, t_purchase FROM s3
+    )
+    SELECT count(*) AS n_users,
+           count(t_view) AS n_viewed,
+           count(t_click) AS n_clicked_after_view,
+           count(t_purchase) AS n_purchased_after_click
+    FROM per_user
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+
+def _split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split: the bucket is an md5
+    hash of the stable doc_id, so the assignment is reproducible across
+    reruns, engines, and cluster sizes (never ``rand()``), evaluates in
+    the scan stage with no shuffle, and any future re-shard keeps every
+    document's split stable. Reports per-(split, lang) composition —
+    the skew check run before training."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 10
+    )
+    split = (
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+register(
+    "train_split_assignment",
+    _split_assignment,
+    """
+    WITH assigned AS (
+        SELECT CASE
+                 WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                      AS BIGINT) % 10 < 8 THEN 'train'
+                 WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                      AS BIGINT) % 10 = 8 THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               lang, n_chars
+        FROM documents
+    )
+    SELECT split, lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM assigned GROUP BY split, lang
+    """,
+)
+
+
 register(
     "text_char_entropy",
     _char_entropy,
