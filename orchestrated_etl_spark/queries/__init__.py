@@ -25,4 +25,5 @@ def load() -> None:
         scale_ops,
         training_pipeline,
         surface_wave4,
+        analytics_wave5,
     )

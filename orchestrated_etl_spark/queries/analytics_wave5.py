@@ -1,0 +1,304 @@
+"""Wave-5 analytics + ANN surface: cohort retention, trailing-window
+anomaly scores, distribution window functions, and random-hyperplane LSH.
+
+The first three are the product-analytics shapes every event warehouse
+runs daily (the reference's events analogue is just a 5-min cron append,
+dags/dag.py:29); the LSH query adds the *cosine-space* bucketing scale
+path next to the existing IVF (`sim_ivf_topk`) and MinHash (Jaccard)
+families: signature computation is a map-only pass, so candidate
+generation needs one shuffle on the signature instead of an all-pairs
+join.
+
+Scale posture: retention and anomaly shuffle once on their natural keys
+(user_id / event_type); the LSH self-join is bounded by bucket sizes
+(tune n_planes so E[bucket] stays small); nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from orchestrated_etl_spark.functions.dedup import cosine
+from orchestrated_etl_spark.registry import register
+from orchestrated_etl_spark.sources.catalog import read_events
+
+
+# ---------------------------------------------------------------------------
+# cohort retention
+# ---------------------------------------------------------------------------
+
+
+def _retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: users grouped by their first active day,
+    counted on each later day-offset they return. Distinct (user, day)
+    activity first (bounds the fan-in), cohort day via one partitioned
+    window min — no self-join against a "first seen" table — then a
+    (cohort, offset) count-distinct. Two shuffles, both on user-sized or
+    aggregate-sized data."""
+    ev = (
+        read_events(spark, sf_dir)
+        .where(F.col("user_id").isNotNull())
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id")
+    cohorted = ev.withColumn("cohort_day", F.min("day").over(w))
+    return (
+        cohorted.select(
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+            "user_id",
+        )
+        .where(F.col("day_offset") <= 14)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+register(
+    "events_retention_cohorts",
+    _retention,
+    """
+    WITH activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    cohorted AS (
+        SELECT user_id, day,
+               min(day) OVER (PARTITION BY user_id) AS cohort_day
+        FROM activity
+    )
+    SELECT cohort_day,
+           CAST(day - cohort_day AS INTEGER) AS day_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+    FROM cohorted
+    WHERE day - cohort_day <= 14
+    GROUP BY cohort_day, day_offset
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# trailing-window anomaly z-score
+# ---------------------------------------------------------------------------
+
+
+def _anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type volume scored against its own trailing week:
+    z = (today − mean(prev 7 days)) / stddev(prev 7 days). The frame
+    excludes the current row (an anomaly must not suppress itself) and
+    needs ≥ 3 prior days before scoring. Daily totals are rounded BEFORE
+    the window so both engines feed identical doubles into the identical
+    ordered frame. One shuffle on event_type."""
+    daily = (
+        read_events(spark, sf_dir)
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.round(F.sum("value"), 4).alias("day_total"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    scored = daily.select(
+        "event_type",
+        "day",
+        "day_total",
+        F.count("day_total").over(w).alias("n_prior"),
+        F.avg("day_total").over(w).alias("mu"),
+        F.stddev_samp("day_total").over(w).alias("sigma"),
+    )
+    return scored.select(
+        "event_type",
+        "day",
+        "day_total",
+        F.when(
+            F.col("n_prior") >= 3,
+            F.round(
+                F.try_divide(
+                    F.col("day_total") - F.col("mu"), F.nullif("sigma", F.lit(0.0))
+                ),
+                3,
+            ),
+        ).alias("zscore"),
+    )
+
+
+register(
+    "events_anomaly_zscore",
+    _anomaly,
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               round(sum(value), 4) AS day_total
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    scored AS (
+        SELECT event_type, day, day_total,
+               count(day_total) OVER w AS n_prior,
+               avg(day_total) OVER w AS mu,
+               stddev_samp(day_total) OVER w AS sigma
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day, day_total,
+           CASE WHEN n_prior >= 3
+                THEN round((day_total - mu) / nullif(sigma, 0.0), 3)
+           END AS zscore
+    FROM scored
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# distribution window functions
+# ---------------------------------------------------------------------------
+
+
+def _distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / dense_rank within each order status —
+    the tie-stable ranking family (equal o_totalprice rows get equal
+    scores, so the result is deterministic under shuffle reordering,
+    unlike row_number without a unique tiebreak)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.dense_rank().over(w).alias("drank"),
+    )
+
+
+register(
+    "window_distribution_ranks",
+    _distribution_windows,
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(dense_rank() OVER w AS BIGINT) AS drank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH (cosine space)
+# ---------------------------------------------------------------------------
+
+_N_PLANES = 6
+_DIM = 64
+_COSINE_THRESHOLD = 0.4  # same bar as dedup_embedding_cosine
+
+
+def _plane_signs() -> list[list[int]]:
+    """±1 hyperplane components derived from md5 — deterministic without
+    any RNG, so the Spark query and the SQL oracle inline the SAME planes
+    (and a rerun on another cluster buckets identically)."""
+    return [
+        [
+            1 if int(hashlib.md5(f"plane{p}:dim{d}".encode()).hexdigest()[:2], 16) % 2 == 0 else -1
+            for d in range(_DIM)
+        ]
+        for p in range(_N_PLANES)
+    ]
+
+
+def _hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH over the embedding corpus: each vector's
+    signature is the sign pattern of its dot products with fixed ±1
+    hyperplanes (a map-only JVM expression — SimHash for real-valued
+    vectors), vectors sharing a signature become candidate pairs, and
+    candidates are verified with the exact cosine. Per-bucket stats:
+    candidate count vs verified count = the precision the banding bought.
+    The all-pairs comparison this replaces is |C|²; here the self-join is
+    per-bucket (E[size] = |C| / 2^n_planes)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planes = _plane_signs()
+    sig = None
+    for p, signs in enumerate(planes):
+        plane_col = F.array(*[F.lit(float(s)) for s in signs])
+        d = F.aggregate(
+            F.zip_with(
+                "embedding", plane_col, lambda x, y: x.cast("double") * y
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    tagged = emb.select("vec_id", "embedding", sig.alias("signature"))
+    buckets = tagged.groupBy("signature").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        (F.count(F.lit(1)) * (F.count(F.lit(1)) - 1) / 2)
+        .cast("long")
+        .alias("n_candidate_pairs"),
+    )
+    a = tagged.alias("a")
+    b = tagged.alias("b")
+    verified = (
+        a.join(
+            b,
+            (F.col("a.signature") == F.col("b.signature"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+            >= _COSINE_THRESHOLD
+        )
+        .groupBy(F.col("a.signature").alias("signature"))
+        .agg(F.count(F.lit(1)).alias("n_verified_pairs"))
+    )
+    return (
+        buckets.join(verified, "signature", "left")
+        .select(
+            "signature",
+            "n_vectors",
+            "n_candidate_pairs",
+            F.coalesce("n_verified_pairs", F.lit(0)).alias("n_verified_pairs"),
+        )
+    )
+
+
+def _lsh_oracle() -> str:
+    planes = _plane_signs()
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(f'{s}.0' for s in signs)}]) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, signs in enumerate(planes)
+    )
+    return f"""
+    WITH tagged AS (
+        SELECT vec_id, embedding, {bit_terms} AS signature FROM embeddings
+    ),
+    buckets AS (
+        SELECT signature, CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(count(*) * (count(*) - 1) / 2 AS BIGINT)
+                   AS n_candidate_pairs
+        FROM tagged GROUP BY signature
+    ),
+    verified AS (
+        SELECT a.signature, CAST(count(*) AS BIGINT) AS n_verified_pairs
+        FROM tagged a JOIN tagged b
+          ON a.signature = b.signature AND a.vec_id < b.vec_id
+        WHERE round(
+                list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[]))
+                / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(a.embedding AS DOUBLE[])))
+                   * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])))),
+                6) >= {_COSINE_THRESHOLD}
+        GROUP BY a.signature
+    )
+    SELECT b.signature, b.n_vectors, b.n_candidate_pairs,
+           coalesce(v.n_verified_pairs, 0) AS n_verified_pairs
+    FROM buckets b LEFT JOIN verified v ON b.signature = v.signature
+    """
+
+
+register("sim_hyperplane_lsh", _hyperplane_lsh, _lsh_oracle())
