@@ -302,3 +302,130 @@ def _lsh_oracle() -> str:
 
 
 register("sim_hyperplane_lsh", _hyperplane_lsh, _lsh_oracle())
+
+
+# ---------------------------------------------------------------------------
+# cogrouped applyInPandas (the two-sided grouped-map UDF surface)
+# ---------------------------------------------------------------------------
+
+
+def _cogroup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped ``applyInPandas``: clicks and purchases are co-shuffled
+    on user_id and handed to one pandas function per key as two aligned
+    frames — the API for per-key logic that needs BOTH sides at once and
+    can't be a join (e.g. attribution models, per-user reconciliation).
+    The kernel here is deliberately expressible (counts + rounded sums)
+    so the DuckDB oracle — a full outer join of two aggregates — pins the
+    cogroup semantics: keys present on EITHER side reach the function."""
+    ev = read_events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "value")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "value"
+    )
+
+    def reconcile(key, left, right):
+        import pandas as pd
+
+        (uid,) = key
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_clicks": [len(left)],
+                "n_purchases": [len(right)],
+                "click_value": [round(float(left["value"].sum()), 4)],
+                "purchase_value": [round(float(right["value"].sum()), 4)],
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            reconcile,
+            "user_id long, n_clicks long, n_purchases long, "
+            "click_value double, purchase_value double",
+        )
+    )
+
+
+register(
+    "cogroup_click_purchase",
+    _cogroup_click_purchase,
+    """
+    WITH c AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks,
+               round(sum(value), 4) AS click_value
+        FROM events WHERE user_id IS NOT NULL AND event_type = 'click'
+        GROUP BY user_id
+    ),
+    p AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+               round(sum(value), 4) AS purchase_value
+        FROM events WHERE user_id IS NOT NULL AND event_type = 'purchase'
+        GROUP BY user_id
+    )
+    SELECT coalesce(c.user_id, p.user_id) AS user_id,
+           coalesce(c.n_clicks, 0) AS n_clicks,
+           coalesce(p.n_purchases, 0) AS n_purchases,
+           coalesce(c.click_value, 0.0) AS click_value,
+           coalesce(p.purchase_value, 0.0) AS purchase_value
+    FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# text-file source + regex log parse
+# ---------------------------------------------------------------------------
+
+
+def _text_logparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unstructured-text ingestion: materialize documents as pipe-framed
+    log lines, read them back with ``spark.read.text`` (one string column,
+    no schema), and recover typed fields with regexp_extract + try_cast —
+    the reference's scrape-then-extract shape (dags/dag.py:83-106) done on
+    a text source. The parse is a map-only projection; malformed lines
+    regex-miss to NULL and are counted, not crashed on."""
+    import os
+
+    from orchestrated_etl_spark.queries.scale_ops import _scratch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = _scratch("doc_log_lines", sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs.select(
+            F.concat_ws(
+                "|",
+                F.col("doc_id").cast("string"),
+                "lang",
+                F.col("n_chars").cast("string"),
+                "source",
+            ).alias("value")
+        ).write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        F.regexp_extract("value", r"^(\d+)\|", 1)
+        .try_cast("long")
+        .alias("doc_id"),
+        F.regexp_extract("value", r"^\d+\|([a-z]+)\|", 1).alias("lang"),
+        F.regexp_extract("value", r"^\d+\|[a-z]+\|(\d+)\|", 1)
+        .try_cast("long")
+        .alias("n_chars"),
+    )
+    return parsed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count("doc_id").alias("n_parsed_ids"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+register(
+    "src_text_logparse",
+    _text_logparse,
+    """
+    SELECT lang, count(*) AS n_lines,
+           count(doc_id) AS n_parsed_ids,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
