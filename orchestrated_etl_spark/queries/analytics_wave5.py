@@ -429,3 +429,95 @@ register(
     FROM documents GROUP BY lang
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# SQL UDFs (catalog functions) + parameterized SQL
+# ---------------------------------------------------------------------------
+
+
+def _sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-registered SQL scalar UDF + parameterized SQL: the
+    business expression lives as a named function (shareable, catalogued,
+    still a pure Catalyst expression after inlining — NOT a Python UDF,
+    so whole-stage codegen is preserved), and the literal arrives via a
+    named ``:param`` binding instead of string interpolation."""
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "v_lineitem_w5"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(sum(disc_price(l_extendedprice, l_discount)), 2)
+                   AS revenue,
+               count(*) AS n_items
+        FROM v_lineitem_w5
+        WHERE l_quantity < :maxqty
+        GROUP BY l_returnflag
+        """,
+        args={"maxqty": 30.0},
+    )
+
+
+register(
+    "sql_scalar_udf_revenue",
+    _sql_scalar_udf,
+    """
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_quantity < 30.0
+    GROUP BY l_returnflag
+    """,
+)
+
+
+def _sql_table_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL table-valued function: a catalog-registered date-spine
+    generator (RETURNS TABLE) outer-joined against daily order counts —
+    the calendar densification pattern with the spine as a reusable
+    catalog object instead of per-query boilerplate. The spine is
+    generated (sequence + explode), never a scanned calendar table."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "v_orders_w5"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION date_spine(d0 DATE, d1 DATE) "
+        "RETURNS TABLE(day DATE) "
+        "RETURN SELECT explode(sequence(d0, d1, interval 1 day))"
+    )
+    return spark.sql(
+        """
+        SELECT s.day, coalesce(c.n_orders, 0) AS n_orders
+        FROM date_spine(DATE'1995-03-01', DATE'1995-03-31') s
+        LEFT JOIN (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   count(*) AS n_orders
+            FROM v_orders_w5 GROUP BY CAST(o_orderdate AS DATE)
+        ) c ON s.day = c.day
+        """
+    )
+
+
+register(
+    "sql_table_udf_spine",
+    _sql_table_udf,
+    """
+    WITH s AS (
+        SELECT CAST(unnest(generate_series(DATE '1995-03-01',
+                                           DATE '1995-03-31',
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+    ),
+    c AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    )
+    SELECT s.day, CAST(coalesce(c.n_orders, 0) AS BIGINT) AS n_orders
+    FROM s LEFT JOIN c ON s.day = c.day
+    """,
+)
