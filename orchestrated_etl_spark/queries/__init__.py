@@ -26,4 +26,5 @@ def load() -> None:
         training_pipeline,
         surface_wave4,
         analytics_wave5,
+        sql_surface_wave6,
     )
