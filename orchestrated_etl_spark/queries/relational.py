@@ -183,17 +183,28 @@ register(
 
 
 def _win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Running sum/avg accumulate in engine-specific order; over DOUBLE the
+    # last ulp differs between Spark's streaming frame accumulation and
+    # DuckDB's segment-tree windows, which can flip round(). Accumulating in
+    # DECIMAL(18,2) is exact, so both engines produce bit-identical sums; the
+    # avg is then one double division of identical inputs.
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # No round() on the avg: round(x, 4) tie-breaks differently across
+    # engines (Spark: exact BigDecimal HALF_UP; DuckDB: multiply-by-1e4),
+    # and with identical double inputs the raw IEEE quotient is already
+    # bit-identical on both sides — rounding could only reintroduce drift.
+    sum_dec = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+    cnt = F.count(F.lit(1)).over(w)
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
-        F.round(F.avg("o_totalprice").over(w), 4).alias("running_avg"),
+        sum_dec.cast("double").alias("running_spend"),
+        (sum_dec.cast("double") / cnt).alias("running_avg"),
     )
 
 
@@ -202,8 +213,10 @@ register(
     _win_running,
     """
     SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER w, 2) AS running_spend,
-           round(avg(o_totalprice) OVER w, 4) AS running_avg
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               AS running_spend,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                 / (count(*) OVER w) AS running_avg
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

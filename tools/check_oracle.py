@@ -34,7 +34,10 @@ def normalize(v):
             return "NaN"
         if v == 0.0:
             v = 0.0  # collapse -0.0
-        return f"{v:.9g}"
+        # Full precision (repr round-trips doubles exactly). %.9g previously
+        # forgave last-ulp drift that the driver's value hash does not — the
+        # local gate must be at least as strict as the driver.
+        return repr(v)
     if isinstance(v, (datetime, date)):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
