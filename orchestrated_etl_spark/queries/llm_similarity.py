@@ -20,13 +20,21 @@ _COS_SQL = (
 )
 
 # ---------------------------------------------------------------------------
-# brute-force cosine top-k (queries: every 100th vector)
+# brute-force cosine top-k
 # ---------------------------------------------------------------------------
+
+# FIXED-SIZE query set: 20 vectors (vec_id ∈ {0,25,…,475}) at EVERY scale
+# factor. The query predicate is bounded (vec_id < 500) so |Q| does not
+# grow with the corpus — the broadcast contract brute_force_topk/ivf_topk
+# document. (The previous every-100th-vector fixture made |Q| corpus-
+# proportional, quietly violating that contract at scale.)
+_QUERY_PRED = (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 500)
+_QUERY_PRED_SQL = "q.vec_id % 25 = 0 AND q.vec_id < 500"
 
 
 def _bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    queries = emb.filter(_QUERY_PRED)
     return SIM.brute_force_topk(queries, emb, "vec_id", "embedding", 5)
 
 
@@ -39,7 +47,7 @@ register(
                round({_COS_SQL.format(a='q.embedding', b='c.embedding')}, 6) AS cosine
         FROM embeddings q
         JOIN embeddings c ON q.vec_id != c.vec_id
-        WHERE q.vec_id % 100 = 0
+        WHERE q.vec_id % 25 = 0 AND q.vec_id < 500
     ),
     ranked AS (
         SELECT query_id, neighbor_id, cosine,
@@ -59,7 +67,7 @@ register(
 def _ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     centroids = emb.filter(F.col("vec_id") < 8)
-    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    queries = emb.filter(_QUERY_PRED)
     return SIM.ivf_topk(queries, emb, centroids, "vec_id", "embedding", 3)
 
 
@@ -86,7 +94,63 @@ register(
                round({_COS_SQL.format(a='q.embedding', b='a.embedding')}, 6) AS cosine
         FROM assigned q
         JOIN assigned a ON q.centroid_id = a.centroid_id AND a.vec_id != q.vec_id
-        WHERE q.vec_id % 100 = 0
+        WHERE q.vec_id % 25 = 0 AND q.vec_id < 500
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# IVF top-k, nprobe=2 — the recall knob made executable: each query probes
+# its TWO nearest centroids' posting lists (cost ~2/K of the corpus per
+# query instead of 1/K; recall strictly ≥ the nprobe=1 variant —
+# tests/test_llm_functions.py asserts recall-vs-bruteforce for both).
+# ---------------------------------------------------------------------------
+
+
+def _ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter(_QUERY_PRED)
+    return SIM.ivf_topk(
+        queries, emb, centroids, "vec_id", "embedding", 3, nprobe=2
+    )
+
+
+register(
+    "sim_ivf_topk_nprobe2",
+    _ivf_nprobe2,
+    f"""
+    WITH centroids AS (
+        SELECT vec_id AS centroid_id, embedding AS cvec
+        FROM embeddings WHERE vec_id < 8
+    ),
+    ranked_assign AS (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round({_COS_SQL.format(a='e.embedding', b='c.cvec')}, 6) DESC,
+                            c.centroid_id) AS rn
+        FROM embeddings e, centroids c
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, centroid_id FROM ranked_assign WHERE rn = 1
+    ),
+    q_assigned AS (
+        SELECT vec_id, embedding, centroid_id FROM ranked_assign
+        WHERE rn <= 2 AND vec_id % 25 = 0 AND vec_id < 500
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+               round({_COS_SQL.format(a='q.embedding', b='a.embedding')}, 6) AS cosine
+        FROM q_assigned q
+        JOIN assigned a ON q.centroid_id = a.centroid_id AND a.vec_id != q.vec_id
     ),
     ranked AS (
         SELECT query_id, neighbor_id, cosine,

@@ -109,6 +109,65 @@ def test_ivf_restricts_to_cluster(spark):
     assert {0, 10, 11} <= neighbors
 
 
+def test_ivf_nprobe2_widens_search(spark):
+    """nprobe=2 probes the second-nearest centroid's list too: the
+    cross-cluster vector excluded at nprobe=1 becomes reachable."""
+    vecs = [
+        (0, [1.0, 0.0]),  # centroid A
+        (1, [0.0, 1.0]),  # centroid B
+        (10, [0.99, 0.01]),
+        (20, [0.01, 0.99]),
+        (100, [1.0, 0.1]),  # query → nearest A, second B
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    cents = df.filter(F.col("vec_id") < 2)
+    q = df.filter(F.col("vec_id") == 100)
+    n1 = {r["neighbor_id"]
+          for r in SIM.ivf_topk(q, df, cents, "vec_id", "embedding", 10).collect()}
+    n2 = {r["neighbor_id"]
+          for r in SIM.ivf_topk(q, df, cents, "vec_id", "embedding", 10,
+                                nprobe=2).collect()}
+    assert n1 < n2          # strictly more candidates reachable
+    assert 20 in n2 and 20 not in n1
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """Recall@3 of IVF against the exact brute-force ranking on the real
+    embeddings fixture: monotone in nprobe, and nprobe=2 clears a recall
+    floor. Deterministic — cosine is rounded and ties id-broken on both
+    paths."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pred = (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 500)
+    queries = emb.filter(pred)
+    cents = emb.filter(F.col("vec_id") < 8)
+    k = 3
+
+    def topsets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = topsets(SIM.brute_force_topk(queries, emb, "vec_id", "embedding", k))
+
+    def recall(nprobe):
+        approx = topsets(
+            SIM.ivf_topk(queries, emb, cents, "vec_id", "embedding", k,
+                         nprobe=nprobe)
+        )
+        hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+        return hits / (len(exact) * k)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1          # recall monotone in nprobe (the core property)
+    # Floor calibrated to this fixture: its vectors are near-uniform, so
+    # 8-list IVF has weak cluster structure (measured r2 ≈ 0.42, r1 below
+    # it). On a corpus with real cluster structure recall would be far
+    # higher; the floor guards against a broken probe path (r2 ≈ 0), not
+    # against fixture geometry.
+    assert r2 >= 1 / 3
+
+
 def test_text_functions(spark):
     df = spark.createDataFrame(
         [(1, "the cat and the hat")], ["doc_id", "text"]
