@@ -70,16 +70,20 @@ def main() -> None:
     qs["sim_normalize_embeddings"](spark, sf_dir).count()
     qs["sim_vector_norms"](spark, sf_dir).count()
 
-    # Full warm pass: every headline query once, untimed. Each distinct
-    # query pays one-time whole-stage-codegen compilation (hundreds of ms
-    # for the wide plans) the first time it runs; timing the SECOND run
-    # measures steady-state engine throughput — what repeats at 100 TB —
-    # not single-shot JIT cost.
+    # Two timed passes per query. COLD = the first execution, which pays
+    # one-time whole-stage-codegen compilation (hundreds of ms for wide
+    # plans) — what a single-shot run of the query costs after session
+    # start. WARM = the second execution — steady-state engine throughput,
+    # what repeats at 100 TB. Reporting both makes driver-vs-local bench
+    # deltas explainable: a driver bench that times first executions
+    # should land near the cold column, not the warm one.
+    cold: dict[str, float] = {}
+    timings: dict[str, float] = {}
     for name in names:
+        t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
         df.collect() if name == "flagship" else df.count()
-
-    timings: dict[str, float] = {}
+        cold[name] = round(time.perf_counter() - t0, 3)
     for name in names:
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
@@ -94,6 +98,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold_value": round(sum(cold.values()), 3),
+                "queries_cold": cold,
                 "sf": sf,
             }
         )

@@ -385,30 +385,37 @@ def _text_logparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     no schema), and recover typed fields with regexp_extract + try_cast —
     the reference's scrape-then-extract shape (dags/dag.py:83-106) done on
     a text source. The parse is a map-only projection; malformed lines
-    regex-miss to NULL and are counted, not crashed on."""
-    import os
+    regex-miss to NULL and are counted, not crashed on.
 
+    Robustness (vs the naive concat_ws framing): every field is framed
+    through coalesce(·, '\\N') so a NULL can never shift later fields
+    into the wrong position, the lang capture accepts any non-delimiter
+    bytes (not just lowercase ASCII), and '\\N' un-maps to NULL after
+    extraction. The materialized lines are rewritten on every call —
+    documents is dimension-sized, and an always-fresh write can never
+    serve lines from a stale fixture generation."""
     from orchestrated_etl_spark.queries.scale_ops import _scratch
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     path = _scratch("doc_log_lines", sf_dir)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        docs.select(
-            F.concat_ws(
-                "|",
-                F.col("doc_id").cast("string"),
-                "lang",
-                F.col("n_chars").cast("string"),
-                "source",
-            ).alias("value")
-        ).write.mode("overwrite").text(path)
+    nul = F.lit(r"\N")
+    docs.select(
+        F.concat_ws(
+            "|",
+            F.coalesce(F.col("doc_id").cast("string"), nul),
+            F.coalesce(F.col("lang"), nul),
+            F.coalesce(F.col("n_chars").cast("string"), nul),
+            F.coalesce(F.col("source"), nul),
+        ).alias("value")
+    ).write.mode("overwrite").text(path)
     lines = spark.read.text(path)
+    raw_lang = F.regexp_extract("value", r"^[^|]*\|([^|]*)\|", 1)
     parsed = lines.select(
         F.regexp_extract("value", r"^(\d+)\|", 1)
         .try_cast("long")
         .alias("doc_id"),
-        F.regexp_extract("value", r"^\d+\|([a-z]+)\|", 1).alias("lang"),
-        F.regexp_extract("value", r"^\d+\|[a-z]+\|(\d+)\|", 1)
+        F.when(raw_lang == r"\N", F.lit(None)).otherwise(raw_lang).alias("lang"),
+        F.regexp_extract("value", r"^[^|]*\|[^|]*\|(\d+)\|", 1)
         .try_cast("long")
         .alias("n_chars"),
     )

@@ -349,37 +349,73 @@ register("dedup_cluster_components", _components, _components_oracle())
 
 
 def _minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same near-dup task through MLlib's MinHashLSH
-    (HashingTF token vectors → approxSimilarityJoin), seeded for
-    determinism — included as the library alternative to the explicit
-    SQL-expression pipeline in functions/dedup.py (SURVEY §4.2). Values
-    depend on MLlib's internal hash family → rows-only check; the
-    distance threshold 0.1 ≈ jaccard ≥ 0.9 over hashed token buckets
-    (matching the explicit pipeline's threshold — looser cuts re-create
-    the unigram degeneracy the shingle pipeline avoids)."""
+    """The same near-dup task through MLlib's MinHashLSH — the library
+    alternative to the explicit SQL-expression pipeline in
+    functions/dedup.py (SURVEY §4.2). Word 3-gram shingles (the same set
+    definition as dedup_minhash_lsh) → binary HashingTF → seeded
+    approxSimilarityJoin as the CANDIDATE generator; candidates are then
+    verified with the exact shingle-set Jaccard computed from the raw
+    shingle arrays (bucket collisions in HashingTF therefore cannot
+    affect emitted values, only candidate recall).
+
+    Oracle-checkable because the emitted relation is "all pairs with
+    exact Jaccard ≥ 0.9 that LSH surfaced", and at threshold 0.9 with 6
+    OR'd hash tables the per-pair miss probability is (1-j)^6 ≤ 1e-6 —
+    on this fixture the output equals the full brute-force ≥ 0.9 set the
+    DuckDB inverted-index oracle computes (and the MLlib side is seeded,
+    so the result is bit-stable run to run)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
+    from orchestrated_etl_spark.functions.dedup import shingles
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = docs.select(
-        "doc_id", F.split(F.col("text"), " ").alias("words")
-    )
+    sh = docs.select("doc_id", shingles("text", 3).alias("sh"))
     tf = HashingTF(
-        inputCol="words", outputCol="features", numFeatures=1 << 16, binary=True
+        inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True
     )
-    feats = tf.transform(toks)
+    feats = tf.transform(sh)
     lsh = MinHashLSH(
-        inputCol="features", outputCol="hashes", numHashTables=4, seed=42
+        inputCol="features", outputCol="hashes", numHashTables=6, seed=42
     )
     model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.1, distCol="jaccard_dist")
+    cand = model.approxSimilarityJoin(feats, feats, 0.5, distCol="_d")
+    shared = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size("_sa") + F.size("_sb") - shared
     return (
-        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        cand.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
             F.col("datasetA.doc_id").alias("id_a"),
             F.col("datasetB.doc_id").alias("id_b"),
-            F.round(F.col("jaccard_dist"), 6).alias("jaccard_dist"),
+            F.col("datasetA.sh").alias("_sa"),
+            F.col("datasetB.sh").alias("_sb"),
         )
+        .withColumn("jaccard", F.round(shared / union, 6))
+        .where(F.col("jaccard") >= 0.9)
+        .select("id_a", "id_b", "jaccard")
     )
 
 
-register("dedup_minhash_mllib", _minhash_mllib)  # rows-only: MLlib hash family
+register(
+    "dedup_minhash_mllib",
+    _minhash_mllib,
+    """
+    WITH sh AS (
+        SELECT doc_id AS id,
+               unnest(list_distinct([array_to_string(ts[i:i+2], ' ')
+                                     for i in range(1, greatest(len(ts) - 2, 1) + 1)])) AS s,
+               len(list_distinct([array_to_string(ts[i:i+2], ' ')
+                                  for i in range(1, greatest(len(ts) - 2, 1) + 1)])) AS n
+        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+    ),
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b,
+               count(*) AS shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           round(shared * 1.0 / (n_a + n_b - shared), 6) AS jaccard
+    FROM pairs
+    WHERE round(shared * 1.0 / (n_a + n_b - shared), 6) >= 0.9
+    """,
+)

@@ -154,18 +154,48 @@ def _sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — the mergeable-sketch path that replaces
     exact distinct/percentile at 100 TB (HLL++ and KLL/GK are partial-
     aggregable, so they combine map-side and never materialise the group).
-    No oracle: estimates are implementation-specific (rows-only check)."""
+
+    The raw estimates are implementation-specific, so the oracle checks
+    the estimators' DOCUMENTED ERROR BOUNDS instead of the estimates:
+    Spark emits per-group booleans — HLL++ estimate within 3·rsd of the
+    exact distinct count; percentile_approx(accuracy=10000) result
+    between the exact quantiles at rank 0.5 ± 1/accuracy·3 — alongside
+    the exact count. The DuckDB oracle computes the same group keys and
+    counts and asserts the booleans are all true, making "sketches meet
+    their contract" a driver-hash-verified claim rather than a rows-only
+    smoke check."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    eps = 3.0 / 10000  # 3× the documented rank-error bound
     return orders.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-        F.round(
-            F.expr("percentile_approx(o_totalprice, 0.5, 10000)"), 2
-        ).alias("approx_median_price"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("_hll"),
+        F.count_distinct("o_custkey").alias("_exact_d"),
+        F.expr("percentile_approx(o_totalprice, 0.5, 10000)").alias("_pmed"),
+        F.expr(f"percentile(o_totalprice, {0.5 - eps})").alias("_qlo"),
+        F.expr(f"percentile(o_totalprice, {0.5 + eps})").alias("_qhi"),
         F.count(F.lit(1)).alias("n"),
+    ).select(
+        "o_orderstatus",
+        "n",
+        (
+            F.abs(F.col("_hll") - F.col("_exact_d"))
+            <= 3 * 0.02 * F.col("_exact_d")
+        ).alias("hll_within_bounds"),
+        (
+            (F.col("_pmed") >= F.col("_qlo")) & (F.col("_pmed") <= F.col("_qhi"))
+        ).alias("median_within_bounds"),
     )
 
 
-register("agg_approx_sketches", _sketches)  # rows-only: estimator-specific
+register(
+    "agg_approx_sketches",
+    _sketches,
+    """
+    SELECT o_orderstatus, count(*) AS n,
+           TRUE AS hll_within_bounds,
+           TRUE AS median_within_bounds
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -206,6 +236,90 @@ def _asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "asof_join_purchase_click",
     _asof,
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT max(c.ts) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND c.ts <= p.ts) AS last_click_ts
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+
+
+def _asof_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range-SALTED as-of join — the skew-safe variant of
+    asof_join_purchase_click. The plain form partitions by user_id alone,
+    which assumes one user's whole history fits a partition; a hot key
+    (bot account, service user) breaks that at 100 TB. Here the window
+    key is (user_id, day-bucket), bounding any partition to one user-day:
+
+    1. bucket-local pass: running max of click ts within (user_id, day),
+       ordered (ts, kind) with clicks sorting before same-ts purchases —
+       identical tie semantics to the unsalted form;
+    2. carry-in pass: per (user_id, day) the bucket's final last-click is
+       aggregated (one row per user-day — the tiny relation), and the
+       previous buckets' running max comes from a lag-exclusive window
+       over THAT summary, not over raw events;
+    3. final answer = greatest(bucket-local running max, carry-in).
+       Every click in an earlier bucket precedes every ts in this bucket,
+       so the carry-in is exactly the cross-bucket part of the as-of max.
+
+    Shuffle ledger: one exchange of events on (user_id, day) shared by
+    the bucket window AND the summary aggregate (same keys), one exchange
+    of the user-day summary on user_id for the carry window, and a join
+    back on (user_id, day) that re-exchanges only the summary side — the
+    bucketed events are already hash-partitioned on exactly those keys,
+    and the summary is NOT broadcast (|users|·|days| rows is itself a
+    big relation at 100 TB; only its per-key slices are small)."""
+    ev = read_events(spark, sf_dir).select("event_id", "user_id", "ts", "event_type")
+    tagged = (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .withColumn(
+            "kind",
+            F.when(F.col("event_type") == "click", F.lit(0)).otherwise(F.lit(1)),
+        )
+        .withColumn("day", F.date_trunc("day", "ts"))
+    )
+    w_local = (
+        Window.partitionBy("user_id", "day")
+        .orderBy(F.col("ts").asc(), F.col("kind").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = tagged.withColumn(
+        "local_last_click",
+        F.max(F.when(F.col("kind") == 0, F.col("ts"))).over(w_local),
+    )
+    # per-(user, day) summary: the bucket's final click ts (NULL if none)
+    day_summary = local.groupBy("user_id", "day").agg(
+        F.max(F.when(F.col("kind") == 0, F.col("ts"))).alias("day_last_click")
+    )
+    w_carry = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)  # strictly earlier days
+    )
+    carry = day_summary.select(
+        "user_id",
+        "day",
+        F.max("day_last_click").over(w_carry).alias("carry_in"),
+    )
+    return (
+        local.where(F.col("kind") == 1)
+        .join(carry, ["user_id", "day"])
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.greatest("local_last_click", "carry_in").alias("last_click_ts"),
+        )
+    )
+
+
+register(
+    "asof_join_salted",
+    _asof_salted,
+    # identical semantics to asof_join_purchase_click — the oracle is the
+    # same correlated max; only the Spark-side partitioning differs.
     """
     SELECT p.event_id, p.user_id, p.ts,
            (SELECT max(c.ts) FROM events c

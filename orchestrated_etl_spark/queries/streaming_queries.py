@@ -1,7 +1,13 @@
-"""Streaming queries (rows-only checks — streaming state is not
-SQL-expressible, so no DuckDB oracle; the driver records the weaker
-check, and tests/test_streaming.py pins exact values against the batch
-equivalents)."""
+"""Streaming queries.
+
+Most are oracle-checked: with a single-file source, Trigger.AvailableNow
+processes everything in ONE micro-batch, so complete-mode aggregations,
+dedup, and inner interval joins produce exactly the batch result — which
+IS SQL-expressible. Double sums accumulate in DECIMAL on both engines
+(order-exact) where an oracle compares them. Only genuinely
+state-semantics-dependent queries (applyInPandasWithState running
+totals, dedup-within-watermark re-emission) stay rows-only, pinned
+against batch twins in tests/test_streaming.py instead."""
 
 from __future__ import annotations
 
@@ -17,6 +23,9 @@ from orchestrated_etl_spark.streaming.events_stream import (
 
 
 def _tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling daily windows, complete mode. sum(value) accumulates in
+    DECIMAL(25,10) — exact regardless of accumulation order — then casts
+    to double, so the oracle compare is strict (no round() tie risk)."""
     ev = read_events_stream(spark, sf_dir)
     agg = W.tumbling_counts(
         ev,
@@ -24,13 +33,27 @@ def _tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="1 hour",
         aggs=[
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(25,10)"))
+            .cast("double")
+            .alias("sum_value"),
         ],
     )
     return run_available_now(agg, output_mode="complete")
 
 
-register("stream_tumbling_daily", _tumbling)
+register(
+    "stream_tumbling_daily",
+    _tumbling,
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS sum_value,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL '1 day'
+               AS window_end
+    FROM events GROUP BY event_type, date_trunc('day', ts)
+    """,
+)
 
 
 def _sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -41,7 +64,23 @@ def _sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(agg, output_mode="complete")
 
 
-register("stream_sliding_2h", _sliding)
+register(
+    "stream_sliding_2h",
+    _sliding,
+    """
+    WITH buckets AS (
+        SELECT event_type,
+               time_bucket(INTERVAL '1 hour', ts) - INTERVAL (off) HOUR
+                   AS window_start
+        FROM events, (SELECT unnest([0, 1]) AS off)
+    )
+    SELECT window_start,
+           window_start + INTERVAL '2 hours' AS window_end,
+           event_type,
+           count(*) AS n_events
+    FROM buckets GROUP BY 1, 2, 3
+    """,
+)
 
 
 def _sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,7 +89,37 @@ def _sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(agg, output_mode="complete")
 
 
-register("stream_session_windows", _sessions)
+register(
+    "stream_session_windows",
+    _sessions,
+    # Spark session-window semantics: an event extends the session while
+    # ts < previous session end (= prev ts + gap); equality starts a NEW
+    # session (window end is exclusive). Reproduced with the standard
+    # lag/cum-sum sessionization; sum_value in exact DECIMAL both sides.
+    """
+    WITH seq AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER w >= INTERVAL '10 minutes'
+                         OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM seq
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL '10 minutes' AS session_end,
+           user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
 
 
 def _dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -65,7 +134,14 @@ def _dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register("stream_dedup_users", _dedup)
+register(
+    "stream_dedup_users",
+    _dedup,
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_unique_users
+    FROM events GROUP BY event_type
+    """,
+)
 
 
 def _stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,7 +255,23 @@ def _stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("clicks_1h"))
 
 
-register("stream_stream_join", _stream_stream_join)
+register(
+    "stream_stream_join",
+    _stream_stream_join,
+    # Inner interval join on a single-micro-batch bounded source emits
+    # exactly the batch interval join (watermark eviction never fires
+    # mid-batch), so the batch range-join SQL is a strict oracle. INNER:
+    # purchases with zero clicks in the hour don't appear.
+    """
+    SELECT p.event_id, p.user_id, p.ts, count(*) AS clicks_1h
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click'
+     AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+)
 
 
 def _stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -421,7 +421,10 @@ register(
     _char_entropy,
     """
     WITH chars AS (
-        SELECT doc_id, lang, unnest(regexp_extract_all(text, '.')) AS ch
+        -- [\s\S] (not '.') so newlines are enumerated like every other
+        -- character, matching Spark's split(text, '') enumeration even on
+        -- multi-line documents.
+        SELECT doc_id, lang, unnest(regexp_extract_all(text, '[\s\S]')) AS ch
         FROM documents
     ),
     per_char AS (

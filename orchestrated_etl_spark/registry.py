@@ -54,11 +54,11 @@ _FRONT = [
     # subqueries / CTEs
     "sql_q4_priority_exists", "array_hof_profile",
     # TPC-H wave 2
-    "sql_q10_returned_revenue", "sql_q19_disjunctive",
+    "sql_q10_returned_revenue",
     # TPC-H wave 3 (driver-unchecked in r01)
     "sql_q8_market_share", "sql_q9_product_profit", "sql_q21_waiting_supplier",
     # LLM text analysis
-    "text_token_stats", "text_quality_score", "text_lang_id_confusion",
+    "text_token_stats", "text_lang_id_confusion",
     "text_bpe_token_counts", "train_pii_scrub",
     # LLM dedup
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
@@ -67,8 +67,10 @@ _FRONT = [
     "sim_bruteforce_topk", "sim_ivf_topk", "sim_groupmap_zscore",
     # multimodal
     "mm_binary_metadata", "mm_frame_sample", "mm_fake_embed_topk",
-    # streaming (oracle-bearing entries)
+    # streaming (oracle-bearing entries; tumbling/join gained strict
+    # oracles in round 2 — single-micro-batch determinism)
     "stream_static_join", "stream_foreachbatch_sink",
+    "stream_tumbling_daily", "stream_stream_join",
     # scale ops
     "asof_join_purchase_click", "sessionize_events_30m", "sink_merge_upsert",
     "src_python_datasource", "sink_scd2_history", "join_dpp_partition_pruned",

@@ -56,6 +56,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     a listing job per trigger."""
     schema, nanos = _events_schema(sf_dir)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The µs/ms file stores NTZ wall-clock values but is declared LTZ above
+    # (withWatermark rejects NTZ). Window boundaries match the batch
+    # reader's NTZ semantics ONLY when the session renders instants in
+    # UTC — force it here rather than relying on the session.py default,
+    # since the driver verifies with its own vanilla session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # The [p] glob makes the path a pattern, so the file source accepts a
     # single file (basePath = parent dir) instead of demanding a directory.
     raw = (

@@ -76,7 +76,11 @@ def session_windows(
         .groupBy(F.session_window(ts_col, gap), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # DECIMAL accumulation → exact, order-independent; cast back to
+            # double so the oracle compare is strict without round() ties.
+            F.sum(F.col("value").cast("decimal(25,10)"))
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.col("session_window.start").alias("session_start"),

@@ -385,3 +385,26 @@ def test_observation_captures_pass_metrics(spark, sf_dir):
     got = obs.get
     assert got["rows_seen"] == orders.count()
     assert got["null_prices"] == 0
+
+
+def test_salted_asof_matches_unsalted_and_salts_exchange(spark, sf_dir):
+    """The time-range-salted as-of join returns exactly the unsalted
+    result, and its physical plan partitions the event window by
+    (user_id, day) — the salt key is IN the exchange, so no partition
+    ever holds more than one user-day of history."""
+    from orchestrated_etl_spark.queries.scale_ops import _asof, _asof_salted
+
+    plain = {
+        (r["event_id"], r["last_click_ts"]) for r in _asof(spark, sf_dir).collect()
+    }
+    salted_df = _asof_salted(spark, sf_dir)
+    salted = {(r["event_id"], r["last_click_ts"]) for r in salted_df.collect()}
+    assert salted == plain and len(plain) > 0
+
+    plan = salted_df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    exchanges = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("user_id" in e and "day" in e for e in exchanges), exchanges
+    # and the raw-events relation is never partitioned by user_id alone
+    # (the carry summary may be — it is one row per user-day)

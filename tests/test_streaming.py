@@ -71,7 +71,10 @@ def test_session_windows_match_batch(spark, sf_dir):
         .groupBy(F.session_window("ts", "10 minutes"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # same exact DECIMAL accumulation as streaming.windows
+            F.sum(F.col("value").cast("decimal(25,10)"))
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.col("session_window.start").alias("session_start"),
@@ -213,7 +216,14 @@ def _protobuf_ok() -> bool:
 
 @pytest.mark.skipif(
     not _protobuf_ok(),
-    reason="transformWithState's Python runner needs google.protobuf",
+    reason=(
+        "transformWithState's Python runner hard-imports google.protobuf "
+        "(pyspark/sql/streaming/proto/StateMessage_pb2.py), which is not "
+        "installable in this sandbox: no network, no cached wheel, no conda "
+        "pkg (verified). The applyInPandasWithState path below covers the "
+        "custom-stateful-operator semantics without protobuf; this test "
+        "activates automatically in any environment that has protobuf."
+    ),
 )
 def test_transform_with_state_matches_batch(spark, sf_dir):
     """transformWithStateInPandas running totals: final emission per user
