@@ -28,13 +28,16 @@ _COS_SQL = (
 # grow with the corpus — the broadcast contract brute_force_topk/ivf_topk
 # document. (The previous every-100th-vector fixture made |Q| corpus-
 # proportional, quietly violating that contract at scale.)
-_QUERY_PRED = (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 500)
-_QUERY_PRED_SQL = "q.vec_id % 25 = 0 AND q.vec_id < 500"
+def _query_pred():
+    # lazily built: a module-level Column would need an active
+    # SparkContext at import time, which tooling (QUERIES.md generation)
+    # doesn't have.
+    return (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 500)
 
 
 def _bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    queries = emb.filter(_QUERY_PRED)
+    queries = emb.filter(_query_pred())
     return SIM.brute_force_topk(queries, emb, "vec_id", "embedding", 5)
 
 
@@ -67,7 +70,7 @@ register(
 def _ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     centroids = emb.filter(F.col("vec_id") < 8)
-    queries = emb.filter(_QUERY_PRED)
+    queries = emb.filter(_query_pred())
     return SIM.ivf_topk(queries, emb, centroids, "vec_id", "embedding", 3)
 
 
@@ -117,7 +120,7 @@ register(
 def _ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     centroids = emb.filter(F.col("vec_id") < 8)
-    queries = emb.filter(_QUERY_PRED)
+    queries = emb.filter(_query_pred())
     return SIM.ivf_topk(
         queries, emb, centroids, "vec_id", "embedding", 3, nprobe=2
     )

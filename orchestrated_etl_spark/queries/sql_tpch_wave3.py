@@ -568,6 +568,53 @@ def _q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q12 shape — shipping classes and order priority
+# ---------------------------------------------------------------------------
+
+
+def _q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 adapted to the synthetic schema (no l_shipmode/l_commitdate/
+    l_receiptdate — TPC-H Q12's late-shipment predicate and mode column
+    don't exist): l_returnflag stands in as the shipping class and the
+    date window runs on l_shipdate. The plan shape Q12 exercises is
+    intact — one fact-fact equi-join (orders⋈lineitem on orderkey, the
+    only non-broadcast join in the TPC-H set) feeding disjunctive
+    conditional counts per class. The orderkey join carries the shuffle;
+    the shipdate range predicate pushes into the lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+register(
+    "sql_q12_shipmode_priority",
+    _q12_shipmode_priority,
+    """
+    SELECT l_returnflag AS ship_class,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+
+
 register(
     "sql_q22_sales_opportunity",
     _q22_sales_opportunity,

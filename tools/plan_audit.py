@@ -29,6 +29,7 @@ sys.path.insert(0, "/root/repo")
 PAIRWISE_OK = {
     "sim_bruteforce_topk",
     "sim_ivf_topk",
+    "sim_ivf_topk_nprobe2",  # same posting-list scoring join as sim_ivf_topk
     "dedup_embedding_cosine",
     "mm_fake_embed_topk",  # brute-force query-set x corpus scoring is the baseline path
 }
