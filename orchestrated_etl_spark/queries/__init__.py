@@ -27,4 +27,5 @@ def load() -> None:
         surface_wave4,
         analytics_wave5,
         sql_surface_wave6,
+        sql_surface_wave7,
     )
