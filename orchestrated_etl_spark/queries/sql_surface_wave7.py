@@ -198,3 +198,52 @@ register(
     WHERE l_orderkey < 100
     """,
 )
+
+
+def _try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-handling surface: Spark 4 runs with ANSI semantics
+    ON, so the dirty-data paths every ingest hits (div-by-zero, numeric
+    overflow, out-of-range subscripts, unparseable numbers) must go
+    through try_* functions — NULL out, never crash the job. The oracle
+    reproduces each NULL contract with explicit CASE guards (DuckDB's
+    double division yields inf rather than erroring, so the guard IS the
+    portable semantics)."""
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "lineitem_w7c"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(try_divide(l_extendedprice, l_quantity - 10.0))
+                   AS n_div_ok,
+               count(try_element_at(array('a','b','c'),
+                                    CAST(l_linenumber AS INT)))
+                   AS n_subscript_ok,
+               count(try_multiply(l_orderkey, 9223372036854775807L))
+                   AS n_mult_ok,
+               count(try_to_number(l_returnflag, '99')) AS n_parse_ok,
+               count(*) AS n
+        FROM lineitem_w7c
+        GROUP BY l_returnflag
+        """
+    )
+
+
+register(
+    "sql_try_functions",
+    _try_functions,
+    """
+    SELECT l_returnflag,
+           count(CASE WHEN l_quantity = 10.0 THEN NULL
+                      ELSE l_extendedprice / (l_quantity - 10.0) END)
+               AS n_div_ok,
+           count((['a','b','c'])[l_linenumber]) AS n_subscript_ok,
+           count(CASE WHEN l_orderkey > 1 THEN NULL
+                      ELSE l_orderkey * 9223372036854775807 END)
+               AS n_mult_ok,
+           count(try_cast(l_returnflag AS INTEGER)) AS n_parse_ok,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
