@@ -478,3 +478,75 @@ register(
     FROM packed GROUP BY source, bin_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# within-document line dedup (boilerplate removal)
+# ---------------------------------------------------------------------------
+
+
+def _dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-line removal — the pretraining cleanup
+    that strips duplicated boilerplate (nav bars, footers, cookie
+    banners) while preserving the order of everything kept. Lines here
+    are fixed 2-token segments (the fixture's token soup has no real
+    newlines); the operator keeps each line's FIRST occurrence.
+
+    Scale shape: this is a MAP-ONLY projection — the keep-first-
+    occurrence filter runs per document with higher-order functions
+    (filter + array_position: line i survives iff its first occurrence
+    IS position i), so there is no explode, no window, and no shuffle of
+    line rows at any corpus size; each doc is O(lines²) with tiny
+    constants. The oracle reproduces it with the explode + row_number
+    formulation — which is also the Spark fallback if documents were
+    ever long enough for per-doc O(L²) to matter."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.split("text", " ")
+    n_seg = F.ceil(F.size(t) / F.lit(2.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(F.slice(t, i * 2 + 1, 2), " "),
+    )
+    with_lines = docs.select("doc_id", lines.alias("_lines"))
+    kept = F.filter(
+        F.col("_lines"),
+        lambda x, i: F.array_position(F.col("_lines"), x) == i + 1,
+    )
+    return with_lines.select(
+        "doc_id",
+        F.size("_lines").alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.md5(F.array_join(kept, " ").cast("binary")).alias("cleaned_md5"),
+    )
+
+
+register(
+    "train_dedup_lines",
+    _dedup_lines,
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    flat AS (
+        SELECT doc_id, l.pos AS pos, l.line AS line FROM (
+            SELECT doc_id,
+                   unnest([{'pos': i,
+                            'line': array_to_string(ts[i*2+1 : i*2+2], ' ')}
+                           for i in range(0, CAST(ceil(len(ts) / 2.0) AS INT))])
+                       AS l
+            FROM toks) t
+    ),
+    kept AS (
+        SELECT doc_id, pos, line,
+               row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+        FROM flat
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INTEGER) AS n_lines,
+           CAST(count(CASE WHEN rn = 1 THEN 1 END) AS INTEGER) AS n_kept,
+           md5(array_to_string(
+               list(CASE WHEN rn = 1 THEN line END ORDER BY pos), ' '))
+               AS cleaned_md5
+    FROM kept GROUP BY doc_id
+    """,
+)

@@ -249,3 +249,34 @@ def test_kmeans_refine_matches_numpy(spark):
     assert set(got) == set(c)
     for k in c:
         assert np.allclose(got[k], c[k], atol=1e-9), (k, got[k], c[k])
+
+
+def test_train_dedup_lines_keeps_first_occurrence(spark):
+    """The map-only line dedup drops later repeats and preserves order of
+    what remains (hand-checkable doc: 2-token lines 'a b','c d','a b' →
+    keeps 'a b','c d')."""
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(1, "a b c d a b")], ["doc_id", "text"]
+    )
+    # same expressions as queries.training_pipeline._dedup_lines, applied
+    # to an in-memory frame (the query fn reads a parquet fixture)
+    t = F.split("text", " ")
+    n_seg = F.ceil(F.size(t) / F.lit(2.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(F.slice(t, i * 2 + 1, 2), " "),
+    )
+    with_lines = df.select("doc_id", lines.alias("_lines"))
+    kept = F.filter(
+        F.col("_lines"),
+        lambda x, i: F.array_position(F.col("_lines"), x) == i + 1,
+    )
+    row = with_lines.select(
+        F.size("_lines").alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.md5(F.array_join(kept, " ").cast("binary")).alias("h"),
+    ).collect()[0]
+    assert (row["n_lines"], row["n_kept"]) == (3, 2)
+    assert row["h"] == hashlib.md5(b"a b c d").hexdigest()
