@@ -550,3 +550,95 @@ register(
     FROM kept GROUP BY doc_id
     """,
 )
+
+
+def _dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-document boilerplate-line removal (the C4-style cleanup):
+    a line occurring in ≥5% of all documents is boilerplate (nav bars,
+    cookie banners, license headers) and is stripped from EVERY document,
+    preserving the order of what remains. Complements train_dedup_lines
+    (within-doc repeats).
+
+    Scale shape: posexplode lines map-only → one groupBy(line) shuffle
+    for document frequencies → the boilerplate set is BROADCAST back
+    (provably small: lines with df ≥ α·N number at most L/(α·N) — the
+    5% threshold caps it at 20·avg_lines_per_doc rows regardless of
+    corpus size) → one groupBy(doc_id) shuffle rebuilds documents. The
+    corpus is scanned twice (frequency pass + rebuild pass) — at 100 TB
+    prefer re-scanning over checkpointing the exploded line relation,
+    which is itself corpus-sized. The threshold is a lazy scalar
+    (broadcast one-row count), not a driver-side collect."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.split("text", " ")
+    n_seg = F.ceil(F.size(t) / F.lit(2.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(F.slice(t, i * 2 + 1, 2), " "),
+    )
+    flat = docs.select(
+        "doc_id", F.posexplode(lines).alias("pos", "line")
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("_n"))
+    freq = flat.groupBy("line").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    boiler = (
+        freq.crossJoin(F.broadcast(total))
+        .where(F.col("df") >= F.ceil(F.col("_n") * 0.05))
+        .select("line", F.lit(True).alias("_is_boiler"))
+    )
+    flagged = flat.join(F.broadcast(boiler), "line", "left")
+    kept_struct = F.when(
+        F.col("_is_boiler").isNull(), F.struct("pos", "line")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_lines"),
+        F.count(kept_struct).cast("int").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["line"],
+                ),
+                " ",
+            ).cast("binary")
+        ).alias("cleaned_md5"),
+    )
+
+
+register(
+    "train_dedup_lines_global",
+    _dedup_lines_global,
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    flat AS (
+        SELECT doc_id, l.pos AS pos, l.line AS line FROM (
+            SELECT doc_id,
+                   unnest([{'pos': i,
+                            'line': array_to_string(ts[i*2+1 : i*2+2], ' ')}
+                           for i in range(0, CAST(ceil(len(ts) / 2.0) AS INT))])
+                       AS l
+            FROM toks) t
+    ),
+    boiler AS (
+        SELECT line FROM flat GROUP BY line
+        HAVING count(DISTINCT doc_id) >=
+               ceil(0.05 * (SELECT count(*) FROM documents))
+    ),
+    flagged AS (
+        SELECT f.doc_id, f.pos, f.line,
+               (b.line IS NOT NULL) AS is_boiler
+        FROM flat f LEFT JOIN boiler b ON f.line = b.line
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INTEGER) AS n_lines,
+           CAST(count(CASE WHEN NOT is_boiler THEN 1 END) AS INTEGER)
+               AS n_kept,
+           md5(array_to_string(
+               list(CASE WHEN NOT is_boiler THEN line END ORDER BY pos), ' '))
+               AS cleaned_md5
+    FROM flagged GROUP BY doc_id
+    """,
+)
