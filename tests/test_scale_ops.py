@@ -408,3 +408,53 @@ def test_salted_asof_matches_unsalted_and_salts_exchange(spark, sf_dir):
     assert any("user_id" in e and "day" in e for e in exchanges), exchanges
     # and the raw-events relation is never partitioned by user_id alone
     # (the carry summary may be — it is one row per user-day)
+
+
+def test_salted_asof_bucket_boundary_semantics(spark):
+    """Hand-built cross-day cases for the salted as-of join: carry-in
+    across the day boundary, same-timestamp click+purchase tie (click
+    counts), local click shadowing the carry-in, and never-clicked NULL."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from orchestrated_etl_spark.queries.scale_ops import _asof, _asof_salted
+
+    D1, D2 = dt.datetime(2025, 3, 1), dt.datetime(2025, 3, 2)
+    rows = [
+        # user 1: click late day1 → purchase early day2 (pure carry-in)
+        (1, D1 + dt.timedelta(hours=23, minutes=59), 1, "click", 0.0, "{}"),
+        (2, D2 + dt.timedelta(minutes=1), 1, "purchase", 1.0, "{}"),
+        # user 1: later click day2 shadows the carry-in for a later purchase
+        (3, D2 + dt.timedelta(hours=10), 1, "click", 0.0, "{}"),
+        (4, D2 + dt.timedelta(hours=11), 1, "purchase", 1.0, "{}"),
+        # user 2: click and purchase at the SAME ts → click counts (<=)
+        (5, D1 + dt.timedelta(hours=5), 2, "click", 0.0, "{}"),
+        (6, D1 + dt.timedelta(hours=5), 2, "purchase", 1.0, "{}"),
+        # user 3: purchase, never clicked → NULL
+        (7, D1 + dt.timedelta(hours=8), 3, "purchase", 1.0, "{}"),
+    ]
+    d = tempfile.mkdtemp(prefix="asof_fixture_")
+    try:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string",
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+        got = {
+            r["event_id"]: r["last_click_ts"]
+            for r in _asof_salted(spark, d).collect()
+        }
+        assert got[2] == D1 + dt.timedelta(hours=23, minutes=59)  # carry-in
+        assert got[4] == D2 + dt.timedelta(hours=10)  # local shadows carry
+        assert got[6] == D1 + dt.timedelta(hours=5)   # same-ts click counts
+        assert got[7] is None                          # never clicked
+
+        plain = {
+            r["event_id"]: r["last_click_ts"]
+            for r in _asof(spark, d).collect()
+        }
+        assert got == plain
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
