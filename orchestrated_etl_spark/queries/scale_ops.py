@@ -203,18 +203,14 @@ register(
 # ---------------------------------------------------------------------------
 
 
-def _asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join: for every purchase event, the most recent click at or
-    before it by the same user — the point-in-time join feature stores and
-    backtests need, which Spark has no native operator for.
-
-    Implementation is the union-tag trick: interleave both sides in one
-    stream, sort within user by (ts, kind) and carry the last click ts
-    forward with a running-max window. ONE shuffle on user_id, no
-    join explosion, no per-key collect — survives arbitrary scale as long
-    as a single user's history fits a partition (salt by time-range if
-    not)."""
-    ev = read_events(spark, sf_dir).select("event_id", "user_id", "ts", "event_type")
+def asof_core(ev: DataFrame) -> DataFrame:
+    """As-of join core over an events frame with (event_id, user_id, ts,
+    event_type): for every purchase, the most recent click at or before it
+    by the same user. Union-tag trick — interleave both sides, sort within
+    user by (ts, kind) with clicks before same-ts purchases, carry the
+    last click ts forward with a running-max window. ONE shuffle on
+    user_id; assumes one user's history fits a partition (see
+    asof_salted_core for the skew-safe variant)."""
     tagged = ev.where(F.col("event_type").isin("click", "purchase")).withColumn(
         "kind", F.when(F.col("event_type") == "click", F.lit(0)).otherwise(F.lit(1))
     )
@@ -231,6 +227,13 @@ def _asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("kind") == 1)
         .select("event_id", "user_id", "ts", "last_click_ts")
     )
+
+
+def _asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: the point-in-time join feature stores and backtests
+    need, which Spark has no native operator for. See asof_core."""
+    ev = read_events(spark, sf_dir).select("event_id", "user_id", "ts", "event_type")
+    return asof_core(ev)
 
 
 register(
@@ -272,6 +275,11 @@ def _asof_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the summary is NOT broadcast (|users|·|days| rows is itself a
     big relation at 100 TB; only its per-key slices are small)."""
     ev = read_events(spark, sf_dir).select("event_id", "user_id", "ts", "event_type")
+    return asof_salted_core(ev)
+
+
+def asof_salted_core(ev: DataFrame) -> DataFrame:
+    """Salted as-of core over an events frame — see _asof_salted."""
     tagged = (
         ev.where(F.col("event_type").isin("click", "purchase"))
         .withColumn(

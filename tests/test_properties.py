@@ -210,3 +210,59 @@ def test_minhash_text_fast_path_matches_array_path(spark, texts):
         for r in D.minhash_signature_text(df, "doc_id", "text", 3, 8).collect()
     }
     assert via_array == via_rows
+
+
+# events: (user_id, ts_offset_minutes, is_click) — few users, coarse and
+# colliding timestamps (same-minute click+purchase ties), cross-day spans
+_events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),          # user
+        st.integers(min_value=0, max_value=3000),       # minutes from epoch0
+        st.booleans(),                                  # click?
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(**_SETTINGS)
+@given(_events_strategy)
+def test_asof_join_matches_python_and_salted_matches_plain(spark, events):
+    """Both as-of implementations (single-shuffle window and the
+    (user, day)-salted two-pass) must equal the obvious pure-Python
+    answer: per purchase, max click ts <= purchase ts for that user."""
+    import datetime as dt
+
+    from orchestrated_etl_spark.queries.scale_ops import (
+        asof_core,
+        asof_salted_core,
+    )
+
+    base = dt.datetime(2025, 5, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=m), u,
+         "click" if c else "purchase", 0.0)
+        for i, (u, m, c) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double",
+    )
+
+    def py_asof():
+        out = {}
+        for eid, ts, u, kind, _ in rows:
+            if kind != "purchase":
+                continue
+            clicks = [t for _, t, uu, k, _ in rows
+                      if uu == u and k == "click" and t <= ts]
+            out[eid] = max(clicks) if clicks else None
+        return out
+
+    want = py_asof()
+    got_plain = {r["event_id"]: r["last_click_ts"]
+                 for r in asof_core(df).collect()}
+    got_salted = {r["event_id"]: r["last_click_ts"]
+                  for r in asof_salted_core(df).collect()}
+    assert got_plain == want
+    assert got_salted == want
