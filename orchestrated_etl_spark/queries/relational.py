@@ -153,9 +153,15 @@ register(
 
 
 def _win_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The synthetic fixture contains duplicate (l_orderkey, l_linenumber)
+    # pairs (observed at sf0.1), so (shipdate, orderkey, linenumber) is
+    # NOT a total order — lag/lead over it would be engine-arbitrary at
+    # ties. Appending l_quantity (the lagged value itself) restores a
+    # deterministic MULTISET: rows equal on every sort key are adjacent,
+    # so swapping them never changes the emitted (prev, next) values.
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     w = Window.partitionBy("l_suppkey").orderBy(
-        "l_shipdate", "l_orderkey", "l_linenumber"
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"
     )
     return li.select(
         "l_suppkey",
@@ -177,7 +183,7 @@ register(
            lead(l_quantity, 1) OVER w AS next_qty
     FROM lineitem
     WINDOW w AS (PARTITION BY l_suppkey
-                 ORDER BY l_shipdate, l_orderkey, l_linenumber)
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)
     """,
 )
 
@@ -419,7 +425,13 @@ def _tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
         [
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            # DECIMAL accumulation → exact sum regardless of order; the avg
+            # is then one double division of identical inputs on both
+            # engines (round(avg(double),6) flipped at sf0.1 group sizes).
+            (
+                F.sum(F.col("value").cast("decimal(25,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_value"),
         ],
     ).select("window_start", "window_end", "event_type", "n_events", "avg_value")
 
@@ -432,7 +444,8 @@ register(
            time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
            event_type,
            count(*) AS n_events,
-           round(avg(value), 6) AS avg_value
+           CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE) / count(*)
+               AS avg_value
     FROM events GROUP BY 1, 2, 3
     """,
 )

@@ -408,7 +408,11 @@ def _json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = read_json(spark, path, schemas.ORDERS)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        # exact DECIMAL accumulation: round(sum(double),2) can flip a cent
+        # once group sums reach ~1e9 (observed at sf0.1)
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
     )
 
 
@@ -417,7 +421,8 @@ register(
     _json_roundtrip,
     """
     SELECT o_orderstatus, count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -440,7 +445,11 @@ def _partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(path)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        # exact DECIMAL accumulation: round(sum(double),2) can flip a cent
+        # once group sums reach ~1e9 (observed at sf0.1)
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
     )
 
 
@@ -449,7 +458,8 @@ register(
     _partitioned_sink,
     """
     SELECT o_orderstatus, count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -630,10 +640,16 @@ def _merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
+    # +10% computed in DECIMAL: round(double*1.1, 2) tie-breaks differently
+    # across engines (a one-cent flip at sf0.1); exact decimal multiply +
+    # decimal round is HALF_UP on both.
     updates = orders.where(F.col("o_orderkey") % 20 == 0).select(
         "o_orderkey",
         F.lit("U").alias("o_orderstatus"),
-        F.round(F.col("o_totalprice") * 1.10, 2).alias("o_totalprice"),
+        F.expr(
+            "CAST(round(CAST(o_totalprice AS DECIMAL(18,2))"
+            " * CAST(1.10 AS DECIMAL(3,2)), 2) AS DOUBLE)"
+        ).alias("o_totalprice"),
     )
     merged = updates.unionByName(
         orders.join(updates.select("o_orderkey"), "o_orderkey", "left_anti")
@@ -643,7 +659,11 @@ def _merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(path)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        # exact DECIMAL accumulation: round(sum(double),2) can flip a cent
+        # once group sums reach ~1e9 (observed at sf0.1)
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
     )
 
 
@@ -653,7 +673,9 @@ register(
     """
     WITH updates AS (
         SELECT o_orderkey, 'U' AS o_orderstatus,
-               round(o_totalprice * 1.10, 2) AS o_totalprice
+               CAST(round(CAST(o_totalprice AS DECIMAL(18,2))
+                          * CAST(1.10 AS DECIMAL(3,2)), 2) AS DOUBLE)
+                   AS o_totalprice
         FROM orders WHERE o_orderkey % 20 = 0
     ),
     merged AS (
@@ -663,7 +685,8 @@ register(
         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
     )
     SELECT o_orderstatus, count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
     FROM merged GROUP BY o_orderstatus
     """,
 )
@@ -882,7 +905,9 @@ def _dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
         )
     )
 
@@ -896,7 +921,8 @@ register(
             AS t(status, label)
     )
     SELECT o_orderstatus, count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
     FROM orders JOIN dim ON o_orderstatus = status
     WHERE label = 'closed'
     GROUP BY 1
@@ -1002,7 +1028,8 @@ register(
     _observed_standardise,
     """
     SELECT o_orderstatus, count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
     FROM orders GROUP BY 1
     """,
 )
