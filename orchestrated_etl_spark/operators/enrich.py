@@ -32,12 +32,21 @@ def enrich_metrics(
 ) -> DataFrame:
     """A1-A5 as one hash aggregate; column names follow the reference's
     enriched_metrics sink (dags/dag.py:50-57)."""
-    wsum = F.sum(F.col(rating) * F.col(count))
+    # Sums accumulate in DECIMAL (rating/price are ≤2-decimal values, the
+    # count an integer — the products are exact at scale 2), then cast to
+    # double: order-independent, so the result is bit-identical on any
+    # engine/partitioning. Ratios are raw IEEE quotients of those exact
+    # sums — round() on a double is never applied to a compared value
+    # (engines tie-break double rounding differently).
+    wsum = F.sum(
+        F.col(rating).cast("decimal(8,2)") * F.col(count).cast("decimal(14,0)")
+    ).cast("double")
     csum = F.sum(count)
+    psum = F.sum(F.col(price).cast("decimal(14,2)")).cast("double")
     return df.groupBy(group_key).agg(
         # try_divide: 0/0 → NULL (pandas NaN analogue) under ANSI mode
         F.try_divide(wsum, csum).alias("Average_rating"),
-        F.avg(price).alias("Average_price"),
+        F.try_divide(psum, F.count(price)).alias("Average_price"),
         csum.alias("Total_rating_count"),
         wsum.alias("Sum_rating_count_rating"),
         F.count(F.lit(1)).alias("Book_count"),
@@ -63,19 +72,23 @@ def flagship(spark, sf_dir: str) -> DataFrame:
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
 
+    # Decimal casts: every column is a ≤2-decimal value, so sums and the
+    # disc·qty product (scale 4) are EXACT regardless of accumulation
+    # order — the compared doubles are then bit-identical on any engine.
     cleaned = (
         lineitem.na.drop(
             "any", subset=["l_quantity", "l_extendedprice", "l_discount"]
         )
         .select(
             "l_orderkey",
-            F.col("l_quantity").cast("double").alias("qty"),
-            F.col("l_extendedprice").cast("double").alias("price"),
-            F.col("l_discount").cast("double").alias("disc"),
+            F.col("l_quantity").cast("decimal(14,2)").alias("qty"),
+            F.col("l_extendedprice").cast("decimal(14,2)").alias("price"),
+            F.col("l_discount").cast("decimal(4,2)").alias("disc"),
         )
     )
-    wsum = F.sum(F.col("disc") * F.col("qty"))
-    qsum = F.sum("qty")
+    wsum = F.sum(F.col("disc") * F.col("qty")).cast("double")
+    qsum = F.sum("qty").cast("double")
+    psum = F.sum("price").cast("double")
     return (
         cleaned.join(
             orders.select("o_orderkey", "o_custkey"),
@@ -94,10 +107,10 @@ def flagship(spark, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.round(F.try_divide(wsum, qsum), 6).alias("avg_weighted_discount"),
-            F.round(F.avg("price"), 4).alias("avg_price"),
-            F.round(qsum, 2).alias("total_qty"),
-            F.round(wsum, 4).alias("sum_disc_qty"),
+            F.try_divide(wsum, qsum).alias("avg_weighted_discount"),
+            F.try_divide(psum, F.count(F.lit(1))).alias("avg_price"),
+            qsum.alias("total_qty"),
+            wsum.alias("sum_disc_qty"),
             F.count(F.lit(1)).alias("item_count"),
         )
     )

@@ -90,13 +90,17 @@ def _anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily per-type volume scored against its own trailing week:
     z = (today − mean(prev 7 days)) / stddev(prev 7 days). The frame
     excludes the current row (an anomaly must not suppress itself) and
-    needs ≥ 3 prior days before scoring. Daily totals are rounded BEFORE
-    the window so both engines feed identical doubles into the identical
-    ordered frame. One shuffle on event_type."""
+    needs ≥ 3 prior days before scoring. Daily totals accumulate in
+    DECIMAL (exact, order-independent) so both engines feed identical
+    doubles into the identical ordered frame. One shuffle on event_type."""
     daily = (
         read_events(spark, sf_dir)
         .groupBy("event_type", F.col("ts").cast("date").alias("day"))
-        .agg(F.round(F.sum("value"), 4).alias("day_total"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(25,10)"))
+            .cast("double")
+            .alias("day_total")
+        )
     )
     w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
     scored = daily.select(
@@ -129,7 +133,8 @@ register(
     """
     WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
-               round(sum(value), 4) AS day_total
+               CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE)
+                   AS day_total
         FROM events GROUP BY event_type, CAST(ts AS DATE)
     ),
     scored AS (
@@ -454,13 +459,14 @@ def _sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
-        "RETURNS DOUBLE RETURN p * (1.0 - d)"
+        "RETURNS DECIMAL(18,4) "
+        "RETURN CAST(p AS DECIMAL(14,2)) * CAST(1.0 - d AS DECIMAL(4,2))"
     )
     return spark.sql(
         """
         SELECT l_returnflag,
-               round(sum(disc_price(l_extendedprice, l_discount)), 2)
-                   AS revenue,
+               CAST(sum(disc_price(l_extendedprice, l_discount))
+                    AS DOUBLE) AS revenue,
                count(*) AS n_items
         FROM v_lineitem_w5
         WHERE l_quantity < :maxqty
@@ -475,7 +481,9 @@ register(
     _sql_scalar_udf,
     """
     SELECT l_returnflag,
-           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                    * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+               AS revenue,
            count(*) AS n_items
     FROM lineitem
     WHERE l_quantity < 30.0

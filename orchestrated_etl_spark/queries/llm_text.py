@@ -91,8 +91,10 @@ def _lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
-        F.round(F.avg(X.token_count("text")), 4).alias("avg_tokens"),
+        (F.sum("n_chars") * 1.0 / F.count(F.lit(1))).alias("avg_chars"),
+        (F.sum(X.token_count("text")) * 1.0 / F.count(F.lit(1))).alias(
+            "avg_tokens"
+        ),
         F.countDistinct("source").alias("n_sources"),
     )
 
@@ -103,8 +105,8 @@ register(
     """
     SELECT lang,
            count(*) AS n_docs,
-           round(avg(n_chars), 4) AS avg_chars,
-           round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+           sum(n_chars) * 1.0 / count(*) AS avg_chars,
+           sum(len(string_split(text, ' '))) * 1.0 / count(*) AS avg_tokens,
            count(DISTINCT source) AS n_sources
     FROM documents GROUP BY lang
     """,
@@ -213,9 +215,11 @@ def _bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_pieces").cast("long").alias("total_pieces"),
-        F.round(
-            F.try_divide(F.sum("n_pieces"), F.sum("n_words")), 6
-        ).alias("pieces_per_word"),
+        # raw quotient of exact integer sums — identical on both
+        # engines, no round() tie risk
+        F.try_divide(F.sum("n_pieces"), F.sum("n_words")).alias(
+            "pieces_per_word"
+        ),
     )
 
 
@@ -231,7 +235,7 @@ register(
     )
     SELECT lang, count(*) AS n_docs,
            CAST(sum(n_pieces) AS BIGINT) AS total_pieces,
-           round(sum(n_pieces) * 1.0 / sum(n_words), 6) AS pieces_per_word
+           sum(n_pieces) * 1.0 / sum(n_words) AS pieces_per_word
     FROM d GROUP BY lang
     """,
 )

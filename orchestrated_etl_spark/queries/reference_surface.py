@@ -25,10 +25,16 @@ register(
     flagship,
     """
     SELECT n_name,
-           round(sum(l_discount * l_quantity) / sum(l_quantity), 6) AS avg_weighted_discount,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(sum(l_quantity), 2) AS total_qty,
-           round(sum(l_discount * l_quantity), 4) AS sum_disc_qty,
+           CAST(sum(CAST(l_discount AS DECIMAL(4,2))
+                    * CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE)
+               / CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE)
+               AS avg_weighted_discount,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+               / count(*) AS avg_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS total_qty,
+           CAST(sum(CAST(l_discount AS DECIMAL(4,2))
+                    * CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE)
+               AS sum_disc_qty,
            count(*) AS item_count
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -98,14 +104,15 @@ register(
 
 
 def _books_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # enrich_metrics already accumulates in DECIMAL (engine-exact); no
+    # round() on compared doubles.
     df = _books_standardised(spark, sf_dir)
-    out = enrich_metrics(df)
-    return out.select(
+    return enrich_metrics(df).select(
         "Author",
-        F.round("Average_rating", 6).alias("Average_rating"),
-        F.round("Average_price", 4).alias("Average_price"),
+        "Average_rating",
+        "Average_price",
         "Total_rating_count",
-        F.round("Sum_rating_count_rating", 4).alias("Sum_rating_count_rating"),
+        "Sum_rating_count_rating",
         "Book_count",
     )
 
@@ -124,10 +131,15 @@ register(
         GROUP BY Title
     )
     SELECT Author,
-           round(sum(Rating * Rating_count) / sum(Rating_count), 6) AS Average_rating,
-           round(avg(Price), 4) AS Average_price,
+           CAST(sum(CAST(Rating AS DECIMAL(8,2))
+                    * CAST(Rating_count AS DECIMAL(14,0))) AS DOUBLE)
+               / sum(Rating_count) AS Average_rating,
+           CAST(sum(CAST(Price AS DECIMAL(14,2))) AS DOUBLE) / count(Price)
+               AS Average_price,
            CAST(sum(Rating_count) AS BIGINT) AS Total_rating_count,
-           round(sum(Rating * Rating_count), 4) AS Sum_rating_count_rating,
+           CAST(sum(CAST(Rating AS DECIMAL(8,2))
+                    * CAST(Rating_count AS DECIMAL(14,0))) AS DOUBLE)
+               AS Sum_rating_count_rating,
            count(*) AS Book_count
     FROM books
     GROUP BY Author
@@ -320,12 +332,14 @@ def _a_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         count="l_quantity",
         price="l_extendedprice",
     )
+    # no round() on compared doubles: enrich_metrics accumulates in
+    # DECIMAL, so these are already engine-exact values
     return enriched.select(
         "c_mktsegment",
-        F.round("Average_rating", 6).alias("avg_weighted_discount"),
-        F.round("Average_price", 4).alias("avg_price"),
-        F.round("Total_rating_count", 2).alias("total_qty"),
-        F.round("Sum_rating_count_rating", 4).alias("sum_disc_qty"),
+        F.col("Average_rating").alias("avg_weighted_discount"),
+        F.col("Average_price").alias("avg_price"),
+        F.col("Total_rating_count").alias("total_qty"),
+        F.col("Sum_rating_count_rating").alias("sum_disc_qty"),
         F.col("Book_count").alias("item_count"),
     )
 
@@ -335,10 +349,15 @@ register(
     _a_family,
     """
     SELECT c_mktsegment,
-           round(sum(l_discount * l_quantity) / sum(l_quantity), 6) AS avg_weighted_discount,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(sum(l_quantity), 2) AS total_qty,
-           round(sum(l_discount * l_quantity), 4) AS sum_disc_qty,
+           CAST(sum(CAST(l_discount AS DECIMAL(8,2))
+                    * CAST(l_quantity AS DECIMAL(14,0))) AS DOUBLE)
+               / sum(l_quantity) AS avg_weighted_discount,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+               / count(l_extendedprice) AS avg_price,
+           sum(l_quantity) AS total_qty,
+           CAST(sum(CAST(l_discount AS DECIMAL(8,2))
+                    * CAST(l_quantity AS DECIMAL(14,0))) AS DOUBLE)
+               AS sum_disc_qty,
            count(*) AS item_count
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
@@ -359,22 +378,35 @@ def _q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            # DECIMAL accumulation: every factor is a ≤2-decimal value, so
+            # the sums (and the disc/charge products at scale 4/6) are
+            # exact in any order; averages are raw IEEE quotients of the
+            # exact sums — never round() on a compared double.
+            F.sum(F.col("l_quantity").cast("decimal(14,2)"))
+            .cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(14,2)"))
+            .cast("double").alias("sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(14,2)")
+                * (1 - F.col("l_discount")).cast("decimal(4,2)")
+            ).cast("double").alias("sum_disc_price"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(14,2)")
+                * (1 - F.col("l_discount")).cast("decimal(4,2)")
+                * (1 + F.col("l_tax")).cast("decimal(4,2)")
+            ).cast("double").alias("sum_charge"),
+            (
+                F.sum(F.col("l_quantity").cast("decimal(14,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_qty"),
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(14,2)"))
+                .cast("double") / F.count(F.lit(1))
+            ).alias("avg_price"),
+            (
+                F.sum(F.col("l_discount").cast("decimal(4,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -385,13 +417,22 @@ register(
     _q1_pricing,
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 6) AS avg_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(avg(l_discount), 6) AS avg_disc,
+           CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+               AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                    * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                    * CAST(1 - l_discount AS DECIMAL(4,2))
+                    * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE)
+               AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) / count(*)
+               AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+               / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*)
+               AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -430,9 +471,10 @@ def _j1_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("r_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(14,2)")
+                * (1 - F.col("l_discount")).cast("decimal(4,2)")
+            ).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("item_count"),
         )
     )
@@ -443,7 +485,9 @@ register(
     _j1_star_join,
     """
     SELECT r_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                    * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+               AS revenue,
            count(*) AS item_count
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
@@ -470,7 +514,8 @@ def _j_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_mktsegment")
         .agg(
             F.count("o_orderkey").alias("order_count"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("total_spend"),
         )
     )
 
@@ -481,7 +526,8 @@ register(
     """
     SELECT c_custkey, c_mktsegment,
            count(o_orderkey) AS order_count,
-           round(sum(o_totalprice), 2) AS total_spend
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_spend
     FROM customer
     LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey, c_mktsegment

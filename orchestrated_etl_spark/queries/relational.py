@@ -260,7 +260,8 @@ register(
 def _cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return li.cube("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.sum(F.col("l_extendedprice").cast("decimal(14,2)"))
+        .cast("double").alias("sum_price"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -270,7 +271,8 @@ register(
     _cube,
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+               AS sum_price, count(*) AS n
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
 )
@@ -282,7 +284,7 @@ def _grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,
-               round(sum(o_totalprice), 2) AS sum_price,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
                count(*) AS n
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
@@ -296,7 +298,7 @@ register(
     _grouping_sets,
     """
     SELECT o_orderstatus, o_orderpriority,
-           round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, count(*) AS n
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                             (o_orderstatus, o_orderpriority))
@@ -370,7 +372,8 @@ def _date_trunc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(25,10)"))
+            .cast("double").alias("sum_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
     )
@@ -382,7 +385,7 @@ register(
     """
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
            count(*) AS n_events,
-           round(sum(value), 4) AS sum_value,
+           CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS sum_value,
            count(DISTINCT user_id) AS n_users
     FROM events GROUP BY 1, 2
     """,
@@ -462,7 +465,8 @@ def _sliding_2h_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(w.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(25,10)"))
+            .cast("double").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -488,7 +492,7 @@ register(
            window_start + INTERVAL '2 hours' AS window_end,
            event_type,
            count(*) AS n_events,
-           round(sum(value), 4) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS sum_value
     FROM starts GROUP BY 1, 2, 3
     """,
 )
@@ -566,7 +570,9 @@ def _sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l.l_orderkey AS orderkey,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE)
+               AS revenue,
                o.o_orderdate AS orderdate,
                o.o_orderpriority AS orderpriority
         FROM v_customer c
@@ -587,7 +593,9 @@ register(
     _sql_q3,
     """
     SELECT l.l_orderkey AS orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE)
+               AS revenue,
            o.o_orderdate AS orderdate,
            o.o_orderpriority AS orderpriority
     FROM customer c
@@ -796,7 +804,7 @@ def _pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders_pipe_src
         |> WHERE o_orderpriority = '1-URGENT'
         |> AGGREGATE count(*) AS n_orders,
-                     round(sum(o_totalprice), 2) AS total_price
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
            GROUP BY o_orderstatus
         |> ORDER BY o_orderstatus
         """
@@ -808,7 +816,7 @@ register(
     _pipe_syntax,
     """
     SELECT o_orderstatus, count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
     FROM orders
     WHERE o_orderpriority = '1-URGENT'
     GROUP BY 1 ORDER BY 1

@@ -500,8 +500,10 @@ def _bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-        .alias("revenue"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(14,2)")
+            * (1 - F.col("l_discount")).cast("decimal(4,2)")
+        ).cast("double").alias("revenue"),
     )
 
 
@@ -510,7 +512,9 @@ register(
     _bucketed_join,
     """
     SELECT o_orderpriority, count(*) AS n_items,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                    * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+               AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
@@ -605,12 +609,12 @@ def _salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "_salt")
         .agg(
             F.count(F.lit(1)).alias("pn"),
-            F.sum("value").alias("psum"),
+            F.sum(F.col("value").cast("decimal(25,10)")).alias("psum"),
         )
     )
     return phase1.groupBy("event_type").agg(
         F.sum("pn").alias("n_events"),
-        F.round(F.sum("psum"), 2).alias("sum_value"),
+        F.sum("psum").cast("double").alias("sum_value"),
     )
 
 
@@ -619,7 +623,8 @@ register(
     _salted_agg,
     """
     SELECT event_type, count(*) AS n_events,
-           round(sum(value), 2) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE)
+               AS sum_value
     FROM events GROUP BY event_type
     """,
 )
@@ -857,7 +862,8 @@ def _orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = read_orc(spark, path, schemas.SUPPLIER)
     return back.groupBy("s_nationkey").agg(
         F.count(F.lit(1)).alias("n_suppliers"),
-        F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+        F.sum(F.col("s_acctbal").cast("decimal(14,2)"))
+        .cast("double").alias("total_acctbal"),
     )
 
 
@@ -866,7 +872,8 @@ register(
     _orc_roundtrip,
     """
     SELECT s_nationkey, count(*) AS n_suppliers,
-           round(sum(s_acctbal), 2) AS total_acctbal
+           CAST(sum(CAST(s_acctbal AS DECIMAL(14,2))) AS DOUBLE)
+               AS total_acctbal
     FROM supplier GROUP BY s_nationkey
     """,
 )
@@ -1019,7 +1026,8 @@ def _observed_standardise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return observed.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("price"), 2).alias("total_price"),
+        F.sum(F.col("price").cast("decimal(18,2)"))
+        .cast("double").alias("total_price"),
     )
 
 

@@ -86,7 +86,8 @@ def _q17_below_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT p.p_brand AS brand,
                count(*) AS n_small,
-               round(sum(l.l_extendedprice), 2) AS small_qty_revenue
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+               AS small_qty_revenue
         FROM v_lineitem l
         JOIN v_part p ON p.p_partkey = l.l_partkey
         WHERE p.p_size <= 10
@@ -107,7 +108,8 @@ register(
     """
     SELECT p.p_brand AS brand,
            count(*) AS n_small,
-           round(sum(l.l_extendedprice), 2) AS small_qty_revenue
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+               AS small_qty_revenue
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_size <= 10
@@ -138,7 +140,8 @@ def _cte_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH per_nation AS (
             SELECT s_nationkey,
                    count(*) AS n_suppliers,
-                   round(avg(s_acctbal), 4) AS avg_bal
+                   CAST(sum(CAST(s_acctbal AS DECIMAL(14,2))) AS DOUBLE) / count(*)
+                   AS avg_bal
             FROM v_supplier
             GROUP BY s_nationkey
         )
@@ -160,7 +163,8 @@ register(
     WITH per_nation AS (
         SELECT s_nationkey,
                count(*) AS n_suppliers,
-               round(avg(s_acctbal), 4) AS avg_bal
+               CAST(sum(CAST(s_acctbal AS DECIMAL(14,2))) AS DOUBLE) / count(*)
+                   AS avg_bal
         FROM supplier
         GROUP BY s_nationkey
     )

@@ -45,9 +45,12 @@ def _q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
-    revenue = F.round(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-    ).alias("revenue")
+    # exact DECIMAL accumulation (2-decimal factors, scale-4 product);
+    # no round() on a cross-engine-compared double
+    revenue = F.sum(
+        F.col("l_extendedprice").cast("decimal(14,2)")
+        * (1 - F.col("l_discount")).cast("decimal(4,2)")
+    ).cast("double").alias("revenue")
     return (
         lineitem.where(F.col("l_returnflag") == "R")
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -69,7 +72,9 @@ register(
     """
     SELECT c.c_custkey AS custkey, c.c_name AS name,
            c.c_mktsegment AS mktsegment,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE)
+               AS revenue,
            count(*) AS n_lines
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -94,16 +99,20 @@ def _q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     an extra join) that would double the I/O at 100 TB."""
     lineitem = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo_rev = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+    rev = F.col("l_extendedprice").cast("decimal(14,2)") * (
+        1 - F.col("l_discount")
+    ).cast("decimal(4,2)")
+    promo_rev = F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("double")
     return (
         lineitem.join(
             F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
         )
         .groupBy(F.date_trunc("month", "l_shipdate").alias("month"))
         .agg(
-            F.round(100.0 * promo_rev / F.sum(rev), 4).alias("promo_share"),
-            F.round(promo_rev, 2).alias("promo_revenue"),
+            (100.0 * promo_rev / F.sum(rev).cast("double")).alias(
+                "promo_share"
+            ),
+            promo_rev.alias("promo_revenue"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -114,14 +123,18 @@ register(
     _q14_promo_share,
     """
     SELECT CAST(date_trunc('month', l.l_shipdate) AS TIMESTAMP) AS month,
-           round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
-                                  THEN l.l_extendedprice * (1 - l.l_discount)
-                                  ELSE 0.0 END)
-                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+           100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN CAST(l.l_extendedprice AS DECIMAL(14,2))
+                                       * CAST(1 - l.l_discount AS DECIMAL(4,2))
+                                  END) AS DOUBLE)
+                 / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                            * CAST(1 - l.l_discount AS DECIMAL(4,2)))
+                        AS DOUBLE)
                AS promo_share,
-           round(sum(CASE WHEN p.p_type = 'PROMO'
-                          THEN l.l_extendedprice * (1 - l.l_discount)
-                          ELSE 0.0 END), 2) AS promo_revenue,
+           CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(14,2))
+                              * CAST(1 - l.l_discount AS DECIMAL(4,2))
+                         END) AS DOUBLE) AS promo_revenue,
            count(*) AS n_lines
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
@@ -210,9 +223,10 @@ def _q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((t == "LARGE") & q.between(20, 30) & s.between(1, 15))
     )
     return j.where(cond).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(14,2)")
+            * (1 - F.col("l_discount")).cast("decimal(4,2)")
+        ).cast("double").alias("revenue"),
         F.count("*").alias("n_lines"),
     )
 
@@ -221,7 +235,9 @@ register(
     "sql_q19_disjunctive",
     _q19_disjunctive,
     """
-    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE)
+               AS revenue,
            count(*) AS n_lines
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey

@@ -50,7 +50,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _rev():
     # Built lazily: a module-level Column would need an active SparkContext
     # at import time, which tooling (QUERIES.md generation) doesn't have.
-    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # DECIMAL product of 2-decimal factors (scale 4, exact): sums of it are
+    # order-independent, so compared doubles are engine-identical with no
+    # round() needed.
+    return F.col("l_extendedprice").cast("decimal(14,2)") * (
+        1 - F.col("l_discount")
+    ).cast("decimal(4,2)")
 
 
 # ---------------------------------------------------------------------------
@@ -84,7 +89,7 @@ def _q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(F.sum(_rev()), 2).alias("revenue"),
+            F.sum(_rev()).cast("double").alias("revenue"),
             F.count("*").alias("n_lines"),
         )
         .orderBy(F.desc("revenue"), "nation")
@@ -96,7 +101,9 @@ register(
     _q5_local_supplier_volume,
     """
     SELECT n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE)
+               AS revenue,
            count(*) AS n_lines
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -133,9 +140,10 @@ def _q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
-            ).alias("revenue"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(14,2)")
+                * F.col("l_discount").cast("decimal(4,2)")
+            ).cast("double").alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -145,7 +153,8 @@ register(
     "sql_q6_forecast_revenue",
     _q6_forecast_revenue,
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
            count(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -196,7 +205,7 @@ def _q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").alias("l_year"),
         )
         .agg(
-            F.round(F.sum(_rev()), 2).alias("revenue"),
+            F.sum(_rev()).cast("double").alias("revenue"),
             F.count("*").alias("n_lines"),
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
@@ -209,7 +218,9 @@ register(
     """
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE)
+               AS revenue,
            count(*) AS n_lines
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -249,7 +260,9 @@ def _q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_supp = nation.select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
-    nation_rev = F.sum(F.when(F.col("supp_nation") == "NATION_3", _rev()).otherwise(0.0))
+    # no .otherwise(0.0): a double ELSE would coerce the whole CASE to
+    # double and lose the exact-decimal accumulation; sum skips NULLs.
+    nation_rev = F.sum(F.when(F.col("supp_nation") == "NATION_3", _rev()))
     return (
         lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -260,8 +273,10 @@ def _q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(nation_rev / F.sum(_rev()), 6).alias("mkt_share"),
-            F.round(F.sum(_rev()), 2).alias("total_revenue"),
+            (nation_rev.cast("double") / F.sum(_rev()).cast("double")).alias(
+                "mkt_share"
+            ),
+            F.sum(_rev()).cast("double").alias("total_revenue"),
         )
         .orderBy("o_year")
     )
@@ -272,12 +287,16 @@ register(
     _q8_market_share,
     """
     SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-           round(sum(CASE WHEN ns.n_name = 'NATION_3'
-                          THEN l.l_extendedprice * (1 - l.l_discount)
-                          ELSE 0.0 END)
-                 / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+           CAST(sum(CASE WHEN ns.n_name = 'NATION_3'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(14,2))
+                              * CAST(1 - l.l_discount AS DECIMAL(4,2))
+                         END) AS DOUBLE)
+                 / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                            * CAST(1 - l.l_discount AS DECIMAL(4,2)))
+                        AS DOUBLE)
                AS mkt_share,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE)
                AS total_revenue
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
@@ -321,7 +340,7 @@ def _q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").alias("o_year"),
         )
         .agg(
-            F.round(F.sum(_rev()), 2).alias("sum_profit"),
+            F.sum(_rev()).cast("double").alias("sum_profit"),
             F.count("*").alias("n_lines"),
         )
         .orderBy("nation", F.desc("o_year"))
@@ -334,7 +353,8 @@ register(
     """
     SELECT n.n_name AS nation,
            CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE)
                AS sum_profit,
            count(*) AS n_lines
     FROM lineitem l
@@ -418,7 +438,7 @@ def _q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < "1996-04-01")
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
+        .agg(F.sum(_rev()).cast("double").alias("total_revenue"))
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("m"))
     return (
@@ -441,7 +461,8 @@ register(
     """
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               round(sum(l_extendedprice * (1 - l_discount)), 2)
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                        * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
                    AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -551,7 +572,8 @@ def _q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT n.n_name AS nation, count(*) AS numcust,
-               round(sum(c.c_acctbal), 2) AS totacctbal
+               CAST(sum(CAST(c.c_acctbal AS DECIMAL(14,2))) AS DOUBLE)
+                   AS totacctbal
         FROM customer_q22 c
         JOIN nation_q22 n ON c.c_nationkey = n.n_nationkey
         WHERE c.c_acctbal > (
@@ -620,7 +642,8 @@ register(
     _q22_sales_opportunity,
     """
     SELECT n.n_name AS nation, count(*) AS numcust,
-           round(sum(c.c_acctbal), 2) AS totacctbal
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(14,2))) AS DOUBLE)
+               AS totacctbal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     WHERE c.c_acctbal > (

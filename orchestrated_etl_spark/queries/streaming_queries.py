@@ -196,7 +196,8 @@ def _foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(target)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.sum(F.col("value").cast("decimal(25,10)"))
+        .cast("double").alias("sum_value"),
     )
 
 
@@ -205,7 +206,8 @@ register(
     _foreachbatch,
     """
     SELECT event_type, count(*) AS n_events,
-           round(sum(value), 2) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE)
+               AS sum_value
     FROM events GROUP BY event_type
     """,
 )
@@ -346,7 +348,8 @@ def _books_stream_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = sdf.groupBy("book_type").agg(
         F.count(F.lit(1)).alias("n_books"),
-        F.round(F.sum(F.col("price").cast("double")), 2).alias("total_price"),
+        F.sum(F.col("price").cast("decimal(18,2)"))
+        .cast("double").alias("total_price"),
     )
     qname = f"books_stream_{uuid.uuid4().hex[:8]}"
     q = (
@@ -378,7 +381,8 @@ register(
     f"""
     WITH {books_oracle_cte(300)}
     SELECT book_type, count(*) AS n_books,
-           round(sum(CAST(price AS DOUBLE)), 2) AS total_price
+           CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
     FROM raw GROUP BY 1
     """,
 )

@@ -49,7 +49,8 @@ def _gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("ts").cast("date").alias("day"), "value")
     )
     daily = ev.groupBy("user_id", "day").agg(
-        F.round(F.sum("value"), 4).alias("day_value")
+        F.sum(F.col("value").cast("decimal(25,10)"))
+        .cast("double").alias("day_value")
     )
     spine = (
         daily.groupBy("user_id")
@@ -83,7 +84,7 @@ register(
     """
     WITH daily AS (
         SELECT user_id, CAST(ts AS DATE) AS day,
-               round(sum(value), 4) AS day_value
+               CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS day_value
         FROM events
         WHERE user_id IS NOT NULL AND user_id < 40
         GROUP BY user_id, CAST(ts AS DATE)
@@ -123,10 +124,10 @@ def _range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_custkey, o_orderkey, o_orderdate,
-               round(sum(o_totalprice) OVER (
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                    PARTITION BY o_custkey ORDER BY o_orderdate
                    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
-               ), 2) AS spend_7d,
+               ) AS DOUBLE) AS spend_7d,
                count(*) OVER (
                    PARTITION BY o_custkey ORDER BY o_orderdate
                    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
@@ -141,10 +142,10 @@ register(
     _range_frame,
     """
     SELECT o_custkey, o_orderkey, o_orderdate,
-           round(sum(o_totalprice) OVER (
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate
                RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
-           ), 2) AS spend_7d,
+           ) AS DOUBLE) AS spend_7d,
            CAST(count(*) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate
                RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
@@ -172,8 +173,8 @@ def _filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag,
                count(*) AS n_rows,
                count(*) FILTER (WHERE l_discount > 0.05) AS n_high_disc,
-               round(sum(l_extendedprice) FILTER (WHERE l_tax > 0.04), 2)
-                   AS taxed_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)))
+                    FILTER (WHERE l_tax > 0.04) AS DOUBLE) AS taxed_price,
                count_if(l_quantity >= 49.0) AS n_near_cap,
                bool_and(l_quantity > 0.0) AS all_positive_qty,
                bool_or(l_discount >= 0.10) AS any_max_disc
@@ -190,8 +191,8 @@ register(
     SELECT l_returnflag,
            count(*) AS n_rows,
            count(*) FILTER (WHERE l_discount > 0.05) AS n_high_disc,
-           round(sum(l_extendedprice) FILTER (WHERE l_tax > 0.04), 2)
-               AS taxed_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2)))
+                FILTER (WHERE l_tax > 0.04) AS DOUBLE) AS taxed_price,
            CAST(count_if(l_quantity >= 49.0) AS BIGINT) AS n_near_cap,
            bool_and(l_quantity > 0.0) AS all_positive_qty,
            bool_or(l_discount >= 0.10) AS any_max_disc

@@ -151,7 +151,7 @@ def _profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("source").alias("n_sources"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        (F.sum("n_chars") * 1.0 / F.count(F.lit(1))).alias("avg_chars"),
     )
 
 
@@ -166,7 +166,7 @@ register(
            count(DISTINCT source) AS n_sources,
            min(n_chars) AS min_chars,
            max(n_chars) AS max_chars,
-           round(avg(n_chars), 4) AS avg_chars
+           sum(n_chars) * 1.0 / count(*) AS avg_chars
     FROM documents
     """,
 )
@@ -286,12 +286,10 @@ def _oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
-        F.round(
-            F.try_divide(
-                F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)),
-                F.count(F.lit(1)),
-            ),
-            6,
+        # raw quotient of exact integer counts — no round() tie risk
+        F.try_divide(
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)) * 1.0,
+            F.count(F.lit(1)),
         ).alias("oov_rate"),
     )
 
@@ -314,8 +312,8 @@ register(
     )
     SELECT lang, count(*) AS n_tokens,
            sum(CASE WHEN vocab.word IS NULL THEN 1 ELSE 0 END) AS n_oov,
-           round(sum(CASE WHEN vocab.word IS NULL THEN 1 ELSE 0 END) * 1.0
-                 / count(*), 6) AS oov_rate
+           sum(CASE WHEN vocab.word IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*) AS oov_rate
     FROM toks LEFT JOIN vocab USING (word)
     GROUP BY lang
     """,

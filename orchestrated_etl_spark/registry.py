@@ -3,9 +3,20 @@
 Each entry pairs a PySpark callable ``(spark, sf_dir) -> DataFrame`` with a
 DuckDB-runnable ANSI-SQL oracle string computing the same relation over the
 same parquet tables. Column names are aliased identically on both sides
-(the driver sorts columns by name before hashing). Aggregates over doubles
-are rounded on BOTH sides so floating-point summation order (nondeterministic
-in any parallel engine) cannot flip the value hash.
+(the driver sorts columns by name before hashing).
+
+FLOAT POLICY (hardened in round 2 after sf0.1 rounding flips): every
+cross-engine-compared float is (a) an exact DECIMAL accumulation cast to
+double (all money-like fixture columns are ≤2-decimal values, so sums and
+their products are exact at small scales), (b) a raw IEEE operation on
+such exact values (quotients, differences — identical inputs give
+identical doubles), or (c) an integer. ``round()`` is never applied to a
+compared double: Spark rounds via exact BigDecimal HALF_UP while DuckDB
+multiplies by a power of ten, so identical inputs can round differently
+at ties — and the fixture's 2-decimal data makes ties systematically
+common, not measure-zero. The exceptions are genuinely irrational values
+(entropy, z-scores, cosines) where round() acts as a tolerance far wider
+than any accumulated ulp drift.
 
 Queries whose semantics are not SQL-expressible (streaming state, LSH
 banding internals) register without an oracle → the driver records a
