@@ -25,15 +25,16 @@ register(
     flagship,
     """
     SELECT n_name,
-           CAST(sum(CAST(l_discount AS DECIMAL(4,2))
-                    * CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE)
-               / CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE)
+           (sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+                * CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 10000.0)
+               / (sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0)
                AS avg_weighted_discount,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+           (sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0)
                / count(*) AS avg_price,
-           CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS total_qty,
-           CAST(sum(CAST(l_discount AS DECIMAL(4,2))
-                    * CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE)
+           sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0
+               AS total_qty,
+           sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+               * CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 10000.0
                AS sum_disc_qty,
            count(*) AS item_count
     FROM lineitem
@@ -372,41 +373,51 @@ register(
 # ---------------------------------------------------------------------------
 
 
+def _c(col):
+    """Exact integer hundredths of a ≤2-decimal positive double column."""
+    return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long")
+
+
+def _c1m(col):
+    """Hundredths of (1 - col) for a ≤2-decimal 0..1 column."""
+    return F.floor((1 - F.col(col)) * 100 + F.lit(0.5)).cast("long")
+
+
+def _c1p(col):
+    """Hundredths of (1 + col) for a ≤2-decimal 0..1 column."""
+    return F.floor((1 + F.col(col)) * 100 + F.lit(0.5)).cast("long")
+
+
 def _q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            # DECIMAL accumulation: every factor is a ≤2-decimal value, so
-            # the sums (and the disc/charge products at scale 4/6) are
-            # exact in any order; averages are raw IEEE quotients of the
-            # exact sums — never round() on a compared double.
-            F.sum(F.col("l_quantity").cast("decimal(14,2)"))
-            .cast("double").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(14,2)"))
-            .cast("double").alias("sum_base_price"),
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(14,2)")
-                * (1 - F.col("l_discount")).cast("decimal(4,2)")
-            ).cast("double").alias("sum_disc_price"),
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(14,2)")
-                * (1 - F.col("l_discount")).cast("decimal(4,2)")
-                * (1 + F.col("l_tax")).cast("decimal(4,2)")
-            ).cast("double").alias("sum_charge"),
+            # SCALED-INTEGER (cents) accumulation — exact like DECIMAL but
+            # on the codegen long fast path (see operators/enrich.py for
+            # the full rationale and overflow bound). The disc/charge
+            # products accumulate at scale 4/6 (hundredths × hundredths).
+            (F.sum(_c("l_quantity")) / 100.0).alias("sum_qty"),
+            (F.sum(_c("l_extendedprice")) / 100.0).alias("sum_base_price"),
             (
-                F.sum(F.col("l_quantity").cast("decimal(14,2)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("avg_qty"),
+                F.sum(_c("l_extendedprice") * _c1m("l_discount")) / 10000.0
+            ).alias("sum_disc_price"),
             (
-                F.sum(F.col("l_extendedprice").cast("decimal(14,2)"))
-                .cast("double") / F.count(F.lit(1))
+                F.sum(
+                    _c("l_extendedprice") * _c1m("l_discount")
+                    * _c1p("l_tax")
+                ) / 1000000.0
+            ).alias("sum_charge"),
+            (F.sum(_c("l_quantity")) / 100.0 / F.count(F.lit(1))).alias(
+                "avg_qty"
+            ),
+            (
+                F.sum(_c("l_extendedprice")) / 100.0 / F.count(F.lit(1))
             ).alias("avg_price"),
-            (
-                F.sum(F.col("l_discount").cast("decimal(4,2)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("avg_disc"),
+            (F.sum(_c("l_discount")) / 100.0 / F.count(F.lit(1))).alias(
+                "avg_disc"
+            ),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -417,22 +428,23 @@ register(
     _q1_pricing,
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+           sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0
+               AS sum_qty,
+           sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0
                AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
-                    * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+           sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT)) / 10000.0
                AS sum_disc_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
-                    * CAST(1 - l_discount AS DECIMAL(4,2))
-                    * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE)
+           sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT)
+               * CAST(floor((1 + l_tax) * 100 + 0.5) AS BIGINT)) / 1000000.0
                AS sum_charge,
-           CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) / count(*)
-               AS avg_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+           sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0
+               / count(*) AS avg_qty,
+           sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0
                / count(*) AS avg_price,
-           CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*)
-               AS avg_disc,
+           sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) / 100.0
+               / count(*) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -471,10 +483,9 @@ def _j1_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("r_name")
         .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(14,2)")
-                * (1 - F.col("l_discount")).cast("decimal(4,2)")
-            ).cast("double").alias("revenue"),
+            (
+                F.sum(_c("l_extendedprice") * _c1m("l_discount")) / 10000.0
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("item_count"),
         )
     )
@@ -485,8 +496,8 @@ register(
     _j1_star_join,
     """
     SELECT r_name,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
-                    * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+           sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * CAST(floor((1 - l_discount) * 100 + 0.5) AS BIGINT)) / 10000.0
                AS revenue,
            count(*) AS item_count
     FROM lineitem
