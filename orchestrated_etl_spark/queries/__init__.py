@@ -28,4 +28,6 @@ def load() -> None:
         analytics_wave5,
         sql_surface_wave6,
         sql_surface_wave7,
+        sql_tpch_wave8,
+        llm_search_quality,
     )

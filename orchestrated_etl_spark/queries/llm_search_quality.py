@@ -1,0 +1,364 @@
+"""Full-text search and corpus-quality gating over the documents table —
+the retrieval / filtering half of a training-data pipeline (the half the
+reference's scrape-and-load DAG, dags/dag.py:76-111, never reaches).
+
+Four components, each a scale-first Spark plan:
+
+- BM25 ranked retrieval over an inverted index built with one explode +
+  one (term) aggregate — the posting lists ARE the shuffle layout; a
+  query touches only its own terms' postings (semi-join pruning), never
+  the corpus.
+- TF-IDF keyword extraction — two hash aggregates (term-per-doc, then
+  doc-frequency) and one broadcast join back; top-k per doc via a
+  partitioned window, no global sort.
+- Incremental ingest dedup — the "tonight's crawl vs the existing
+  corpus" shape: a content-hash LEFT ANTI join. At 100 TB the history
+  side is the big one, so the anti-join shuffles on the 32-byte hash
+  (never the text) and AQE picks broadcast when the incoming batch is
+  small — the standing pattern for append-only corpus growth.
+- Gopher-style quality gate — all-JVM per-document rule booleans
+  aggregated into per-language keep/drop counts; every compared output
+  is an integer, so the gate is bit-exact across engines.
+
+FLOAT POLICY (registry.py): BM25/TF-IDF scores are genuinely irrational
+(ln of corpus statistics) — round(…,6) acts as the cross-engine ulp
+tolerance, and every ranking tie is broken by a deterministic
+(score, term/doc_id) composite so LIMIT/top-k boundaries cannot flip.
+Quality-gate ratios are raw IEEE quotients of identical integers
+(bit-identical across engines) and only feed boolean rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from orchestrated_etl_spark.registry import register
+
+_BM25_TERMS = ["spark", "window", "merge"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    """One row per (doc_id, term) with term frequency and doc length.
+    Map-side explode combines into the (doc_id, term) aggregate
+    immediately — the shuffle carries counted postings, not tokens."""
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
+        F.explode(F.split("text", " ")).alias("term"),
+    )
+    return toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+
+def _search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents for a 3-term query under BM25 (k1=1.2, b=0.75,
+    the Lucene-style idf ln(1 + (N-df+.5)/(df+.5))). The inverted index
+    is one explode + one (doc,term) aggregate; the query-term filter is
+    pushed BELOW the index build, so only matching postings are ever
+    aggregated — at 100 TB a 3-term query aggregates 3 posting lists,
+    not the corpus. N/avgdl/df are tiny aggregates broadcast as scalar
+    values. Ranking ties break on doc_id so the LIMIT boundary is
+    deterministic on both engines."""
+    docs = _docs(spark, sf_dir)
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(F.split("text", " "))).alias("avgdl"),
+    )
+    postings = _tokens(docs).where(F.col("term").isin(_BM25_TERMS))
+    df = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        postings.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (_BM25_K1 + 1))
+            / (
+                F.col("tf")
+                + _BM25_K1
+                * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("contrib"), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_matched_terms"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+register(
+    "search_bm25_topk",
+    _search_bm25_topk,
+    f"""
+    WITH postings AS (
+        SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+        FROM (
+            SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                   unnest(string_split(text, ' ')) AS term
+            FROM documents
+        )
+        WHERE term IN ('spark', 'window', 'merge')
+        GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT count(*) AS n_docs,
+               avg(len(string_split(text, ' '))) AS avgdl
+        FROM documents
+    ),
+    df AS (SELECT term, count(*) AS df FROM postings GROUP BY 1)
+    SELECT doc_id,
+           round(sum(
+               ln(1.0 + (n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf * ({_BM25_K1} + 1))
+               / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+           ), 6) AS score,
+           count(*) AS n_matched_terms
+    FROM postings JOIN df USING (term) CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+
+def _tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (stopwords excluded, idf =
+    ln(N/df)). Plan: the (doc,term) aggregate reuses the posting shape,
+    doc-frequency is a second aggregate on term, joined back by
+    broadcast (the vocabulary is dimension-sized even at 100 TB — it
+    grows with the language, not the corpus). Per-doc ranking is a
+    window over the doc_id partitioning the first aggregate already
+    established — no extra exchange. Rank ties (equal tf and df) break
+    alphabetically, so both engines emit the same rank-1..3 rows."""
+    from orchestrated_etl_spark.functions.text import STOPWORDS
+
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    terms = _tokens(docs).where(~F.col("term").isin(*STOPWORDS))
+    df = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        terms.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "score")
+        .orderBy("doc_id", "rank")
+    )
+
+
+from orchestrated_etl_spark.functions.text import STOPWORDS as _STOPS
+
+_STOP_IN = "('" + "','".join(_STOPS) + "')"
+_STOP_LIST = "['" + "','".join(_STOPS) + "']"
+
+register(
+    "text_tfidf_keywords",
+    _tfidf_keywords,
+    f"""
+    WITH terms AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        )
+        WHERE term NOT IN {_STOP_IN}
+        GROUP BY 1, 2
+    ),
+    df AS (SELECT term, count(*) AS df FROM terms GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, term,
+               round(tf * ln(CAST(n_docs AS DOUBLE) / df.df), 6) AS score
+        FROM terms JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, rank, term, score
+    FROM (
+        SELECT doc_id, term, score,
+               CAST(row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, term ASC
+               ) AS INT) AS rank
+        FROM scored
+    )
+    WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest dedup (new batch vs historical corpus)
+# ---------------------------------------------------------------------------
+
+
+def _incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly-ingest dedup: which incoming documents (doc_id % 5 = 0
+    models the new crawl batch) are NOT already in the historical corpus
+    (the other 80%), by exact content hash. The reference does this with
+    a driver-side Python set of seen titles (dags/dag.py:117-135); here
+    it is a LEFT ANTI join on md5(text) — the join shuffles 32-byte
+    hashes, never document bodies, and AQE swaps in a broadcast anti-join
+    whenever the incoming batch is small relative to history (the common
+    production case). Output is the surviving incoming rows plus their
+    batch provenance — integers and strings only, bit-exact."""
+    docs = _docs(spark, sf_dir).withColumn("h", F.md5("text"))
+    history = docs.where(F.col("doc_id") % 5 != 0).select("h")
+    incoming = docs.where(F.col("doc_id") % 5 == 0)
+    return (
+        incoming.join(history, "h", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "train_incremental_dedup",
+    _incremental_dedup,
+    """
+    SELECT doc_id, lang, source, n_chars
+    FROM documents i
+    WHERE doc_id % 5 = 0
+      AND NOT EXISTS (
+          SELECT 1 FROM documents h
+          WHERE h.doc_id % 5 <> 0 AND md5(h.text) = md5(i.text)
+      )
+    ORDER BY doc_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality gate
+# ---------------------------------------------------------------------------
+
+
+def _quality_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-rule document quality gate (the Gopher/MassiveText rule
+    shape): token-count bounds, mean-token-length bounds, minimum
+    stopword fraction, minimum distinct-token ratio. Each rule is a
+    per-document JVM boolean on one pass over the tokens array (no
+    explode — array aggregates keep it map-only), then ONE aggregate
+    rolls up per-language keep and per-rule drop counts. The ratios are
+    raw IEEE quotients of identical integers, so rule decisions are
+    bit-identical across engines and every output is an integer.
+    At 100 TB this is a map-only scan + one tiny aggregate — the
+    cheapest possible shape for a corpus-wide filter report."""
+    from orchestrated_etl_spark.functions.text import STOPWORDS
+
+    docs = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    mean_len = F.aggregate(
+        toks, F.lit(0), lambda acc, x: acc + F.length(x)
+    ) / n_tok
+    stop_frac = (
+        F.size(F.filter(toks, lambda x: F.lower(x).isin(*STOPWORDS))) / n_tok
+    )
+    uniq_ratio = F.size(F.array_distinct(toks)) / n_tok
+    rules = docs.select(
+        "lang",
+        (n_tok >= 20).alias("r_len_lo"),
+        (n_tok <= 500).alias("r_len_hi"),
+        ((mean_len >= 3.0) & (mean_len <= 10.0)).alias("r_mean_len"),
+        (stop_frac >= 0.02).alias("r_stopword"),
+        (uniq_ratio >= 0.2).alias("r_distinct"),
+    ).withColumn(
+        "keep",
+        F.col("r_len_lo")
+        & F.col("r_len_hi")
+        & F.col("r_mean_len")
+        & F.col("r_stopword")
+        & F.col("r_distinct"),
+    )
+    def cnt(c):
+        return F.sum(F.when(~F.col(c), 1).otherwise(0))
+
+    return (
+        rules.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            cnt("r_len_lo").alias("drop_len_lo"),
+            cnt("r_len_hi").alias("drop_len_hi"),
+            cnt("r_mean_len").alias("drop_mean_len"),
+            cnt("r_stopword").alias("drop_stopword"),
+            cnt("r_distinct").alias("drop_distinct"),
+        )
+        .orderBy("lang")
+    )
+
+
+register(
+    "train_quality_gopher_gate",
+    _quality_gopher_gate,
+    f"""
+    WITH rules AS (
+        SELECT lang,
+               len(toks) >= 20 AS r_len_lo,
+               len(toks) <= 500 AS r_len_hi,
+               (CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                / len(toks)) BETWEEN 3.0 AND 10.0 AS r_mean_len,
+               CAST(len(list_filter(toks,
+                    x -> list_contains({_STOP_LIST}, lower(x)))) AS DOUBLE)
+                 / len(toks) >= 0.02 AS r_stopword,
+               CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.2
+                   AS r_distinct
+        FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents)
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN r_len_lo AND r_len_hi AND r_mean_len
+                          AND r_stopword AND r_distinct
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN NOT r_len_lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS drop_len_lo,
+           CAST(sum(CASE WHEN NOT r_len_hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS drop_len_hi,
+           CAST(sum(CASE WHEN NOT r_mean_len THEN 1 ELSE 0 END) AS BIGINT)
+               AS drop_mean_len,
+           CAST(sum(CASE WHEN NOT r_stopword THEN 1 ELSE 0 END) AS BIGINT)
+               AS drop_stopword,
+           CAST(sum(CASE WHEN NOT r_distinct THEN 1 ELSE 0 END) AS BIGINT)
+               AS drop_distinct
+    FROM rules
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
