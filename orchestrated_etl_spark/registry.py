@@ -69,19 +69,18 @@ _FRONT = [
     # TPC-H wave 3 (driver-unchecked in r01)
     "sql_q8_market_share", "sql_q9_product_profit", "sql_q21_waiting_supplier",
     # LLM text analysis
-    "text_token_stats", "text_lang_id_confusion",
-    "text_bpe_token_counts", "train_pii_scrub",
-    # LLM dedup
+    "text_token_stats", "text_lang_id_confusion", "train_pii_scrub",
+    # LLM dedup (+ round-2 incremental ingest shape)
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_embedding_cosine", "dedup_cluster_components",
-    # similarity / ANN
-    "sim_bruteforce_topk", "sim_ivf_topk", "sim_groupmap_zscore",
+    "dedup_embedding_cosine", "dedup_cluster_components",
+    "train_incremental_dedup",
+    # similarity / ANN / search (round-2 BM25 retrieval)
+    "sim_bruteforce_topk", "sim_ivf_topk", "search_bm25_topk",
     # multimodal
     "mm_binary_metadata", "mm_frame_sample", "mm_fake_embed_topk",
     # streaming (oracle-bearing entries; tumbling/join gained strict
     # oracles in round 2 — single-micro-batch determinism)
-    "stream_static_join", "stream_foreachbatch_sink",
-    "stream_tumbling_daily", "stream_stream_join",
+    "stream_static_join", "stream_tumbling_daily", "stream_stream_join",
     # scale ops
     "asof_join_purchase_click", "sessionize_events_30m", "sink_merge_upsert",
     "src_python_datasource", "sink_scd2_history", "join_dpp_partition_pruned",
@@ -94,6 +93,8 @@ _FRONT = [
     "src_text_logparse",
     # wave 6
     "sql_recursive_region_walk", "src_xml_extract",
+    # round-2 additions: TPC-H closure + quality gate
+    "sql_q2_min_cost_supplier", "train_quality_gopher_gate",
 ]
 
 
