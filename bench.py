@@ -37,6 +37,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "sim_ivf_topk",
     "train_chunk_documents",
+    # round 2: retrieval + corpus gating
+    "search_bm25_topk",
+    "train_quality_gopher_gate",
 ]
 
 

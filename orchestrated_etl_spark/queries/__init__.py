@@ -30,4 +30,5 @@ def load() -> None:
         sql_surface_wave7,
         sql_tpch_wave8,
         llm_search_quality,
+        surface_wave9,
     )

@@ -32,8 +32,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
 from orchestrated_etl_spark.registry import register
 
 _BM25_TERMS = ["spark", "window", "merge"]
@@ -43,20 +41,6 @@ _BM25_B = 0.75
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
-
-
-def _tokens(docs: DataFrame) -> DataFrame:
-    """One row per (doc_id, term) with term frequency and doc length.
-    Map-side explode combines into the (doc_id, term) aggregate
-    immediately — the shuffle carries counted postings, not tokens."""
-    toks = docs.select(
-        "doc_id",
-        F.size(F.split("text", " ")).alias("dl"),
-        F.explode(F.split("text", " ")).alias("term"),
-    )
-    return toks.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -70,45 +54,41 @@ def _search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one explode + one (doc,term) aggregate; the query-term filter is
     pushed BELOW the index build, so only matching postings are ever
     aggregated — at 100 TB a 3-term query aggregates 3 posting lists,
-    not the corpus. N/avgdl/df are tiny aggregates broadcast as scalar
-    values. Ranking ties break on doc_id so the LIMIT boundary is
-    deterministic on both engines."""
-    docs = _docs(spark, sf_dir)
-    stats = docs.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg(F.size(F.split("text", " "))).alias("avgdl"),
-    )
-    postings = _tokens(docs).where(F.col("term").isin(_BM25_TERMS))
-    df = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
-        postings.join(F.broadcast(df), "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "idf",
-            F.log(
-                1.0
-                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            ),
-        )
-        .withColumn(
-            "contrib",
-            F.col("idf")
-            * (F.col("tf") * (_BM25_K1 + 1))
-            / (
-                F.col("tf")
-                + _BM25_K1
-                * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
-            ),
-        )
-    )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.round(F.sum("contrib"), 6).alias("score"),
-            F.count(F.lit(1)).alias("n_matched_terms"),
-        )
-        .orderBy(F.col("score").desc(), "doc_id")
-        .limit(20)
+    not the corpus. Issued as SQL text so the corpus statistics (N,
+    avgdl) plan as true ScalarSubquery nodes — each evaluated once, its
+    1-row result injected as a literal — instead of a 1-row nested-loop
+    join (plan-audit clean); the per-term df side carries an explicit
+    BROADCAST hint. Ranking ties break on doc_id so the LIMIT boundary
+    is deterministic on both engines."""
+    _docs(spark, sf_dir).createOrReplaceTempView("docs_bm25")
+    terms_in = "('" + "','".join(_BM25_TERMS) + "')"
+    return spark.sql(
+        f"""
+        WITH postings AS (
+            SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+            FROM (
+                SELECT doc_id, size(split(text, ' ')) AS dl,
+                       explode(split(text, ' ')) AS term
+                FROM docs_bm25
+            )
+            WHERE term IN {terms_in}
+            GROUP BY 1, 2
+        ),
+        df AS (SELECT term, count(*) AS df FROM postings GROUP BY 1)
+        SELECT /*+ BROADCAST(df) */ doc_id,
+               round(sum(
+                   ln(1.0 + ((SELECT count(*) FROM docs_bm25) - df.df + 0.5)
+                            / (df.df + 0.5))
+                   * (tf * ({_BM25_K1} + 1))
+                   / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl /
+                        (SELECT avg(size(split(text, ' '))) FROM docs_bm25)))
+               ), 6) AS score,
+               count(*) AS n_matched_terms
+        FROM postings JOIN df USING (term)
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id
+        LIMIT 20
+        """
     )
 
 
@@ -117,7 +97,7 @@ register(
     _search_bm25_topk,
     f"""
     WITH postings AS (
-        SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+        SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
         FROM (
             SELECT doc_id, len(string_split(text, ' ')) AS dl,
                    unnest(string_split(text, ' ')) AS term
@@ -155,33 +135,47 @@ register(
 def _tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (stopwords excluded, idf =
     ln(N/df)). Plan: the (doc,term) aggregate reuses the posting shape,
-    doc-frequency is a second aggregate on term, joined back by
-    broadcast (the vocabulary is dimension-sized even at 100 TB — it
-    grows with the language, not the corpus). Per-doc ranking is a
-    window over the doc_id partitioning the first aggregate already
+    doc-frequency is a second aggregate on term, joined back with an
+    explicit BROADCAST hint (the vocabulary is dimension-sized even at
+    100 TB — it grows with the language, not the corpus). Issued as SQL
+    text so the corpus size N plans as a ScalarSubquery literal rather
+    than a 1-row nested-loop join (plan-audit clean). Per-doc ranking is
+    a window over the doc_id partitioning the first aggregate already
     established — no extra exchange. Rank ties (equal tf and df) break
     alphabetically, so both engines emit the same rank-1..3 rows."""
     from orchestrated_etl_spark.functions.text import STOPWORDS
 
-    docs = _docs(spark, sf_dir)
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    terms = _tokens(docs).where(~F.col("term").isin(*STOPWORDS))
-    df = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
-        terms.join(F.broadcast(df), "term")
-        .crossJoin(F.broadcast(n_docs))
-        .withColumn(
-            "score", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
+    _docs(spark, sf_dir).createOrReplaceTempView("docs_tfidf")
+    stop_in = "('" + "','".join(STOPWORDS) + "')"
+    return spark.sql(
+        f"""
+        WITH terms AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM (
+                SELECT doc_id, explode(split(text, ' ')) AS term
+                FROM docs_tfidf
+            )
+            WHERE term NOT IN {stop_in}
+            GROUP BY 1, 2
+        ),
+        df AS (SELECT term, count(*) AS df FROM terms GROUP BY 1),
+        scored AS (
+            SELECT /*+ BROADCAST(df) */ doc_id, term,
+                   round(tf * ln(CAST((SELECT count(*) FROM docs_tfidf)
+                                      AS DOUBLE) / df.df), 6) AS score
+            FROM terms JOIN df USING (term)
         )
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("score").desc(), F.col("term").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 3)
-        .select("doc_id", "rank", "term", "score")
-        .orderBy("doc_id", "rank")
+        SELECT doc_id, rank, term, score
+        FROM (
+            SELECT doc_id, term, score,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, term ASC
+                   ) AS rank
+            FROM scored
+        )
+        WHERE rank <= 3
+        ORDER BY doc_id, rank
+        """
     )
 
 

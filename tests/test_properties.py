@@ -266,3 +266,27 @@ def test_asof_join_matches_python_and_salted_matches_plain(spark, events):
                   for r in asof_salted_core(df).collect()}
     assert got_plain == want
     assert got_salted == want
+
+
+@settings(**_SETTINGS)
+@given(_docs_strategy)
+def test_lsh_always_surfaces_identical_documents(spark, docs):
+    """Deterministic LSH guarantee (not a probabilistic recall claim):
+    two documents with IDENTICAL text have identical shingle sets, hence
+    identical minhash signatures, hence collide in every band — the
+    pipeline must always emit that pair, verified at jaccard 1.0. Runs on
+    arbitrary corpora including all-identical and near-empty documents."""
+    rows = [(i, " ".join(toks) if toks else "xyz") for i, toks in enumerate(docs)]
+    dup_id = len(rows)
+    rows.append((dup_id, rows[0][1]))  # exact clone of doc 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_lsh_dedup(
+            df, "doc_id", text_col="text", shingle_n=3, threshold=0.9
+        ).collect()
+    }
+    # the clone pair must be present (ids may arrive in either order)
+    hit = pairs.get((0, dup_id), pairs.get((dup_id, 0)))
+    assert hit is not None, (rows, pairs)
+    assert abs(hit - 1.0) < 1e-9
