@@ -264,6 +264,43 @@ register(
 # ---------------------------------------------------------------------------
 
 
+def quality_rule_columns() -> dict[str, "F.Column"]:
+    """The five Gopher-style rule booleans as named Column expressions
+    over a ``text`` column — shared by the gate report and the e2e
+    incremental-refresh pipeline so both apply bit-identical rules."""
+    from orchestrated_etl_spark.functions.text import STOPWORDS
+
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    mean_len = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)) / n_tok
+    stop_frac = (
+        F.size(F.filter(toks, lambda x: F.lower(x).isin(*STOPWORDS))) / n_tok
+    )
+    uniq_ratio = F.size(F.array_distinct(toks)) / n_tok
+    return {
+        "r_len_lo": n_tok >= 20,
+        "r_len_hi": n_tok <= 500,
+        "r_mean_len": (mean_len >= 3.0) & (mean_len <= 10.0),
+        "r_stopword": stop_frac >= 0.02,
+        "r_distinct": uniq_ratio >= 0.2,
+    }
+
+
+# the same five rules in DuckDB SQL, over a relation exposing ``text``
+QUALITY_RULES_SQL = f"""
+    len(string_split(text, ' ')) >= 20
+    AND len(string_split(text, ' ')) <= 500
+    AND (CAST(list_sum(list_transform(string_split(text, ' '),
+              x -> len(x))) AS DOUBLE)
+         / len(string_split(text, ' '))) BETWEEN 3.0 AND 10.0
+    AND CAST(len(list_filter(string_split(text, ' '),
+             x -> list_contains({{stop_list}}, lower(x)))) AS DOUBLE)
+        / len(string_split(text, ' ')) >= 0.02
+    AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        / len(string_split(text, ' ')) >= 0.2
+"""
+
+
 def _quality_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-rule document quality gate (the Gopher/MassiveText rule
     shape): token-count bounds, mean-token-length bounds, minimum
@@ -275,25 +312,10 @@ def _quality_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines and every output is an integer.
     At 100 TB this is a map-only scan + one tiny aggregate — the
     cheapest possible shape for a corpus-wide filter report."""
-    from orchestrated_etl_spark.functions.text import STOPWORDS
-
     docs = _docs(spark, sf_dir)
-    toks = F.split("text", " ")
-    n_tok = F.size(toks)
-    mean_len = F.aggregate(
-        toks, F.lit(0), lambda acc, x: acc + F.length(x)
-    ) / n_tok
-    stop_frac = (
-        F.size(F.filter(toks, lambda x: F.lower(x).isin(*STOPWORDS))) / n_tok
-    )
-    uniq_ratio = F.size(F.array_distinct(toks)) / n_tok
+    rule_cols = quality_rule_columns()
     rules = docs.select(
-        "lang",
-        (n_tok >= 20).alias("r_len_lo"),
-        (n_tok <= 500).alias("r_len_hi"),
-        ((mean_len >= 3.0) & (mean_len <= 10.0)).alias("r_mean_len"),
-        (stop_frac >= 0.02).alias("r_stopword"),
-        (uniq_ratio >= 0.2).alias("r_distinct"),
+        "lang", *[c.alias(n) for n, c in rule_cols.items()]
     ).withColumn(
         "keep",
         F.col("r_len_lo")
@@ -352,6 +374,65 @@ register(
            CAST(sum(CASE WHEN NOT r_distinct THEN 1 ELSE 0 END) AS BIGINT)
                AS drop_distinct
     FROM rules
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# e2e nightly corpus refresh: gate -> incremental dedup -> intake summary
+# ---------------------------------------------------------------------------
+
+
+def _e2e_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly corpus-refresh pipeline as ONE lazy plan: the incoming
+    crawl batch (doc_id % 5 == 0) passes the Gopher quality gate, then
+    sheds documents whose exact content already exists in the curated
+    history (content-hash LEFT ANTI join), and the survivors roll up into
+    a per-language intake report (docs + token volume). Composing the
+    stages lazily means Catalyst sees the whole pipeline: the quality
+    rules evaluate in the SCAN stage of the incoming side (map-only array
+    expressions), so gated-out documents are never hashed and never reach
+    the anti-join shuffle — at 100 TB the ordering gate-then-dedup is the
+    cost-dominant choice, and it falls out of predicate evaluation order,
+    not an orchestration DAG (the reference needs three Airflow tasks and
+    two materializations for this shape, dags/dag.py:229-247). Outputs
+    are integers — bit-exact."""
+    docs = _docs(spark, sf_dir)
+    keep = None
+    for c in quality_rule_columns().values():
+        keep = c if keep is None else (keep & c)
+    incoming = docs.where(F.col("doc_id") % 5 == 0).where(keep)
+    history = docs.where(F.col("doc_id") % 5 != 0).select(
+        F.md5("text").alias("h")
+    )
+    survivors = incoming.withColumn("h", F.md5("text")).join(
+        history, "h", "left_anti"
+    )
+    return (
+        survivors.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_new_docs"),
+            F.sum(F.size(F.split("text", " "))).alias("new_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+register(
+    "train_e2e_incremental_refresh",
+    _e2e_incremental_refresh,
+    f"""
+    SELECT lang, count(*) AS n_new_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS new_tokens
+    FROM documents i
+    WHERE doc_id % 5 = 0
+      AND {QUALITY_RULES_SQL.format(stop_list=_STOP_LIST)}
+      AND NOT EXISTS (
+          SELECT 1 FROM documents h
+          WHERE h.doc_id % 5 <> 0 AND md5(h.text) = md5(i.text)
+      )
     GROUP BY lang
     ORDER BY lang
     """,
