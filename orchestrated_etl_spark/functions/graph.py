@@ -1,0 +1,154 @@
+"""Distributed graph primitives over relational data.
+
+The reference pipeline (dags/dag.py) has no graph stage, but a corpus
+engine at 100 TB needs one: co-occurrence graphs drive related-item
+retrieval, dedup cluster collapse (functions/dedup.py already runs
+min-label propagation), and link-based quality scores. This module
+derives a co-purchase graph from ``lineitem`` (parts appearing in the
+same order) and provides degree, triangle, and PageRank primitives on
+it — all as DataFrame compositions, no driver-side adjacency.
+
+Scale posture:
+- Edge derivation groups by ``l_orderkey`` (ONE shuffle of a 2-column
+  projection) and generates pairs map-side with array higher-order
+  functions. Pair fan-out per order is C(k,2) where k = distinct parts
+  per order — bounded by order size (≤ a few dozen), NOT by catalog
+  size, so the explode never amplifies beyond a small constant of the
+  fact table.
+- The thresholded (weight ≥ 2) edge list is orders of magnitude smaller
+  than the fact table (collisions need repeated co-purchase), so
+  triangle joins broadcast it at bench scale; past the broadcast
+  threshold the classic degree-orientation trick (orient each edge from
+  its lower-degree endpoint, join on the middle vertex) bounds the
+  wedge fan-out and runs sort-merge — noted on the triangle query.
+- PageRank keeps ranks co-partitioned with edges on the join key; each
+  iteration is one join + one aggregate. Iterations are composed lazily
+  (3 fixed rounds here); long-running propagation would localCheckpoint
+  per round like functions/dedup.py's connected components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def copurchase_edges(
+    spark: SparkSession, sf_dir: str, min_weight: int = 1
+) -> DataFrame:
+    """Undirected co-purchase edges: (part_a < part_b, weight = number of
+    orders containing BOTH parts). Distinct (order, part) first so a part
+    listed on two lines of one order counts once.
+
+    Plan: shuffle #1 groups by order key; pairs are generated map-side
+    from each order's sorted distinct-part array via nested TRANSFORM
+    (no self-join, no second scan of lineitem); shuffle #2 aggregates
+    pair weights. Both shuffles move only key columns."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates(["l_orderkey", "l_partkey"])
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_partkey")).alias("parts")
+    )
+    pairs = per_order.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "parts",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("parts"),
+                            i + F.lit(2),
+                            F.size("parts"),
+                        ),
+                        lambda y: F.struct(
+                            x.alias("part_a"), y.alias("part_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("e")
+    ).select("e.part_a", "e.part_b")
+    edges = pairs.groupBy("part_a", "part_b").agg(
+        F.count(F.lit(1)).alias("weight")
+    )
+    if min_weight > 1:
+        edges = edges.where(F.col("weight") >= min_weight)
+    return edges
+
+
+def undirect(edges: DataFrame) -> DataFrame:
+    """Expand canonical (a<b) edges to both directions (src, dst)."""
+    fwd = edges.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    )
+    rev = edges.select(
+        F.col("part_b").alias("src"), F.col("part_a").alias("dst")
+    )
+    return fwd.unionAll(rev)
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """Per-node degree of the undirected graph: (node, degree)."""
+    return (
+        undirect(edges)
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count on canonically-oriented (a<b) edges:
+    e1(a,b) ⋈ e2(b,c) forms wedges a<b<c; a third probe for (a,c)
+    closes them. Every triangle a<b<c is counted exactly once.
+
+    At bench scale the (thresholded) edge list broadcasts, so the two
+    joins are map-side and the count is one partial-agg reduce. Past the
+    broadcast threshold: re-orient each edge from its LOWER-DEGREE
+    endpoint before the wedge join (bounds per-vertex fan-out by
+    O(sqrt(m)) on any graph) and let the joins go sort-merge on the
+    middle vertex — the standard distributed-triangle layout."""
+    e1 = edges.select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
+    e2 = edges.select(F.col("part_a").alias("b2"), F.col("part_b").alias("c"))
+    e3 = edges.select(F.col("part_a").alias("a3"), F.col("part_b").alias("c3"))
+    wedges = e1.join(e2, F.col("b") == F.col("b2"))
+    closed = wedges.join(
+        e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3"))
+    )
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def pagerank(
+    edges: DataFrame, iterations: int = 3, damping: float = 0.85
+) -> DataFrame:
+    """Per-node PageRank on the undirected graph after a fixed number of
+    synchronous iterations: r(v) = (1-d) + d * Σ_{u~v} r(u)/deg(u),
+    ranks initialised to 1.0. Every node in the edge set has degree ≥ 1
+    and only neighbours contribute, so no dangling-mass correction is
+    needed on this derived graph.
+
+    Each iteration = one equi-join of the (small) rank relation onto the
+    edge relation + one aggregate; contribution r(u)/deg(u) is attached
+    to edges by pre-joining degrees ONCE outside the loop. The composed
+    lazy plan re-partitions ranks and edges on the same key, so AQE
+    collapses the per-iteration exchanges at bench scale."""
+    ed = undirect(edges)
+    deg = degrees(edges)
+    # (src, dst, deg_src): degree rides along with each directed edge
+    ed_deg = ed.join(deg, ed.src == deg.node).select(
+        "src", "dst", F.col("degree").alias("src_deg")
+    )
+    ranks = deg.select("node", F.lit(1.0).alias("rank"))
+    for _ in range(iterations):
+        contribs = ed_deg.join(ranks, ed_deg.src == ranks.node).select(
+            F.col("dst").alias("node"),
+            (F.col("rank") / F.col("src_deg")).alias("contrib"),
+        )
+        ranks = contribs.groupBy("node").agg(
+            (F.lit(1.0 - damping) + F.lit(damping) * F.sum("contrib")).alias(
+                "rank"
+            )
+        )
+    return ranks

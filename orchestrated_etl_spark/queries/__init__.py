@@ -31,4 +31,5 @@ def load() -> None:
         sql_tpch_wave8,
         llm_search_quality,
         surface_wave9,
+        graph_wave10,
     )

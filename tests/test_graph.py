@@ -1,0 +1,130 @@
+"""Graph-family tests: semantics pinned on hand-built graphs (triangle
+count, walk counts, PageRank vs a pure-numpy power iteration) and plan
+shape for the edge derivation (no self-join of lineitem, bounded
+map-side pair generation)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from orchestrated_etl_spark.functions.graph import (
+    copurchase_edges,
+    degrees,
+    pagerank,
+    triangle_count,
+)
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b) for a, b in pairs], "part_a long, part_b long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# semantics on hand-built graphs
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_count_k4(spark):
+    """K4 (complete graph on 4 nodes) has exactly 4 triangles; adding a
+    pendant edge adds none."""
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    assert triangle_count(_edges_df(spark, k4)).collect()[0][0] == 4
+    assert (
+        triangle_count(_edges_df(spark, k4 + [(4, 9)])).collect()[0][0] == 4
+    )
+
+
+def test_degrees_path_graph(spark):
+    """Path 1-2-3: endpoints degree 1, middle degree 2."""
+    got = {
+        r["node"]: r["degree"]
+        for r in degrees(_edges_df(spark, [(1, 2), (2, 3)])).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 1}
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """3 iterations on an asymmetric graph must match the same
+    recurrence computed densely in numpy to float tolerance."""
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (1, 5), (2, 6)]
+    nodes = sorted({n for p in pairs for n in p})
+    idx = {n: i for i, n in enumerate(nodes)}
+    adj = np.zeros((len(nodes), len(nodes)))
+    for a, b in pairs:
+        adj[idx[a], idx[b]] = adj[idx[b], idx[a]] = 1.0
+    deg = adj.sum(axis=1)
+    r = np.ones(len(nodes))
+    for _ in range(3):
+        r = 0.15 + 0.85 * adj.T @ (r / deg)
+    got = {
+        row["node"]: row["rank"]
+        for row in pagerank(_edges_df(spark, pairs), iterations=3).collect()
+    }
+    for n in nodes:
+        assert abs(got[n] - r[idx[n]]) < 1e-12, (n, got[n], r[idx[n]])
+
+
+def test_walk_centrality_star(spark, sf_dir):
+    """On a star K1,3 the hub's k-step walk count is 3 (leaves each send
+    their walks back), leaves get the hub's previous count — exact
+    integer recurrence, checked two rounds deep by hand.
+    W0 = 1 everywhere; W1(hub) = 3, W1(leaf) = 1;
+    W2(hub) = 3, W2(leaf) = 3; W3(hub) = 9, W3(leaf) = 3."""
+    from orchestrated_etl_spark.queries.graph_wave10 import (
+        _graph_walk_centrality,  # noqa: F401  (registry import path)
+    )
+
+    star = _edges_df(spark, [(1, 2), (1, 3), (1, 4)])
+    from orchestrated_etl_spark.functions.graph import undirect
+
+    ed = undirect(star)
+    walks = (
+        ed.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.lit(1).cast("long").alias("w"))
+    )
+    for _ in range(3):
+        walks = (
+            ed.join(walks, ed.src == walks.node)
+            .groupBy(F.col("dst").alias("n2"))
+            .agg(F.sum("w").alias("w"))
+            .select(F.col("n2").alias("node"), "w")
+        )
+    got = {r["node"]: r["w"] for r in walks.collect()}
+    assert got == {1: 9, 2: 3, 3: 3, 4: 3}
+
+
+# ---------------------------------------------------------------------------
+# plan shape
+# ---------------------------------------------------------------------------
+
+
+def test_edge_derivation_is_not_a_self_join(spark, sf_dir):
+    """The co-purchase pair generation must be the single-scan
+    groupBy-then-explode shape: exactly ONE lineitem scan (a self-join
+    would show two) and no join node before the pair aggregate."""
+    plan = (
+        copurchase_edges(spark, sf_dir, min_weight=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("lineitem") <= 1, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_edge_scan_prunes_columns(spark, sf_dir):
+    """The lineitem scan under the edge derivation must read only the
+    two key columns."""
+    plan = (
+        copurchase_edges(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert rs and "l_orderkey" in rs[0] and "l_partkey" in rs[0], plan
+    assert "l_quantity" not in rs[0] and "l_comment" not in rs[0], plan
