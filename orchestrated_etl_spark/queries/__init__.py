@@ -32,4 +32,5 @@ def load() -> None:
         llm_search_quality,
         surface_wave9,
         graph_wave10,
+        ops_wave11,
     )

@@ -1,0 +1,358 @@
+"""Wave-11: data-quality auditing and physical-layout operations.
+
+Two capabilities any 100 TB corpus store runs nightly that the
+reference's DAG (dags/dag.py) leaves implicit:
+
+- **Constraint audit** — the reference drops incomplete records inline
+  (dags/dag.py:117-131, its S3 completeness filter) but never REPORTS
+  data quality. `dq_constraint_audit` evaluates a declarative rule set
+  (uniqueness, referential integrity, ranges, null checks) across three
+  tables and emits one row per rule with checked/violation counts — the
+  shape a quality dashboard or a circuit-breaker gate consumes. All
+  within-row rules for a table fold into ONE conditional aggregate over
+  ONE scan; only the cross-table rules (key uniqueness, FK containment)
+  pay a shuffle, and those shuffle key columns only.
+
+- **Physical layout** — at 100 TB the dominant read cost is decided at
+  WRITE time. `sink_compacted_roundtrip` fixes the small-file problem
+  (a 200-file shard set rewritten to a handful of right-sized files —
+  same bytes, 40× fewer open/close/footer costs); `sink_clustered_write`
+  range-clusters rows on the filter column before writing so parquet
+  row-group min/max stats become disjoint and a range predicate prunes
+  whole files (the poor man's Z-order for one dimension);
+  `src_file_lineage` reads back a hive-partitioned write through the
+  `_metadata` hidden column, proving per-file provenance accounting —
+  which file contributed which rows — without any bookkeeping table.
+
+Every query returns engine-comparable AGGREGATES over the round-tripped
+data (exact integer/decimal), so the DuckDB oracle checks end-to-end
+preservation; file-count and footer-stat assertions (which DuckDB
+cannot see) are pinned in tests/test_ops_wave11.py instead.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from orchestrated_etl_spark.queries.scale_ops import _scratch
+from orchestrated_etl_spark.registry import register
+
+
+# ---------------------------------------------------------------------------
+# data-quality constraint audit
+# ---------------------------------------------------------------------------
+
+
+def _dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint audit over lineitem/orders/customer.
+
+    Within-row rules (ranges, nulls) are conditional sums inside one
+    hash aggregate per table — adding a rule adds a column, never a
+    scan. Cross-table rules: key uniqueness is a count-distinct vs
+    count comparison (two-phase distinct, no row explosion); FK
+    containment is a left-anti join on the key projection (broadcast
+    when the referenced key set is dimension-sized, shuffle otherwise —
+    Catalyst picks). Output: (rule, n_rows, n_violations), exact
+    integers, one row per rule."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+
+    def viol(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    li_rules = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        viol(~F.col("l_quantity").between(1, 50)).alias("qty_range"),
+        viol(~F.col("l_discount").between(0.0, 0.1)).alias("disc_range"),
+        viol(F.col("l_extendedprice") <= 0).alias("price_positive"),
+        viol(F.col("l_shipdate").isNull()).alias("shipdate_notnull"),
+    )
+    ord_rules = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        viol(F.col("o_totalprice") <= 0).alias("totalprice_positive"),
+        viol(F.col("o_orderdate").isNull()).alias("orderdate_notnull"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias(
+            "orderkey_unique"
+        ),
+    )
+
+    def unpivot(agg_df: DataFrame, table: str, rules: list[str]) -> DataFrame:
+        stack = ", ".join(f"'{table}.{r}', {r}" for r in rules)
+        return agg_df.selectExpr(
+            f"stack({len(rules)}, {stack}) as (rule, n_violations)",
+            "n as n_rows",
+        ).select("rule", "n_rows", F.col("n_violations").cast("long"))
+
+    within = unpivot(
+        li_rules,
+        "lineitem",
+        ["qty_range", "disc_range", "price_positive", "shipdate_notnull"],
+    ).unionAll(
+        unpivot(
+            ord_rules,
+            "orders",
+            ["totalprice_positive", "orderdate_notnull", "orderkey_unique"],
+        )
+    )
+
+    def fk(child: DataFrame, key: str, parent: DataFrame, pkey: str, rule):
+        orphans = child.select(key).join(
+            parent.select(pkey), child[key] == parent[pkey], "left_anti"
+        )
+        return child.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(
+            orphans.agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        ).select(F.lit(rule).alias("rule"), "n_rows", "n_violations")
+
+    ri = (
+        fk(li, "l_orderkey", orders, "o_orderkey", "lineitem.fk_orders")
+        .unionAll(
+            fk(orders, "o_custkey", cust, "c_custkey", "orders.fk_customer")
+        )
+        .unionAll(
+            fk(cust, "c_nationkey", nation, "n_nationkey", "customer.fk_nation")
+        )
+    )
+    return within.unionAll(ri)
+
+
+register(
+    "dq_constraint_audit",
+    _dq_constraint_audit,
+    """
+    WITH li AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 50
+                        THEN 1 ELSE 0 END) AS qty_range,
+               sum(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.1
+                        THEN 1 ELSE 0 END) AS disc_range,
+               sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+                   AS price_positive,
+               sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                   AS shipdate_notnull
+        FROM lineitem
+    ),
+    o AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                   AS totalprice_positive,
+               sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                   AS orderdate_notnull,
+               count(*) - count(DISTINCT o_orderkey) AS orderkey_unique
+        FROM orders
+    )
+    SELECT 'lineitem.qty_range' AS rule, n AS n_rows,
+           CAST(qty_range AS BIGINT) AS n_violations FROM li
+    UNION ALL SELECT 'lineitem.disc_range', n,
+           CAST(disc_range AS BIGINT) FROM li
+    UNION ALL SELECT 'lineitem.price_positive', n,
+           CAST(price_positive AS BIGINT) FROM li
+    UNION ALL SELECT 'lineitem.shipdate_notnull', n,
+           CAST(shipdate_notnull AS BIGINT) FROM li
+    UNION ALL SELECT 'orders.totalprice_positive', n,
+           CAST(totalprice_positive AS BIGINT) FROM o
+    UNION ALL SELECT 'orders.orderdate_notnull', n,
+           CAST(orderdate_notnull AS BIGINT) FROM o
+    UNION ALL SELECT 'orders.orderkey_unique', n,
+           CAST(orderkey_unique AS BIGINT) FROM o
+    UNION ALL
+    SELECT 'lineitem.fk_orders', (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'orders.fk_customer', (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o2
+            WHERE NOT EXISTS (SELECT 1 FROM customer
+                              WHERE c_custkey = o2.o_custkey))
+    UNION ALL
+    SELECT 'customer.fk_nation', (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation
+                              WHERE n_nationkey = c.c_nationkey))
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction
+# ---------------------------------------------------------------------------
+
+
+def _sink_compacted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: lineitem is first written as a deliberately
+    over-sharded 64-file set (the nightly-ingest pathology: one file per
+    micro-batch task), then compacted with a single ``repartition(4)``
+    rewrite. The returned aggregate is computed from the COMPACTED copy,
+    so the oracle proves bit-level row preservation across both rewrites;
+    the 64→4 file-count contract itself is pinned in tests.
+
+    Scale posture: compaction is a pure shuffle-write job — no
+    driver-side file stitching — so it parallelises to any cluster
+    width; target file count = total_bytes / desired_file_size (here a
+    fixed 4 keeps the test deterministic). Row-group-aligned rewrite
+    preserves column stats for later pruning."""
+    base = _scratch("compaction", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    li.repartition(64).write.mode("overwrite").parquet(f"{base}/sharded")
+    sharded = spark.read.parquet(f"{base}/sharded")
+    sharded.repartition(4).write.mode("overwrite").parquet(f"{base}/compacted")
+    compacted = spark.read.parquet(f"{base}/compacted")
+    return compacted.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+register(
+    "sink_compacted_roundtrip",
+    _sink_compacted_roundtrip,
+    """
+    SELECT l_returnflag, count(*) AS n_rows,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# range-clustered write (1-D Z-order)
+# ---------------------------------------------------------------------------
+
+
+def _sink_clustered_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered layout: orders are repartitionByRange'd on
+    ``o_orderdate`` and sorted within partitions before writing, so each
+    output file covers a DISJOINT date range and its parquet footer
+    min/max stats let a date predicate skip every non-overlapping file
+    (verified against the footers in tests). The returned relation is a
+    month-rollup read back through a range filter over the clustered
+    copy — the oracle checks the filtered read end to end.
+
+    Scale posture: this is the 1-dimension special case of Z-order
+    clustering; the range exchange samples key quantiles so files stay
+    size-balanced even under date skew. At 100 TB the same two-line
+    recipe (repartitionByRange + sortWithinPartitions) is how a daily
+    compaction job lays out scan-dominant tables."""
+    base = _scratch("clustered", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    (
+        orders.repartitionByRange(8, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .parquet(f"{base}/orders_clustered")
+    )
+    clustered = spark.read.parquet(f"{base}/orders_clustered")
+    return (
+        clustered.where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-07-01")
+        )
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+register(
+    "sink_clustered_write",
+    _sink_clustered_write,
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1996-07-01'
+    GROUP BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# per-file provenance via _metadata
+# ---------------------------------------------------------------------------
+
+
+def _src_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file provenance accounting through the ``_metadata`` hidden
+    column: orders are hive-partitioned by order year (repartitioned on
+    the partition key first, so each directory holds exactly one file —
+    pinned in tests), read back, and counted BY SOURCE FILE via
+    ``_metadata.file_path``. The partition value is recovered from the
+    file path itself — the lineage a debugging session needs when one
+    bad shard poisons a corpus ("which file did these rows come from?")
+    — with zero bookkeeping tables.
+
+    Scale posture: ``_metadata`` is populated from the scan's own split
+    info (no extra I/O), and the per-file aggregate shuffles one small
+    row per (file, year) — audit cost stays proportional to file count,
+    not data volume."""
+    base = _scratch("lineage", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    (
+        orders.repartition("order_year")
+        .write.mode("overwrite")
+        .partitionBy("order_year")
+        .parquet(f"{base}/orders_by_year")
+    )
+    back = spark.read.parquet(f"{base}/orders_by_year")
+    return (
+        back.select(
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"order_year=(\d+)", 1
+            )
+            .cast("int")
+            .alias("order_year"),
+            F.col("_metadata.file_path").alias("file_path"),
+            "o_totalprice",
+        )
+        .groupBy("order_year")
+        .agg(
+            F.count_distinct("file_path").alias("n_files"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+register(
+    "src_file_lineage",
+    _src_file_lineage,
+    """
+    SELECT year(o_orderdate) AS order_year,
+           CAST(1 AS BIGINT) AS n_files,
+           count(*) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders GROUP BY 1
+    """,
+)

@@ -1,0 +1,169 @@
+"""Wave-11 tests: the physical-layout contracts DuckDB oracles cannot
+see (file counts, parquet footer min/max disjointness, one-file-per-
+partition lineage) and DQ-audit semantics on frames with INJECTED
+violations — the fixture is clean, so violation detection must be
+proven on dirty data."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+
+from orchestrated_etl_spark.queries.ops_wave11 import (
+    _dq_constraint_audit,
+    _sink_clustered_write,
+    _sink_compacted_roundtrip,
+    _src_file_lineage,
+)
+from orchestrated_etl_spark.queries.scale_ops import _scratch
+
+
+# ---------------------------------------------------------------------------
+# DQ audit
+# ---------------------------------------------------------------------------
+
+
+def test_dq_audit_clean_fixture_has_zero_violations(spark, sf_dir):
+    rows = _dq_constraint_audit(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert all(r["n_violations"] == 0 for r in rows), rows
+
+
+def test_dq_audit_detects_injected_violations(spark, sf_dir, tmp_path):
+    """Copy the fixture, inject one violation per rule family, and
+    assert each rule fires with the exact expected count."""
+    import duckdb
+
+    dirty = str(tmp_path / "dirty")
+    os.makedirs(dirty)
+    con = duckdb.connect()
+    # lineitem: one injected row with bad quantity (99), negative
+    # extendedprice (-5.0), and out-of-range discount (0.5)
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{sf_dir}/lineitem.parquet')
+          UNION ALL
+          SELECT 999999, 1, 1, 1, 99.0, -5.0, 0.5, 0.0, 'X', 'X',
+                 DATE '1995-01-01'
+        ) TO '{dirty}/lineitem.parquet' (FORMAT PARQUET)
+        """
+    )
+    # orders: duplicate an existing key
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{sf_dir}/orders.parquet')
+          UNION ALL
+          (SELECT * FROM read_parquet('{sf_dir}/orders.parquet')
+           ORDER BY o_orderkey LIMIT 1)
+        ) TO '{dirty}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
+    for t in ["customer", "nation"]:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')) "
+            f"TO '{dirty}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    got = {
+        r["rule"]: r["n_violations"]
+        for r in _dq_constraint_audit(spark, dirty).collect()
+    }
+    assert got["lineitem.qty_range"] == 1
+    assert got["lineitem.disc_range"] == 1
+    assert got["lineitem.price_positive"] == 1
+    assert got["orders.orderkey_unique"] == 1
+    assert got["lineitem.fk_orders"] == 1  # orderkey 999999 has no order
+    assert got["customer.fk_nation"] == 0
+
+
+# ---------------------------------------------------------------------------
+# compaction
+# ---------------------------------------------------------------------------
+
+
+def test_compaction_reduces_file_count(spark, sf_dir):
+    _sink_compacted_roundtrip(spark, sf_dir).collect()
+    base = _scratch("compaction", sf_dir)
+    sharded = glob.glob(f"{base}/sharded/part-*.parquet")
+    compacted = glob.glob(f"{base}/compacted/part-*.parquet")
+    assert len(sharded) == 64, len(sharded)
+    assert len(compacted) == 4, len(compacted)
+
+
+# ---------------------------------------------------------------------------
+# range clustering → footer min/max pruning
+# ---------------------------------------------------------------------------
+
+
+def test_clustered_write_files_cover_disjoint_date_ranges(spark, sf_dir):
+    """Each clustered file's (min, max) o_orderdate footer interval must
+    be disjoint from every other file's — the property that makes a
+    date predicate skip non-overlapping files entirely."""
+    _sink_clustered_write(spark, sf_dir).collect()
+    base = _scratch("clustered", sf_dir)
+    spans = []
+    for f in glob.glob(f"{base}/orders_clustered/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        lo, hi = None, None
+        idx = next(
+            i
+            for i in range(md.num_columns)
+            if md.schema.column(i).name == "o_orderdate"
+        )
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        spans.append((lo, hi))
+    assert len(spans) >= 4
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, (spans,)  # disjoint (range boundary may touch)
+
+
+def test_clustered_read_prunes_files(spark, sf_dir):
+    """The six-month filter over the clustered copy must read strictly
+    fewer files than exist — Spark's scan reports the post-pruning file
+    count in numFiles after footer-stat filtering happens at the row-
+    group level; assert via the simpler proxy that at least one file's
+    span lies wholly outside the predicate window."""
+    _sink_clustered_write(spark, sf_dir).collect()
+    base = _scratch("clustered", sf_dir)
+    outside = 0
+    for f in glob.glob(f"{base}/orders_clustered/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = next(
+            i
+            for i in range(md.num_columns)
+            if md.schema.column(i).name == "o_orderdate"
+        )
+        st = md.row_group(0).column(idx).statistics
+        import datetime
+
+        def _d(v):
+            return v.date() if isinstance(v, datetime.datetime) else v
+
+        if _d(st.max) < datetime.date(1996, 1, 1) or _d(
+            st.min
+        ) >= datetime.date(1996, 7, 1):
+            outside += 1
+    assert outside >= 1, "no file lies wholly outside the filter window"
+
+
+# ---------------------------------------------------------------------------
+# lineage
+# ---------------------------------------------------------------------------
+
+
+def test_lineage_one_file_per_partition(spark, sf_dir):
+    rows = _src_file_lineage(spark, sf_dir).collect()
+    assert rows and all(r["n_files"] == 1 for r in rows), rows
+    base = _scratch("lineage", sf_dir)
+    dirs = glob.glob(f"{base}/orders_by_year/order_year=*")
+    assert len(dirs) == len(rows)
+    for d in dirs:
+        files = glob.glob(f"{d}/part-*.parquet")
+        assert len(files) == 1, (d, files)
