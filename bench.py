@@ -40,6 +40,9 @@ HEADLINE = [
     # round 2: retrieval + corpus gating
     "search_bm25_topk",
     "train_quality_gopher_gate",
+    # round 2: graph + data quality
+    "graph_pagerank",
+    "dq_constraint_audit",
 ]
 
 

@@ -101,12 +101,23 @@ def _dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def fk(child: DataFrame, key: str, parent: DataFrame, pkey: str, rule):
-        orphans = child.select(key).join(
-            parent.select(pkey), child[key] == parent[pkey], "left_anti"
+        # One scan, one join, one aggregate: left-join the DISTINCT
+        # parent keys and count null probes as orphans — row count and
+        # violation count fall out of the same pass (the two-aggregate
+        # formulation scanned the child twice and needed a scalar
+        # crossJoin to recombine).
+        joined = child.select(key).join(
+            parent.select(F.col(pkey).alias("_pk")).distinct(),
+            child[key] == F.col("_pk"),
+            "left",
         )
-        return child.agg(F.count(F.lit(1)).alias("n_rows")).crossJoin(
-            orphans.agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
-        ).select(F.lit(rule).alias("rule"), "n_rows", "n_violations")
+        return joined.agg(
+            F.lit(rule).alias("rule"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_violations"),
+        )
 
     ri = (
         fk(li, "l_orderkey", orders, "o_orderkey", "lineitem.fk_orders")
