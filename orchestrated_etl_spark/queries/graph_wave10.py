@@ -114,7 +114,12 @@ def _graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts for context. Canonical orientation (a<b<c) counts each
     triangle once; see functions/graph.py triangle_count for the
     degree-orientation fallback past the broadcast threshold."""
-    edges = copurchase_edges(spark, sf_dir, min_weight=2)
+    # Materialized once: three join legs + two count legs all read the
+    # same small edge relation (a lazy plan re-derives the fact scan per
+    # leg — 6 scans at bench, 6 corpus passes at 100 TB).
+    edges = copurchase_edges(spark, sf_dir, min_weight=2).localCheckpoint(
+        eager=True
+    )
     tri = triangle_count(edges)
     counts = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     nodes = (
@@ -161,8 +166,9 @@ def _graph_walk_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration of eigenvector centrality. Pure BIGINT arithmetic, so the
     oracle comparison is exact with no float policy at all. Same
     join-aggregate-per-round shape as PageRank below."""
-    edges = copurchase_edges(spark, sf_dir, min_weight=2)
-    ed = undirect(edges)
+    ed = undirect(
+        copurchase_edges(spark, sf_dir, min_weight=2)
+    ).localCheckpoint(eager=True)
     walks = ed.select(F.col("src").alias("node")).distinct().select(
         "node", F.lit(1).cast("long").alias("w")
     )
