@@ -356,6 +356,58 @@ def _kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("sim_kmeans_refine", _kmeans)  # rows-only: iterative, fp-order-dependent
 
 
+def _sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 quantized-scan top-k with exact rerank: the memory-bandwidth
+    ANN path (int8 codes are 4x smaller than float32, and the
+    approximate scores are exact integers — no float tolerance anywhere
+    in the ranking). Same fixed-size 20-query set as the other sim_*
+    queries."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(_query_pred())
+    return SIM.sq8_topk(queries, emb, "vec_id", "embedding", 5)
+
+
+register(
+    "sim_sq8_topk",
+    _sq8,
+    f"""
+    WITH stats AS (
+        SELECT max(abs(CAST(u.x AS DOUBLE))) AS s
+        FROM (SELECT unnest(embedding) AS x FROM embeddings) u
+    ),
+    q8 AS (
+        SELECT e.vec_id,
+               list_transform(e.embedding, x ->
+                   CASE WHEN st.s = 0.0 THEN 0
+                        ELSE CAST(floor(CAST(x AS DOUBLE) / st.s * 127.0 + 0.5)
+                                  AS BIGINT)
+                   END) AS q8
+        FROM embeddings e, stats st
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(list_dot_product(CAST(q.q8 AS DOUBLE[]),
+                                     CAST(c.q8 AS DOUBLE[])) AS BIGINT) AS score_q8
+        FROM q8 q JOIN q8 c ON q.vec_id != c.vec_id
+        WHERE q.vec_id % 25 = 0 AND q.vec_id < 500
+    ),
+    topk AS (
+        SELECT query_id, neighbor_id, score_q8, rank FROM (
+            SELECT query_id, neighbor_id, score_q8,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                         ORDER BY score_q8 DESC, neighbor_id) AS INTEGER) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    )
+    SELECT t.query_id, t.neighbor_id, t.score_q8, t.rank,
+           round({_COS_SQL.format(a='qe.embedding', b='ne.embedding')}, 6) AS cosine
+    FROM topk t
+    JOIN embeddings qe ON qe.vec_id = t.query_id
+    JOIN embeddings ne ON ne.vec_id = t.neighbor_id
+    """,
+)
+
+
 def _mapinarrow_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInArrow API surface: per-batch L2 norms computed directly on
     pyarrow RecordBatches (no pandas materialization — the lowest-

@@ -420,7 +420,7 @@ register(
 register(
     "text_char_entropy",
     _char_entropy,
-    """
+    r"""
     WITH chars AS (
         -- [\s\S] (not '.') so newlines are enumerated like every other
         -- character, matching Spark's split(text, '') enumeration even on

@@ -280,3 +280,63 @@ def test_train_dedup_lines_keeps_first_occurrence(spark):
     ).collect()[0]
     assert (row["n_lines"], row["n_kept"]) == (3, 2)
     assert row["h"] == hashlib.md5(b"a b c d").hexdigest()
+
+
+def test_sq8_codes_bounded_and_extremes(spark):
+    """SQ8 codebook sanity on a hand-built frame: per-tensor scale is
+    the corpus max-abs (5.0 here), codes are round-half-up(x/s*127) and
+    live in [-127, 127], with +scale -> 127 and -scale -> -127."""
+    rows = [
+        (1, [0.0, 5.0, 2.0]),
+        (2, [1.0, -5.0, 0.0]),
+        (3, [0.5, 2.5, 4.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        r["vec_id"]: r["q8"]
+        for r in SIM.sq8_quantize(df, "vec_id", "embedding").collect()
+    }
+    # s = 5.0: 0->0, 5->127, -5->-127, 2->floor(50.8+.5)=51,
+    # 1->floor(25.4+.5)=25, 0.5->floor(12.7+.5)=13, 2.5->floor(63.5+.5)=64,
+    # 4->floor(101.6+.5)=102
+    assert got[1] == [0, 127, 51]
+    assert got[2] == [25, -127, 0]
+    assert got[3] == [13, 64, 102]
+    for codes in got.values():
+        assert all(-127 <= c <= 127 for c in codes)
+
+
+def test_sq8_topk_recall_vs_bruteforce(spark, sf_dir):
+    """Recall@5 of the SQ8 quantized scan against exact brute force on
+    the real embeddings fixture. 254 quantization levels per dimension
+    keep the approximate ranking close to exact: unlike IVF (which
+    prunes whole posting lists), SQ8 scores every candidate — only the
+    scoring is approximate — so recall should be near-perfect, not just
+    above a structural floor."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pred = (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 500)
+    queries = emb.filter(pred)
+    k = 5
+
+    def topsets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = topsets(SIM.brute_force_topk(queries, emb, "vec_id", "embedding", k))
+    approx = topsets(SIM.sq8_topk(queries, emb, "vec_id", "embedding", k))
+    assert set(approx) == set(exact)
+    hits = sum(len(exact[q] & approx[q]) for q in exact)
+    recall = hits / (len(exact) * k)
+    assert recall >= 0.9
+    # rerank column is the exact cosine: every reported cosine must match
+    # the brute-force score for the same pair
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in SIM.brute_force_topk(
+            queries, emb, "vec_id", "embedding", len(emb.collect())
+        ).collect()
+    }
+    for r in SIM.sq8_topk(queries, emb, "vec_id", "embedding", k).collect():
+        assert bf[(r["query_id"], r["neighbor_id"])] == r["cosine"]
