@@ -127,16 +127,35 @@ def assign_to_centroids(
     # Rank on the ROUNDED cosine with centroid_id tie-break: assignment at
     # near-equidistant boundaries stays deterministic and reproducible by
     # an independent engine computing the same rounded score.
-    w = Window.partitionBy("_id").orderBy(
-        F.round(
-            F.try_divide(
-                dot(F.col("_vec"), F.col("_cenvec")),
-                F.col("_vnorm") * F.col("_cennorm"),
-            ),
-            6,
-        ).desc(),
-        F.col("centroid_id"),
+    cos = F.round(
+        F.try_divide(
+            dot(F.col("_vec"), F.col("_cenvec")),
+            F.col("_vnorm") * F.col("_cennorm"),
+        ),
+        6,
     )
+    if nprobe == 1:
+        # Argmax as a MAX_BY aggregate instead of a row_number window:
+        # the aggregate partial-combines map-side, so the |corpus| x K
+        # scored rows never shuffle — only one (id, vec, argmax) row per
+        # vector reaches the exchange. (The window form sort-shuffles
+        # every scored row.) Tie-break matches the window ordering:
+        # lexicographic max of (cosine, -centroid_id) = highest cosine,
+        # then LOWEST centroid id.
+        return (
+            scored.groupBy("_id")
+            .agg(
+                F.first("_vec").alias("_vec"),
+                F.max_by(
+                    F.col("centroid_id"),
+                    F.struct(
+                        cos.alias("c"), (-F.col("centroid_id")).alias("t")
+                    ),
+                ).alias("centroid_id"),
+            )
+            .select("_id", "_vec", "centroid_id")
+        )
+    w = Window.partitionBy("_id").orderBy(cos.desc(), F.col("centroid_id"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= nprobe)
