@@ -304,6 +304,120 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# 2-D Z-order clustered write
+# ---------------------------------------------------------------------------
+
+
+def _zvalue(a, b, bits: int = 4):
+    """Bit-interleave two ``bits``-wide bucket ids into a Z-order curve
+    value — pure shift/mask integer expressions, whole-stage-codegen'd
+    in the scan projection."""
+    z = F.lit(0)
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return z
+
+
+def _sink_zorder_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (2-D) clustered layout: orders are laid out along a
+    Morton curve over (o_custkey, o_orderdate) — each dimension is
+    bucketed into 16 bins positioned by the observed min/max (one
+    scalar aggregate, broadcast into the scan projection; no collect),
+    the two 4-bit bucket ids are bit-interleaved into a z-value, and the
+    table is range-partitioned + sorted on that z-value before writing.
+
+    Why this beats 1-D clustering (`sink_clustered_write`) at 100 TB:
+    sorting on date alone makes every file span the FULL custkey range —
+    a (customer-range AND date-range) box query prunes on one dimension
+    only. Z-order interleaving keeps each file's footer min/max box
+    narrow in BOTH dimensions, so box queries skip files on either
+    predicate (tests assert at least one file is excluded by the
+    custkey bounds alone and one by the date bounds alone). The recipe
+    is still two lines at write time (repartitionByRange +
+    sortWithinPartitions on the z-value) — the curve math is a scan
+    projection, and the z-value column itself is dropped from the
+    written schema.
+
+    The returned relation is a box-query rollup read back through the
+    clustered copy — the oracle checks the filtered read end to end
+    against the original table."""
+    base = _scratch("zorder", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    stats = orders.agg(
+        F.min("o_custkey").alias("_ck_min"),
+        F.max("o_custkey").alias("_ck_max"),
+        F.min("o_orderdate").alias("_d_min"),
+        F.max("o_orderdate").alias("_d_max"),
+    )
+
+    def bucket(value, lo, hi):
+        # floor(16 * (v-lo)/(hi-lo+1)) in pure integer arithmetic —
+        # deterministic, scan-stage, clamp-free (v <= hi < hi+1).
+        return (value - lo) * 16 / (hi - lo + F.lit(1))
+
+    ck_bin = F.floor(
+        bucket(F.col("o_custkey"), F.col("_ck_min"), F.col("_ck_max"))
+    ).cast("int")
+    d_bin = F.floor(
+        bucket(
+            F.datediff(F.col("o_orderdate"), F.col("_d_min")),
+            F.lit(0),
+            F.datediff(F.col("_d_max"), F.col("_d_min")),
+        )
+    ).cast("int")
+    (
+        orders.crossJoin(F.broadcast(stats))
+        .withColumn("_z", _zvalue(ck_bin, d_bin))
+        .repartitionByRange(8, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z", "_ck_min", "_ck_max", "_d_min", "_d_max")
+        .write.mode("overwrite")
+        .parquet(f"{base}/orders_zorder")
+    )
+    clustered = spark.read.parquet(f"{base}/orders_zorder")
+    return (
+        clustered.where(
+            (F.col("o_custkey") < 40)
+            & (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+register(
+    "sink_zorder_write",
+    _sink_zorder_write,
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_customers,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    WHERE o_custkey < 40
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1997-01-01'
+    GROUP BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # per-file provenance via _metadata
 # ---------------------------------------------------------------------------
 

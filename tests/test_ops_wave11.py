@@ -14,6 +14,7 @@ import pyarrow.parquet as pq
 from orchestrated_etl_spark.queries.ops_wave11 import (
     _dq_constraint_audit,
     _sink_clustered_write,
+    _sink_zorder_write,
     _sink_compacted_roundtrip,
     _src_file_lineage,
 )
@@ -167,3 +168,53 @@ def test_lineage_one_file_per_partition(spark, sf_dir):
     for d in dirs:
         files = glob.glob(f"{d}/part-*.parquet")
         assert len(files) == 1, (d, files)
+
+
+# ---------------------------------------------------------------------------
+# 2-D Z-order clustering → footer boxes narrow in BOTH dimensions
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_write_prunes_on_both_dimensions(spark, sf_dir):
+    """Z-order's defining property vs 1-D range clustering: each file's
+    footer min/max box is narrow in BOTH (o_custkey, o_orderdate), so
+    the box query in the registered query can exclude files on either
+    predicate. Assert (a) at least one file's custkey interval lies
+    wholly outside custkey < 40, (b) at least one file's date interval
+    lies wholly outside [1996-01-01, 1997-01-01), and (c) no single
+    file spans the full custkey range (which is what date-only
+    clustering produces)."""
+    import datetime
+
+    _sink_zorder_write(spark, sf_dir).collect()
+    base = _scratch("zorder", sf_dir)
+    boxes = []
+    for f in glob.glob(f"{base}/orders_zorder/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        stats = {}
+        for i in range(md.num_columns):
+            name = md.schema.column(i).name
+            if name not in ("o_custkey", "o_orderdate"):
+                continue
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(i).statistics
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            stats[name] = (lo, hi)
+        boxes.append(stats)
+    assert len(boxes) >= 4
+
+    def _d(v):
+        return v.date() if isinstance(v, datetime.datetime) else v
+
+    ck_all = [b["o_custkey"] for b in boxes]
+    d_all = [(_d(b["o_orderdate"][0]), _d(b["o_orderdate"][1])) for b in boxes]
+    assert any(lo >= 40 for lo, _ in ck_all), ck_all
+    assert any(
+        hi < datetime.date(1996, 1, 1) or lo >= datetime.date(1997, 1, 1)
+        for lo, hi in d_all
+    ), d_all
+    global_ck = (min(lo for lo, _ in ck_all), max(hi for _, hi in ck_all))
+    full_span = global_ck[1] - global_ck[0]
+    assert all(hi - lo < full_span for lo, hi in ck_all), (ck_all, full_span)
