@@ -118,6 +118,54 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    set_col: Column,
+    threshold: float,
+) -> DataFrame:
+    """Asymmetric containment |A∩B| / |A| over the same inverted-index
+    self-join as ``jaccard_pairs``: finds documents (nearly) CONTAINED
+    in another — a quoted paragraph inside a long page, a subset shard
+    re-ingested inside a superset — which symmetric Jaccard misses
+    because the union in its denominator is dominated by the longer
+    document (A ⊂ B with |B| = 20·|A| has Jaccard ≈ 0.05 but
+    containment(A→B) = 1.0; Broder's original resemblance/containment
+    pairing). Returns DIRECTED (src_id, dst_id, containment) rows with
+    src != dst: src is the contained side, so both directions of an
+    asymmetric overlap are reported independently.
+
+    Scale posture is jaccard_pairs': only element-sharing pairs
+    materialize, and a document-frequency cap on elements is the
+    adversarial-corpus knob. The ratio is one int/int division of
+    exact counts — engine-independent up to the shared round(6)."""
+    sc = df.sparkSession.sparkContext
+    df = df.repartition(sc.defaultParallelism, F.col(id_col))
+    ex = _exploded_sets(df, id_col, set_col)
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._elem") == F.col("b._elem"))
+            & (F.col("a._id") != F.col("b._id")),
+        )
+        .groupBy(
+            F.col("a._id").alias("src_id"),
+            F.col("b._id").alias("dst_id"),
+            F.col("a._n").alias("n_src"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        pairs.withColumn(
+            "containment", F.round(F.col("shared") / F.col("n_src"), 6)
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("src_id", "dst_id", "containment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------

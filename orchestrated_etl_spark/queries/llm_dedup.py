@@ -186,6 +186,51 @@ register(
 )
 
 # ---------------------------------------------------------------------------
+# Asymmetric containment (doc-subsumption detection)
+# ---------------------------------------------------------------------------
+
+_CONTAINMENT_THRESHOLD = 0.10
+
+
+def _containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment |A∩B|/|A| ≥ 0.10 on the same 3-gram
+    shingles as `dedup_ngram_jaccard` — the subsumption detector:
+    symmetric Jaccard scores a short doc quoted inside a long one near
+    zero (union-dominated), containment scores it 1.0 from the short
+    side. The fixture corpus contains true containments (max = 1.0),
+    so the threshold filter is exercised from both ends."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.containment_pairs(
+        docs, "doc_id", D.shingles("text", 3), _CONTAINMENT_THRESHOLD
+    )
+
+
+register(
+    "dedup_containment",
+    _containment,
+    f"""
+    WITH sh AS (
+        SELECT doc_id AS id,
+               unnest(list_distinct([array_to_string(ts[i:i+2], ' ')
+                                     for i in range(1, greatest(len(ts) - 2, 1) + 1)])) AS s,
+               len(list_distinct([array_to_string(ts[i:i+2], ' ')
+                                  for i in range(1, greatest(len(ts) - 2, 1) + 1)])) AS n
+        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+    ),
+    pairs AS (
+        SELECT a.id AS src_id, b.id AS dst_id, a.n AS n_src,
+               count(*) AS shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.id != b.id
+        GROUP BY 1, 2, 3
+    )
+    SELECT src_id, dst_id,
+           round(shared * 1.0 / n_src, 6) AS containment
+    FROM pairs
+    WHERE round(shared * 1.0 / n_src, 6) >= {_CONTAINMENT_THRESHOLD}
+    """,
+)
+
+# ---------------------------------------------------------------------------
 # Blocked edit-distance near-dup on part names (entity-resolution shape)
 # ---------------------------------------------------------------------------
 

@@ -340,3 +340,27 @@ def test_sq8_topk_recall_vs_bruteforce(spark, sf_dir):
     }
     for r in SIM.sq8_topk(queries, emb, "vec_id", "embedding", k).collect():
         assert bf[(r["query_id"], r["neighbor_id"])] == r["cosine"]
+
+
+def test_containment_asymmetric(spark):
+    """A short doc fully contained in a long one scores 1.0 from the
+    short side and < 1 from the long side; Jaccard on the same pair is
+    union-dominated — the case containment exists for."""
+    rows = [
+        (1, "alpha beta gamma delta"),                            # 2 shingles
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota"),  # superset
+        (3, "totally unrelated words without any overlap here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = D.containment_pairs(df, "doc_id", D.shingles("text", 3), 0.1)
+    got = {(r["src_id"], r["dst_id"]): r["containment"] for r in out.collect()}
+    assert got[(1, 2)] == 1.0          # short ⊂ long
+    assert got[(2, 1)] == pytest.approx(2 / 7, abs=1e-6)
+    assert not any(3 in k for k in got)
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_pairs(
+            df, "doc_id", F.array_distinct(D.shingles("text", 3)), 0.01
+        ).collect()
+    }
+    assert jac[(1, 2)] == pytest.approx(2 / 7, abs=1e-6)  # union-dominated
