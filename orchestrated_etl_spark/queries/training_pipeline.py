@@ -134,6 +134,86 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# temperature-scaled mixture (data-dependent language rebalancing)
+# ---------------------------------------------------------------------------
+
+
+def _temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (α = 0.5) source rebalancing — the mT5/multilingual-
+    BERT recipe: post-sampling composition follows p_s^α instead of the
+    raw p_s, upweighting rare languages. Unlike `train_mixture_sampling`
+    (FIXED per-lang rates), the keep-rate here is DATA-DEPENDENT:
+    f_l = sqrt(n_min / n_l), so the rarest language keeps everything
+    and a language 4x larger keeps half (`lang` is the rebalancing
+    axis because the fixture's languages are genuinely skewed —
+    en ≈ 3.4x fr — while its sources are uniform). Selection is the
+    same deterministic per-doc hash predicate — rerun- and engine-stable, no rand().
+
+    Float policy: α = 0.5 makes the rate sqrt(n_min/n_l) — an IEEE
+    sqrt of an exact integer ratio, correctly rounded and therefore
+    bit-identical on every engine (a fractional pow() would not be) —
+    so the hash-threshold comparison can never straddle engines.
+
+    Scale shape: per-language counts are one partial-aggregable pass; the
+    handful of (lang, rate) rows broadcast back onto the scan, so the
+    filter still evaluates map-side with no fact-table shuffle. Output
+    is the per-language audit (before/after/rate), exact integers plus
+    the one blessed sqrt."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_min = counts.agg(F.min("n_docs").alias("_n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        "n_docs",
+        F.sqrt(F.col("_n_min") / F.col("n_docs")).alias("keep_rate"),
+    )
+    bucket = (F.col("doc_id") * F.lit(_HASH_MULT)) % F.lit(_HASH_MOD)
+    kept = (
+        docs.join(F.broadcast(rates), "lang")
+        .where(bucket < F.col("keep_rate") * F.lit(float(_HASH_MOD)))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.round("keep_rate", 6).alias("keep_rate"),
+        )
+    )
+
+
+register(
+    "train_temperature_mixture",
+    _temperature_mixture,
+    f"""
+    WITH counts AS (
+        SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    rates AS (
+        SELECT lang, n_docs,
+               sqrt((SELECT min(n_docs) FROM counts) * 1.0 / n_docs)
+                   AS keep_rate
+        FROM counts
+    ),
+    kept AS (
+        SELECT d.lang, count(*) AS n_kept
+        FROM documents d JOIN rates r ON d.lang = r.lang
+        WHERE ((d.doc_id * {_HASH_MULT}) % {_HASH_MOD})
+              < r.keep_rate * {_HASH_MOD}.0
+        GROUP BY d.lang
+    )
+    SELECT r.lang, r.n_docs,
+           coalesce(k.n_kept, 0) AS n_kept,
+           round(r.keep_rate, 6) AS keep_rate
+    FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # column profiling (data-quality summary)
 # ---------------------------------------------------------------------------
 

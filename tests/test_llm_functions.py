@@ -364,3 +364,27 @@ def test_containment_asymmetric(spark):
         ).collect()
     }
     assert jac[(1, 2)] == pytest.approx(2 / 7, abs=1e-6)  # union-dominated
+
+
+def test_temperature_mixture_flattens_composition(spark, sf_dir):
+    """α=0.5 rebalancing: the smallest language keeps rate 1.0, every
+    larger language keeps a strictly smaller fraction, and the kept
+    composition is flatter than the input (max/min count ratio shrinks
+    toward its square root). The fixture's languages are skewed
+    (en ≈ 3.4x fr), so the data-dependent path is genuinely
+    exercised."""
+    from orchestrated_etl_spark.queries.training_pipeline import (
+        _temperature_mixture,
+    )
+
+    rows = _temperature_mixture(spark, sf_dir).collect()
+    by_n = sorted(rows, key=lambda r: r["n_docs"])
+    assert by_n[0]["keep_rate"] == 1.0
+    assert all(
+        a["keep_rate"] >= b["keep_rate"]
+        for a, b in zip(by_n, by_n[1:])
+    )
+    before = max(r["n_docs"] for r in rows) / min(r["n_docs"] for r in rows)
+    kept = [r["n_kept"] for r in rows if r["n_kept"] > 0]
+    after = max(kept) / min(kept)
+    assert after < before
