@@ -458,3 +458,83 @@ def test_salted_asof_bucket_boundary_semantics(spark):
         assert got == plain
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_aqe_splits_skewed_sort_merge_join(spark, sf_dir):
+    """AQE skew-join handling: when one join key dominates a sort-merge
+    join's shuffle (~90% of lineitem rows funneled onto a single
+    synthetic hot key, carrying an incompressible payload), AQE splits
+    the oversized partition across multiple tasks and marks the join
+    ``skew=true`` in the final adaptive plan — the runtime answer to
+    hot keys at 100 TB that salting solves statically (see
+    asof_join_salted). Two conditions discovered the hard way, both
+    load-bearing at any scale:
+
+    - Splits happen at MAP-OUTPUT boundaries: a skewed reduce partition
+      fed by a single map task cannot be split at all (the one-file
+      fixture scan is one map task, so the input is repartitioned
+      first — on a real multi-file table the map side is already wide).
+    - The rule pattern-matches plain shuffle→sort→join edges; an
+      aggregate between shuffle and join (e.g. a distinct building the
+      dim side) opts that side out of skew handling.
+
+    The detection thresholds are cluster-scale defaults (256 MB), so
+    they're lowered into an assertion window; results never depend on
+    them."""
+    conf = spark.conf
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    )
+    saved = {}
+    for k in keys:
+        try:
+            saved[k] = conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "256KB",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        li = (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .select("l_orderkey", "l_linenumber")
+            .repartition(16)
+        )
+        fat = F.concat(
+            *[
+                F.md5(F.concat_ws("-", "l_orderkey", "l_linenumber", F.lit(i)))
+                for i in range(8)
+            ]
+        )
+        skewed = li.withColumn(
+            "k",
+            F.when(F.col("l_orderkey") % 10 < 9, F.lit(1)).otherwise(
+                F.col("l_orderkey")
+            ),
+        ).withColumn("payload", fat)
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            F.col("o_orderkey").alias("k"), "o_totalprice"
+        )
+        j = skewed.join(orders, "k").select(
+            "k",
+            "l_orderkey",
+            "o_totalprice",
+            F.substring("payload", 1, 4).alias("p"),
+        )
+        n = len(j.collect())
+        assert n > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                conf.set(k, v)
+            else:
+                conf.unset(k)
