@@ -536,3 +536,94 @@ register(
     FROM s LEFT JOIN c ON s.day = c.day
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# multi-touch (linear) attribution
+# ---------------------------------------------------------------------------
+
+
+def _attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every click by the same user in
+    the 24 h before a purchase shares that purchase's value equally;
+    credit rolls up per channel (the ``k`` prop mod 4 — the fixture's
+    stand-in for a campaign id). The shape every marketing warehouse
+    runs: a time-range join (user equi-key + interval predicate), a
+    per-purchase touch count, a credit division, a channel rollup.
+
+    Exactness policy: value → DECIMAL(18,2) cents, credit = integer
+    ``cents * 1_000_000 div n_touches`` (micro-cents, floor division —
+    identical on any engine, no float summation anywhere), summed as
+    BIGINT. The division remainder (< n_touches micro-cents per
+    purchase) is deliberately dropped, not redistributed — documented,
+    deterministic, and auditable against total purchase value.
+
+    Scale: the range join shuffles once on user_id (per-user histories
+    are partition-local, same contract as asof_join); the touch-count
+    window shares the purchase-id partitioning with the credit rollup.
+    Purchases with zero prior clicks simply attribute nothing."""
+    ev = read_events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        (
+            F.get_json_object("props", "$.k").cast("int") % 4
+        ).alias("channel"),
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    j = purch.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS")),
+    )
+    w = Window.partitionBy("p_id")
+    credited = j.withColumn("n_touches", F.count(F.lit(1)).over(w)).withColumn(
+        "credit_micro", F.expr("cents * 1000000L div n_touches")
+    )
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.count_distinct("p_id").alias("n_purchases"),
+        F.sum("credit_micro").alias("credit_microcents"),
+    )
+
+
+register(
+    "events_attribution_linear",
+    _attribution_linear,
+    """
+    WITH clicks AS (
+        SELECT user_id AS c_user, ts AS c_ts,
+               TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) % 4
+                   AS channel
+        FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+        SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+        SELECT p.p_id, p.cents, c.channel,
+               count(*) OVER (PARTITION BY p.p_id) AS n_touches
+        FROM purch p
+        JOIN clicks c
+          ON c.c_user = p.p_user
+         AND c.c_ts < p.p_ts
+         AND c.c_ts >= p.p_ts - INTERVAL 24 HOURS
+    )
+    SELECT channel,
+           count(*) AS n_touches,
+           count(DISTINCT p_id) AS n_purchases,
+           CAST(sum(cents * 1000000 // n_touches) AS BIGINT)
+               AS credit_microcents
+    FROM j GROUP BY channel
+    """,
+)
