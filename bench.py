@@ -43,6 +43,9 @@ HEADLINE = [
     # round 2: graph + data quality
     "graph_pagerank",
     "dq_constraint_audit",
+    # round 2: quantized ANN + attribution
+    "sim_sq8_topk",
+    "events_attribution_linear",
 ]
 
 
