@@ -303,9 +303,15 @@ def sq8_topk(
     dot products over 4x-smaller rows; the exact pass is two broadcast
     id-joins touching |Q|*k float vectors — at scale the full-precision
     corpus is read only for the candidates, which is the point."""
+    # Materialize the quantized relation ONCE (same pattern as the
+    # MinHash signature checkpoint in functions/dedup.py): it feeds the
+    # corpus side AND the query side of the scoring join, and column
+    # pruning would otherwise re-execute the scan → stats → quantize
+    # subtree per consumer. q8 is id + 64 small ints — a fraction of
+    # the float corpus; at 100 TB this is the staged int8 index write.
     q8 = sq8_quantize(
         corpus.select(F.col(id_col), F.col(vec_col)), id_col, vec_col
-    )
+    ).localCheckpoint(eager=True)
     qids = queries.select(F.col(id_col).alias("query_id"))
     sc = corpus.sparkSession.sparkContext
     c = q8.repartition(sc.defaultParallelism, F.col(id_col)).select(

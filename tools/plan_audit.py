@@ -49,6 +49,8 @@ PYTHON_OK = {
 SCALAR_BROADCAST_OK = {
     "train_dedup_lines_global",  # broadcast 1-row corpus total onto line freqs
     "graph_triangle_count",  # 1-row edge/node/triangle counts combined
+    "sim_sq8_topk",  # broadcast 1-row quantization scale (max-abs) onto the scan
+    "train_temperature_mixture",  # broadcast 1-row min-count onto per-lang rates
 }
 
 # Streaming queries materialise through a memory sink; their batch plan is
