@@ -181,3 +181,44 @@ def pagerank(
             )
         )
     return ranks
+
+
+def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Synchronous label-propagation community detection (LPA): every
+    node starts as its own label; each round a node adopts the most
+    frequent label among its NEIGHBORS' current labels, ties broken by
+    the smallest label — fully deterministic (classic async LPA is
+    order-dependent; the synchronous + lexicographic-tie-break variant
+    reruns identically on any engine, which is what makes an exact
+    unrolled-SQL oracle possible). Returns (node, community) after the
+    fixed rounds.
+
+    Per round: one (dst, label) count aggregate over the label-joined
+    edge relation, then the argmax folds into a MAP-SIDE-combinable
+    max_by over (count, -label) — no row_number window, so the per-node
+    candidate labels never sort-shuffle. Same materialize-edges-once
+    pattern as pagerank; everything downstream of the checkpoint is
+    edge-list-sized. Pure BIGINT arithmetic end to end."""
+    edges_m = edges.localCheckpoint(eager=True)
+    ed = undirect(edges_m)
+    labels = ed.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(iterations):
+        neigh = ed.join(labels, ed.src == labels.node).select(
+            F.col("dst").alias("n2"), "label"
+        )
+        counts = neigh.groupBy("n2", "label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        labels = (
+            counts.groupBy("n2")
+            .agg(
+                F.max_by(
+                    F.col("label"),
+                    F.struct(F.col("c").alias("c"), (-F.col("label")).alias("t")),
+                ).alias("label")
+            )
+            .select(F.col("n2").alias("node"), "label")
+        )
+    return labels.select("node", F.col("label").alias("community"))

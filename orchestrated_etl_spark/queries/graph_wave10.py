@@ -260,3 +260,66 @@ register(
     SELECT node, round(rank + 1e-9, 4) AS pagerank FROM r3
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# label propagation (community detection, 3 unrolled rounds)
+# ---------------------------------------------------------------------------
+
+
+def _graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous LPA on the weight ≥ 2 graph:
+    3 rounds of adopt-the-most-frequent-neighbor-label with smallest-
+    label tie-breaks. Deterministic by construction (see
+    functions/graph.label_propagation), so the oracle unrolls the
+    identical recurrence as three CTE rounds — exact BIGINT comparison,
+    no float policy at all."""
+    from orchestrated_etl_spark.functions.graph import label_propagation
+
+    return label_propagation(
+        copurchase_edges(spark, sf_dir, min_weight=2), iterations=3
+    )
+
+
+register(
+    "graph_label_propagation",
+    _graph_label_propagation,
+    f"""
+    WITH {_EDGE_CTE},
+    e2 AS (SELECT part_a, part_b FROM e WHERE weight >= 2),
+    ed AS (
+        SELECT part_a AS src, part_b AS dst FROM e2
+        UNION ALL
+        SELECT part_b, part_a FROM e2
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM ed),
+    l1 AS (
+        SELECT node, label FROM (
+            SELECT ed.dst AS node, l.label, count(*) AS c,
+                   row_number() OVER (PARTITION BY ed.dst
+                         ORDER BY count(*) DESC, l.label) AS rn
+            FROM ed JOIN l0 l ON ed.src = l.node
+            GROUP BY ed.dst, l.label
+        ) WHERE rn = 1
+    ),
+    l2 AS (
+        SELECT node, label FROM (
+            SELECT ed.dst AS node, l.label, count(*) AS c,
+                   row_number() OVER (PARTITION BY ed.dst
+                         ORDER BY count(*) DESC, l.label) AS rn
+            FROM ed JOIN l1 l ON ed.src = l.node
+            GROUP BY ed.dst, l.label
+        ) WHERE rn = 1
+    ),
+    l3 AS (
+        SELECT node, label FROM (
+            SELECT ed.dst AS node, l.label, count(*) AS c,
+                   row_number() OVER (PARTITION BY ed.dst
+                         ORDER BY count(*) DESC, l.label) AS rn
+            FROM ed JOIN l2 l ON ed.src = l.node
+            GROUP BY ed.dst, l.label
+        ) WHERE rn = 1
+    )
+    SELECT node, CAST(label AS BIGINT) AS community FROM l3
+    """,
+)

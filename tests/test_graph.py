@@ -128,3 +128,25 @@ def test_edge_scan_prunes_columns(spark, sf_dir):
     rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert rs and "l_orderkey" in rs[0] and "l_partkey" in rs[0], plan
     assert "l_quantity" not in rs[0] and "l_comment" not in rs[0], plan
+
+
+def test_label_propagation_two_communities(spark):
+    """Barbell graph: two triangles {1,2,3} and {10,11,12} joined by a
+    single bridge edge (3,10). After 3 synchronous rounds with
+    smallest-label ties, each triangle converges to its own minimum
+    label — the bridge is outvoted by the in-triangle majority."""
+    from orchestrated_etl_spark.functions.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2, 2), (1, 3, 2), (2, 3, 2),
+         (10, 11, 2), (10, 12, 2), (11, 12, 2),
+         (3, 10, 2)],
+        "part_a long, part_b long, weight long",
+    )
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, iterations=3).collect()
+    }
+    assert got[1] == got[2] == got[3]
+    assert got[10] == got[11] == got[12]
+    assert got[1] != got[10]
