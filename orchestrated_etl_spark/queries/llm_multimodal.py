@@ -5,7 +5,7 @@ functions/multimodal.py; the oracle reproduces it from md5 nibbles)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from orchestrated_etl_spark.functions import multimodal as M
@@ -172,5 +172,103 @@ register(
         FROM scored
     )
     SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# scene-cut detection (frame-difference energy over sampled frames)
+# ---------------------------------------------------------------------------
+
+
+def _scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-cut detection, STUB features / real pipeline shape:
+    every frame of each fake-decoded video gets a deterministic 4-dim
+    feature vector (md5 nibbles of digest+frame index — stands in for a
+    per-frame histogram/embedding a real decoder would emit), and a cut
+    is declared where the L1 frame-to-frame difference ≥ 24 (the
+    classic frame-difference-energy detector). L1 over integer features
+    keeps the whole operator EXACT — no division, no float policy.
+
+    Pipeline shape is production-real: decode → per-frame explode
+    (sequence, JVM-side) → lag window partitioned by video → threshold
+    → per-video rollup. One shuffle on doc_id shared by the window and
+    the aggregate; per-frame features are scan-stage expressions, so a
+    100 TB frame table never re-shuffles for feature computation."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payload = docs.select("doc_id", M.to_binary("text").alias("media"))
+    decoded = M.decoded_metadata(payload, "doc_id", "media")
+    frames = decoded.select(
+        "doc_id",
+        "digest",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(1))
+        ).alias("frame_idx"),
+    )
+    fh = F.md5(
+        F.concat_ws("-", F.col("digest"), F.col("frame_idx")).cast("binary")
+    )
+    feats = frames.select(
+        "doc_id",
+        "frame_idx",
+        *[
+            F.conv(F.substring(fh, k + 1, 1), 16, 10)
+            .cast("int")
+            .alias(f"f{k}")
+            for k in range(4)
+        ],
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    diff = sum(
+        F.abs(F.col(f"f{k}") - F.lag(f"f{k}").over(w)) for k in range(4)
+    )
+    scored = feats.withColumn("d", diff)
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.when(F.col("d") >= 24, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_cuts"),
+        F.max("d").alias("max_diff"),
+    )
+
+
+register(
+    "mm_scene_cut",
+    _scene_cut,
+    """
+    WITH d AS (
+        SELECT doc_id, md5(text) AS digest,
+               strpos('0123456789abcdef', substr(md5(text), 3, 1)) AS n_frames
+        FROM documents
+    ),
+    frames AS (
+        SELECT doc_id, digest,
+               CAST(unnest(range(0, n_frames)) AS INTEGER) AS frame_idx
+        FROM d
+    ),
+    feats AS (
+        SELECT doc_id, frame_idx,
+               strpos('0123456789abcdef',
+                      substr(md5(digest || '-' || frame_idx), 1, 1)) - 1 AS f0,
+               strpos('0123456789abcdef',
+                      substr(md5(digest || '-' || frame_idx), 2, 1)) - 1 AS f1,
+               strpos('0123456789abcdef',
+                      substr(md5(digest || '-' || frame_idx), 3, 1)) - 1 AS f2,
+               strpos('0123456789abcdef',
+                      substr(md5(digest || '-' || frame_idx), 4, 1)) - 1 AS f3
+        FROM frames
+    ),
+    scored AS (
+        SELECT doc_id,
+               abs(f0 - lag(f0) OVER w) + abs(f1 - lag(f1) OVER w)
+             + abs(f2 - lag(f2) OVER w) + abs(f3 - lag(f3) OVER w) AS d
+        FROM feats
+        WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+    )
+    SELECT doc_id,
+           count(*) AS n_frames,
+           CAST(sum(CASE WHEN d >= 24 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+           CAST(max(d) AS INTEGER) AS max_diff
+    FROM scored GROUP BY doc_id
     """,
 )
