@@ -481,3 +481,78 @@ register(
     FROM orders GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# distribution drift (PSI) between time-split batches
+# ---------------------------------------------------------------------------
+
+
+def _dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift audit: the `value` distribution
+    of the first half-month of events vs the second, over 10 fixed-width
+    bins, with add-one (Laplace) smoothing so empty bins contribute a
+    finite penalty instead of a division by zero. PSI ≥ 0.2 per the
+    usual rule of thumb flags actionable drift; the per-bin rows are
+    the drill-down a DQ dashboard renders.
+
+    The whole audit is ONE conditional aggregate over one scan (each
+    bin-batch cell is a filtered count — adding bins adds columns, not
+    passes), then arithmetic on the 10-row result. Shares are exact
+    integer ratios evaluated identically cross-engine; only ln() is
+    irrational, so the contribution is rounded to 6 (registry float
+    policy)."""
+    from orchestrated_etl_spark.sources.catalog import read_events
+
+    ev = read_events(spark, sf_dir)
+    binned = ev.select(
+        F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(9)).alias(
+            "bin"
+        ),
+        (F.col("ts") < F.lit("2024-01-16").cast("timestamp")).alias("_early"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("_early"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("_early"), 1).otherwise(0)).alias("n_b"),
+    )
+    totals = cells.agg(
+        F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb")
+    )
+    p = (F.col("n_a") + 1) / (F.col("_ta") + 10)
+    q = (F.col("n_b") + 1) / (F.col("_tb") + 10)
+    return (
+        cells.crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
+        )
+    )
+
+
+register(
+    "dq_drift_psi",
+    _dq_drift_psi,
+    """
+    WITH binned AS (
+        SELECT least(CAST(floor(value / 50) AS INTEGER), 9) AS bin,
+               ts < TIMESTAMP '2024-01-16' AS early
+        FROM events
+    ),
+    cells AS (
+        SELECT bin,
+               sum(CASE WHEN early THEN 1 ELSE 0 END) AS n_a,
+               sum(CASE WHEN NOT early THEN 1 ELSE 0 END) AS n_b
+        FROM binned GROUP BY bin
+    ),
+    t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM cells)
+    SELECT bin,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           round(((n_a + 1) * 1.0 / (ta + 10) - (n_b + 1) * 1.0 / (tb + 10))
+                 * ln(((n_a + 1) * 1.0 / (ta + 10))
+                      / ((n_b + 1) * 1.0 / (tb + 10))), 6) AS psi_contrib
+    FROM cells, t
+    """,
+)
