@@ -290,3 +290,26 @@ def test_lsh_always_surfaces_identical_documents(spark, docs):
     hit = pairs.get((0, dup_id), pairs.get((dup_id, 0)))
     assert hit is not None, (rows, pairs)
     assert abs(hit - 1.0) < 1e-9
+
+
+@settings(**_SETTINGS)
+@given(_docs_strategy)
+def test_containment_pairs_matches_python_sets(spark, docs):
+    """Directed containment |A∩B|/|A| at threshold 0: every element-
+    sharing ORDERED pair must appear with the exact python-set ratio
+    (both directions independently — the asymmetry is the contract)."""
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["src_id"], r["dst_id"]): r["containment"]
+        for r in D.containment_pairs(
+            df, "doc_id", F.array_distinct(F.split("text", " ")), 0.0
+        ).collect()
+    }
+    sets = {i: set(t.split(" ")) for i, t in rows}
+    want = {}
+    for i, a in sets.items():
+        for j, b in sets.items():
+            if i != j and (a & b):
+                want[(i, j)] = round(len(a & b) / len(a), 6)
+    assert got == want
