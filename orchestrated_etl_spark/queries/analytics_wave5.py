@@ -627,3 +627,61 @@ register(
     FROM j GROUP BY channel
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# event-type transition matrix (Markov bigrams per user session stream)
+# ---------------------------------------------------------------------------
+
+
+def _markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix over each user's time-ordered event
+    stream: count (prev_type → type) bigrams, emit per-edge share of
+    all transitions leaving prev_type. The sequence-mining shape (next-
+    event prediction features, funnel-anomaly baselines) that windows +
+    one aggregate express without any sessionization machinery.
+
+    One shuffle on user_id for the lag window (ties broken by event_id
+    so the sequence is total-ordered and engine-independent), then one
+    partial-aggregable count; the share divides two exact counts via a
+    window over prev_type — no float accumulation."""
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    bigrams = ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    counts = bigrams.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(total), 6).alias("p"),
+    )
+
+
+register(
+    "events_markov_transitions",
+    _markov_transitions,
+    """
+    WITH bigrams AS (
+        SELECT user_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type,
+               event_type AS next_type
+        FROM events
+    ),
+    counts AS (
+        SELECT prev_type, next_type, count(*) AS n
+        FROM bigrams WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+    FROM counts
+    """,
+)
