@@ -30,7 +30,7 @@ Quality-gate ratios are raw IEEE quotients of identical integers
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from orchestrated_etl_spark.registry import register
 
@@ -435,5 +435,126 @@ register(
       )
     GROUP BY lang
     ORDER BY lang
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: BM25 + embedding cosine, reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+
+
+def _search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval, the production RAG shape: a LEXICAL leg (BM25
+    top-20 for the fixed 3-term query) and a SEMANTIC leg (exact cosine
+    top-20 around query vector vec_id=0) fused by reciprocal-rank
+    fusion — score = Σ_legs 1/(60 + rank), the standard k=60 RRF that
+    needs no score calibration between legs. Docs appearing in only one
+    leg receive that leg's contribution alone (full-outer fusion);
+    final top-10 ties break on doc_id.
+
+    Why RRF and not score interpolation: BM25 and cosine live on
+    incomparable scales; rank fusion is scale-free, and 1/(60+rank) is
+    an exact rational of small integers — the fused score is identical
+    cross-engine up to the shared round(6). Each leg is the already-
+    audited scale shape (posting-list aggregation / broadcast query
+    scan); the fusion itself joins two 20-row relations — free at any
+    corpus size."""
+    from orchestrated_etl_spark.functions.similarity import brute_force_topk
+
+    lex = _search_bm25_topk(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+        .alias("rank_lex"),
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0)
+    sem = brute_force_topk(q, emb, "vec_id", "embedding", 20).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("rank_sem"),
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_lex",
+        "rank_sem",
+        F.round(
+            F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("rank_lex")), F.lit(0.0))
+            + F.coalesce(
+                1.0 / (F.lit(_RRF_K) + F.col("rank_sem")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id")).limit(10)
+
+
+register(
+    "search_hybrid_rrf",
+    _search_hybrid_rrf,
+    f"""
+    WITH postings AS (
+        SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+        FROM (
+            SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                   unnest(string_split(text, ' ')) AS term
+            FROM documents
+        )
+        WHERE term IN ('spark', 'window', 'merge')
+        GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT count(*) AS n_docs,
+               avg(len(string_split(text, ' '))) AS avgdl
+        FROM documents
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+    bm25 AS (
+        SELECT doc_id,
+               round(sum(
+                   ln(1.0 + (n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * (tf * ({_BM25_K1} + 1))
+                   / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+               ), 6) AS score
+        FROM postings JOIN dfreq USING (term) CROSS JOIN stats
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id
+        LIMIT 20
+    ),
+    lex AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS INTEGER) AS rank_lex
+        FROM bm25
+    ),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT c.vec_id AS doc_id,
+               round(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                              CAST(q.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                                CAST(c.embedding AS DOUBLE[])))),
+                     6) AS cosine
+        FROM embeddings c, q WHERE c.vec_id != 0
+    ),
+    sem AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY cosine DESC, doc_id)
+                    AS INTEGER) AS rank_sem
+        FROM scored
+        ORDER BY cosine DESC, doc_id
+        LIMIT 20
+    )
+    SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+           l.rank_lex, s.rank_sem,
+           round(coalesce(1.0 / ({_RRF_K} + l.rank_lex), 0)
+                 + coalesce(1.0 / ({_RRF_K} + s.rank_sem), 0), 6) AS rrf
+    FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+    ORDER BY rrf DESC, doc_id
+    LIMIT 10
     """,
 )
