@@ -123,6 +123,64 @@ register(
     """,
 )
 
+def _intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics INTERSECT ALL: per-value multiplicity is
+    min(count_left, count_right) — lineitem ship-priority keys vs order
+    keys keep duplicate counts, where the DISTINCT form collapses them.
+    Spark plans intersectAll as a count-and-replicate aggregate, not a
+    join explosion."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.select(F.col("l_orderkey").alias("orderkey"))
+        .intersectAll(orders.select(F.col("o_orderkey").alias("orderkey")))
+        .groupBy("orderkey")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+    )
+
+
+register(
+    "setop_intersect_all",
+    _intersect_all,
+    """
+    SELECT orderkey, count(*) AS multiplicity FROM (
+        SELECT l_orderkey AS orderkey FROM lineitem
+        INTERSECT ALL
+        SELECT o_orderkey AS orderkey FROM orders
+    ) GROUP BY orderkey
+    """,
+)
+
+
+def _except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics EXCEPT ALL: multiplicity max(count_left -
+    count_right, 0) — lineitem order keys minus one occurrence per
+    order row, i.e. "line items beyond the first per order" as a
+    multiset. The aggregate-based plan (no join fan-out) is the same
+    shape Spark uses for intersectAll."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.select(F.col("l_orderkey").alias("orderkey"))
+        .exceptAll(orders.select(F.col("o_orderkey").alias("orderkey")))
+        .groupBy("orderkey")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+    )
+
+
+register(
+    "setop_except_all",
+    _except_all,
+    """
+    SELECT orderkey, count(*) AS multiplicity FROM (
+        SELECT l_orderkey AS orderkey FROM lineitem
+        EXCEPT ALL
+        SELECT o_orderkey AS orderkey FROM orders
+    ) GROUP BY orderkey
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # window functions
 # ---------------------------------------------------------------------------
