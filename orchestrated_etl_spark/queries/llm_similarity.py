@@ -7,7 +7,7 @@ engine-independent."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from orchestrated_etl_spark.functions import similarity as SIM
@@ -447,5 +447,139 @@ register(
            round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                        CAST(embedding AS DOUBLE[]))), 6) AS l2
     FROM embeddings
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka (prefix-truncated) staged retrieval
+# ---------------------------------------------------------------------------
+
+
+def _mrl_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka staged retrieval: stage 1 scores every candidate on
+    only the FIRST 16 of 64 dimensions (MRL-style truncation — 4x less
+    compute and bandwidth, same layout: a prefix slice needs no second
+    index), keeps the top-20 per query, and stage 2 exact-reranks those
+    survivors on the full vector for the final top-5. Complements SQ8
+    (which shrinks bytes per dimension) — prefix truncation shrinks the
+    DIMENSION COUNT; production systems stack both.
+
+    Both stages rank on round(cosine, 6) with id tie-breaks, so the
+    candidate cut and the final order are engine-independent. Cost
+    shape: stage 1 is the brute-force scan at 1/4 width; stage 2
+    touches |Q| x 20 full vectors via broadcast id-join."""
+    from orchestrated_etl_spark.functions.dedup import dot, vec_norm
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(_query_pred())
+    prefix = F.slice("embedding", 1, 16)
+    c = emb.repartition(
+        spark.sparkContext.defaultParallelism, F.col("vec_id")
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        prefix.alias("_cpre"),
+        vec_norm(prefix).alias("_cprenorm"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            prefix.alias("_qpre"),
+            vec_norm(prefix).alias("_qprenorm"),
+        )
+    )
+    stage1 = (
+        c.join(q, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "pre_cosine",
+            F.round(
+                F.try_divide(
+                    dot(F.col("_qpre"), F.col("_cpre")),
+                    F.col("_qprenorm") * F.col("_cprenorm"),
+                ),
+                6,
+            ),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("pre_cosine").desc(), F.col("neighbor_id")
+    )
+    cands = (
+        stage1.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= 20)
+        .select("query_id", "neighbor_id", "pre_cosine")
+    )
+    qe = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qvec"),
+        vec_norm(F.col("embedding")).alias("_qnorm"),
+    )
+    ne = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("_nvec"),
+        vec_norm(F.col("embedding")).alias("_nnorm"),
+    )
+    full = (
+        qe.join(F.broadcast(cands), "query_id")
+        .join(ne, "neighbor_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                F.try_divide(
+                    dot(F.col("_qvec"), F.col("_nvec")),
+                    F.col("_qnorm") * F.col("_nnorm"),
+                ),
+                6,
+            ),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        full.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "pre_cosine", "cosine", "rank")
+    )
+
+
+_PRE_COS_SQL = (
+    "list_dot_product(CAST({a}[1:16] AS DOUBLE[]), CAST({b}[1:16] AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST({a}[1:16] AS DOUBLE[]),"
+    "                          CAST({a}[1:16] AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST({b}[1:16] AS DOUBLE[]),"
+    "                         CAST({b}[1:16] AS DOUBLE[]))))"
+)
+
+register(
+    "sim_mrl_prefix_topk",
+    _mrl_prefix,
+    f"""
+    WITH stage1 AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round({_PRE_COS_SQL.format(a='q.embedding', b='c.embedding')}, 6)
+                   AS pre_cosine
+        FROM embeddings q
+        JOIN embeddings c ON q.vec_id != c.vec_id
+        WHERE q.vec_id % 25 = 0 AND q.vec_id < 500
+    ),
+    cands AS (
+        SELECT query_id, neighbor_id, pre_cosine FROM (
+            SELECT query_id, neighbor_id, pre_cosine,
+                   row_number() OVER (PARTITION BY query_id
+                         ORDER BY pre_cosine DESC, neighbor_id) AS rn
+            FROM stage1
+        ) WHERE rn <= 20
+    )
+    SELECT t.query_id, t.neighbor_id, t.pre_cosine,
+           round({_COS_SQL.format(a='qe.embedding', b='ne.embedding')}, 6)
+               AS cosine,
+           CAST(row_number() OVER (PARTITION BY t.query_id ORDER BY
+                round({_COS_SQL.format(a='qe.embedding', b='ne.embedding')}, 6)
+                    DESC, t.neighbor_id) AS INTEGER) AS rank
+    FROM cands t
+    JOIN embeddings qe ON qe.vec_id = t.query_id
+    JOIN embeddings ne ON ne.vec_id = t.neighbor_id
+    QUALIFY rank <= 5
     """,
 )
