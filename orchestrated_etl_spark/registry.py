@@ -59,41 +59,41 @@ def _load_all() -> None:
 # modules. Remaining queries follow in registration (checklist) order.
 _FRONT = [
     # reference surface
-    "flagship", "t2_dedup_by_key", "a1_a5_enrich_family",
-    # relational core (window_running_sum is the round-1 red row — re-check)
-    "window_running_sum", "window_topk_per_group", "json_variant_props",
-    # subqueries / CTEs
-    "sql_q4_priority_exists", "array_hof_profile",
-    # TPC-H wave 2
-    "sql_q10_returned_revenue",
-    # TPC-H wave 3 (driver-unchecked in r01)
+    "flagship",
+    # relational core (window_running_sum was round-1's red row — its
+    # DECIMAL-accumulation fix needs a driver-issued green row)
+    "window_running_sum",
+    # subqueries / TPC-H (wave 3 was driver-unchecked in r01)
     "sql_q8_market_share", "sql_q9_product_profit", "sql_q21_waiting_supplier",
     # LLM text analysis
-    "text_token_stats", "text_lang_id_confusion", "train_pii_scrub",
-    # LLM dedup (+ round-2 incremental ingest shape)
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_embedding_cosine", "dedup_cluster_components",
-    "train_incremental_dedup",
-    # similarity / ANN / search (round-2 BM25 retrieval)
-    "sim_bruteforce_topk", "sim_ivf_topk", "search_bm25_topk",
-    # multimodal
-    "mm_binary_metadata", "mm_frame_sample", "mm_fake_embed_topk",
-    # streaming (oracle-bearing entries; tumbling/join gained strict
-    # oracles in round 2 — single-micro-batch determinism)
-    "stream_static_join", "stream_tumbling_daily", "stream_stream_join",
-    # scale ops
+    "text_lang_id_confusion", "train_pii_scrub", "text_char_entropy",
+    # LLM dedup (+ round-2 containment & incremental ingest)
+    "dedup_exact", "dedup_minhash_lsh", "dedup_cluster_components",
+    "dedup_containment", "train_incremental_dedup",
+    # similarity / ANN / search (round-2: SQ8, Matryoshka, hybrid RRF)
+    "sim_ivf_topk", "sim_sq8_topk", "sim_mrl_prefix_topk",
+    "search_bm25_topk", "search_hybrid_rrf",
+    # multimodal (round-2 scene-cut)
+    "mm_frame_sample", "mm_fake_embed_topk", "mm_scene_cut",
+    # streaming (oracle-bearing; single-micro-batch determinism)
+    "stream_tumbling_daily", "stream_stream_join",
+    # scale ops (round-2: Z-order layout, stored-sketch merge)
     "asof_join_purchase_click", "sessionize_events_30m", "sink_merge_upsert",
     "src_python_datasource", "sink_scd2_history", "join_dpp_partition_pruned",
-    # training pipeline
-    "train_token_packing", "train_decontaminate", "train_e2e_pipeline",
-    # wave 4
-    "datetime_gap_fill", "funnel_view_click_purchase", "text_char_entropy",
-    # wave 5
-    "events_retention_cohorts", "events_anomaly_zscore", "sim_hyperplane_lsh",
-    "src_text_logparse",
-    # wave 6
+    "sink_zorder_write", "agg_hll_sketch_merge",
+    # training pipeline (round-2 temperature mixture)
+    "train_decontaminate", "train_e2e_pipeline", "train_temperature_mixture",
+    # events analytics (round-2 attribution + transition matrix)
+    "datetime_gap_fill", "funnel_view_click_purchase",
+    "events_retention_cohorts", "events_anomaly_zscore",
+    "events_attribution_linear", "events_markov_transitions",
+    # graph + data quality (families added in round 2 — no driver rows yet)
+    "graph_pagerank", "graph_label_propagation",
+    "dq_constraint_audit", "dq_drift_psi",
+    # wave 5/6 sources + SQL surface
+    "sim_hyperplane_lsh", "src_text_logparse",
     "sql_recursive_region_walk", "src_xml_extract",
-    # round-2 additions: TPC-H closure + quality gate
+    # round-2 TPC-H closure + quality gate
     "sql_q2_min_cost_supplier", "train_quality_gopher_gate",
 ]
 
