@@ -375,6 +375,83 @@ register(
 )
 
 
+def _range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BINNED range join — the scale path for wide windows and hot
+    users: identical semantics to `range_join_clicks_before_purchase`,
+    but the join equi-key is (user_id, hour_bin) instead of bare
+    user_id. Each purchase probes its own hour bin and the previous one
+    (explode of 2 bins — any click within the trailing hour lives in
+    one of those), and the exact interval predicate filters residually.
+
+    Why it matters at 100 TB: the bare-user_id join co-partitions each
+    user's ENTIRE history into one task — a hot user with a year of
+    clicks serializes there. Binning bounds every partition's state by
+    the window width regardless of per-user volume (the same
+    bound-by-construction idea as the salted as-of join; this is what
+    a range-join "bin hint" does in engines that have one). Cost: each
+    probe row duplicates into 2 bins — a fixed 2x on the (small)
+    purchase side, never on the click side.
+
+    Plan-asserted in tests: the exchange key contains the bin. The
+    oracle is the SAME relation as the plain range join."""
+    ev = read_events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    binf = lambda col: F.floor(F.unix_timestamp(col) / 3600)  # noqa: E731
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            binf(F.col("ts")).alias("c_bin"),
+        )
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.explode(
+                F.array(
+                    binf(F.col("ts")) - F.lit(1), binf(F.col("ts"))
+                )
+            ).alias("probe_bin"),
+        )
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("probe_bin") == F.col("c_bin"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    # A click can match from only ONE of the two probe bins (its own),
+    # so summing per-probe counts over both bins is exact; the left
+    # join keeps zero-click purchases (count of NULL c_ts = 0).
+    return joined.groupBy(
+        "event_id",
+        F.col("p_user").alias("user_id"),
+        F.col("p_ts").alias("ts"),
+    ).agg(F.count(F.col("c_ts")).alias("clicks_1h"))
+
+
+register(
+    "range_join_binned",
+    _range_join_binned,
+    """
+    SELECT p.event_id, p.user_id, p.ts, count(c.event_id) AS clicks_1h
+    FROM events p
+    LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click'
+     AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # source roundtrips (declared-schema CSV / JSON readers)
 # ---------------------------------------------------------------------------

@@ -538,3 +538,32 @@ def test_aqe_splits_skewed_sort_merge_join(spark, sf_dir):
                 conf.set(k, v)
             else:
                 conf.unset(k)
+
+
+def test_binned_range_join_partitions_by_bin(spark, sf_dir):
+    """The binned range join must use (user, bin) as its JOIN KEY — the
+    property that bounds a partition's state by the window width
+    instead of by one user's full history once the join goes sort-merge
+    at scale — and the result must equal the plain range join's
+    exactly."""
+    from orchestrated_etl_spark.queries.scale_ops import (
+        _range_join,
+        _range_join_binned,
+    )
+
+    binned = _range_join_binned(spark, sf_dir)
+    plan = binned._jdf.queryExecution().executedPlan().toString()
+    # At fixture scale the click side broadcasts, so the bin shows up in
+    # the JOIN KEYS (what co-partitions the sort-merge form past the
+    # broadcast threshold) rather than in a shuffle exchange.
+    joins = [
+        ln for ln in plan.splitlines()
+        if "HashJoin" in ln or "SortMergeJoin" in ln
+    ]
+    assert any("c_bin" in ln and "probe_bin" in ln for ln in joins), plan
+    plain = {
+        (r["event_id"], r["clicks_1h"])
+        for r in _range_join(spark, sf_dir).collect()
+    }
+    got = {(r["event_id"], r["clicks_1h"]) for r in binned.collect()}
+    assert got == plain
