@@ -49,14 +49,19 @@ from orchestrated_etl_spark.registry import register
 def _dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative constraint audit over lineitem/orders/customer.
 
-    Within-row rules (ranges, nulls) are conditional sums inside one
-    hash aggregate per table — adding a rule adds a column, never a
-    scan. Cross-table rules: key uniqueness is a count-distinct vs
-    count comparison (two-phase distinct, no row explosion); FK
-    containment is a left-anti join on the key projection (broadcast
-    when the referenced key set is dimension-sized, shuffle otherwise —
-    Catalyst picks). Output: (rule, n_rows, n_violations), exact
-    integers, one row per rule."""
+    ONE pass per audited table: the within-row rules (ranges, nulls)
+    AND that table's FK-containment probe ride the same scan — the
+    child is left-joined to the referenced DISTINCT key projection
+    (broadcast when dimension-sized, shuffle otherwise — Catalyst
+    picks), and every rule is a conditional sum in the single aggregate
+    over the joined relation. Adding a rule adds a column, never a
+    scan; adding an FK adds a join leg, never a second pass over the
+    child (the previous formulation ran rules and FK audits as
+    separate subtrees — 2 scans per fact table; local bench time is
+    unchanged at ~1.3 s since the dims broadcast, but at 100 TB the
+    audit's cost IS the fact scans and this halves them). Key uniqueness is a
+    count-distinct vs count comparison in the same aggregate. Output:
+    (rule, n_rows, n_violations), exact integers, one row per rule."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -65,20 +70,35 @@ def _dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     def viol(cond):
         return F.sum(F.when(cond, 1).otherwise(0))
 
-    li_rules = li.agg(
+    def fkeys(parent: DataFrame, pkey: str) -> DataFrame:
+        return parent.select(F.col(pkey).alias("_pk")).distinct()
+
+    li_audit = li.join(
+        fkeys(orders, "o_orderkey"), li.l_orderkey == F.col("_pk"), "left"
+    ).agg(
         F.count(F.lit(1)).alias("n"),
         viol(~F.col("l_quantity").between(1, 50)).alias("qty_range"),
         viol(~F.col("l_discount").between(0.0, 0.1)).alias("disc_range"),
         viol(F.col("l_extendedprice") <= 0).alias("price_positive"),
         viol(F.col("l_shipdate").isNull()).alias("shipdate_notnull"),
+        viol(F.col("_pk").isNull()).alias("fk_orders"),
     )
-    ord_rules = orders.agg(
+    ord_audit = orders.join(
+        fkeys(cust, "c_custkey"), orders.o_custkey == F.col("_pk"), "left"
+    ).agg(
         F.count(F.lit(1)).alias("n"),
         viol(F.col("o_totalprice") <= 0).alias("totalprice_positive"),
         viol(F.col("o_orderdate").isNull()).alias("orderdate_notnull"),
         (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias(
             "orderkey_unique"
         ),
+        viol(F.col("_pk").isNull()).alias("fk_customer"),
+    )
+    cust_audit = cust.join(
+        fkeys(nation, "n_nationkey"), cust.c_nationkey == F.col("_pk"), "left"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        viol(F.col("_pk").isNull()).alias("fk_nation"),
     )
 
     def unpivot(agg_df: DataFrame, table: str, rules: list[str]) -> DataFrame:
@@ -88,47 +108,32 @@ def _dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n as n_rows",
         ).select("rule", "n_rows", F.col("n_violations").cast("long"))
 
-    within = unpivot(
-        li_rules,
-        "lineitem",
-        ["qty_range", "disc_range", "price_positive", "shipdate_notnull"],
-    ).unionAll(
+    return (
         unpivot(
-            ord_rules,
-            "orders",
-            ["totalprice_positive", "orderdate_notnull", "orderkey_unique"],
-        )
-    )
-
-    def fk(child: DataFrame, key: str, parent: DataFrame, pkey: str, rule):
-        # One scan, one join, one aggregate: left-join the DISTINCT
-        # parent keys and count null probes as orphans — row count and
-        # violation count fall out of the same pass (the two-aggregate
-        # formulation scanned the child twice and needed a scalar
-        # crossJoin to recombine).
-        joined = child.select(key).join(
-            parent.select(F.col(pkey).alias("_pk")).distinct(),
-            child[key] == F.col("_pk"),
-            "left",
-        )
-        return joined.agg(
-            F.lit(rule).alias("rule"),
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("n_violations"),
-        )
-
-    ri = (
-        fk(li, "l_orderkey", orders, "o_orderkey", "lineitem.fk_orders")
-        .unionAll(
-            fk(orders, "o_custkey", cust, "c_custkey", "orders.fk_customer")
+            li_audit,
+            "lineitem",
+            [
+                "qty_range",
+                "disc_range",
+                "price_positive",
+                "shipdate_notnull",
+                "fk_orders",
+            ],
         )
         .unionAll(
-            fk(cust, "c_nationkey", nation, "n_nationkey", "customer.fk_nation")
+            unpivot(
+                ord_audit,
+                "orders",
+                [
+                    "totalprice_positive",
+                    "orderdate_notnull",
+                    "orderkey_unique",
+                    "fk_customer",
+                ],
+            )
         )
+        .unionAll(unpivot(cust_audit, "customer", ["fk_nation"]))
     )
-    return within.unionAll(ri)
 
 
 register(
