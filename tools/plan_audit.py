@@ -32,6 +32,8 @@ PAIRWISE_OK = {
     "sim_ivf_topk_nprobe2",  # same posting-list scoring join as sim_ivf_topk
     "dedup_embedding_cosine",
     "mm_fake_embed_topk",  # brute-force query-set x corpus scoring is the baseline path
+    "sim_mrl_prefix_topk",  # stage-1 prefix scan is the brute-force baseline at 1/4 width
+    "search_hybrid_rrf",  # semantic leg is the brute-force query-set x corpus scan
 }
 
 # Queries whose POINT is per-row Python: the UDTF demo exists to cover the
@@ -51,6 +53,7 @@ SCALAR_BROADCAST_OK = {
     "graph_triangle_count",  # 1-row edge/node/triangle counts combined
     "sim_sq8_topk",  # broadcast 1-row quantization scale (max-abs) onto the scan
     "train_temperature_mixture",  # broadcast 1-row min-count onto per-lang rates
+    "dq_drift_psi",  # broadcast 1-row batch totals onto the 10-bin cells
 }
 
 # Streaming queries materialise through a memory sink; their batch plan is
