@@ -1133,7 +1133,13 @@ def _hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     (3 x 1.04/sqrt(2^12) ≈ 4.9% of exact) rather than against each
     other — same booleans-against-contract pattern as
     agg_approx_sketches."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # NULL order dates are excluded on BOTH sides up front: Spark's
+    # per-month grouping would otherwise emit a NULL-month sketch row
+    # that the oracle's count(DISTINCT month) skips — a divergence the
+    # current fixture never triggers but a regenerated one could.
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderdate").isNotNull()
+    )
     monthly = orders.groupBy(
         "o_orderstatus", F.date_trunc("month", "o_orderdate").alias("_m")
     ).agg(F.hll_sketch_agg("o_custkey").alias("_sk"))
@@ -1176,6 +1182,7 @@ register(
            count(DISTINCT o_custkey) AS exact_distinct,
            TRUE AS merged_within_bounds,
            TRUE AS direct_within_bounds
-    FROM orders GROUP BY o_orderstatus
+    FROM orders WHERE o_orderdate IS NOT NULL
+    GROUP BY o_orderstatus
     """,
 )
