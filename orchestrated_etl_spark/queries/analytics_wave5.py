@@ -566,8 +566,10 @@ def _attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.where(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"),
         F.col("ts").alias("c_ts"),
+        # try_cast: ANSI mode is on, so a plain cast would ERROR on a
+        # non-numeric prop where the oracle's TRY_CAST yields NULL.
         (
-            F.get_json_object("props", "$.k").cast("int") % 4
+            F.get_json_object("props", "$.k").try_cast("int") % 4
         ).alias("channel"),
     )
     purch = ev.where(F.col("event_type") == "purchase").select(
