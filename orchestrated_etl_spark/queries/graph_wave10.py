@@ -323,3 +323,94 @@ register(
     SELECT node, CAST(label AS BIGINT) AS community FROM l3
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# link prediction: common neighbors + Jaccard over non-edges
+# ---------------------------------------------------------------------------
+
+
+def _graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction on the co-purchase graph — the
+    "related items you haven't bought together yet" recommendation
+    shape: wedge-join the undirected edge relation on the middle vertex
+    to count common neighbors per (a < c) pair, DROP pairs already
+    connected (an anti-join — prediction targets NEW links), attach
+    degrees for the Jaccard score cn / (deg_a + deg_c - cn), and keep
+    the top-50 by (common neighbors, then Jaccard, then pair id).
+
+    Scale shape mirrors triangle_count: the thresholded edge list
+    broadcasts at bench scale; past the threshold, degree-orientation
+    bounds wedge fan-out. Counts are exact integers; the Jaccard is one
+    division of exact ints, rounded 6 on both engines. The top-50
+    boundary is deterministic: ties broken by the full (cn, jaccard,
+    a, c) composite."""
+    edges = copurchase_edges(spark, sf_dir, min_weight=2).localCheckpoint(
+        eager=True
+    )
+    ed = undirect(edges)
+    deg = degrees(edges)
+    w1 = ed.select(F.col("src").alias("b"), F.col("dst").alias("a"))
+    w2 = ed.select(F.col("src").alias("b2"), F.col("dst").alias("c"))
+    wedges = w1.join(
+        w2, (F.col("b") == F.col("b2")) & (F.col("a") < F.col("c"))
+    )
+    cn = wedges.groupBy("a", "c").agg(F.count(F.lit(1)).alias("common"))
+    non_edges = cn.join(
+        edges,
+        (F.col("a") == F.col("part_a")) & (F.col("c") == F.col("part_b")),
+        "anti",
+    )
+    scored = (
+        non_edges.join(deg.select(F.col("node").alias("a"),
+                                  F.col("degree").alias("deg_a")), "a")
+        .join(deg.select(F.col("node").alias("c"),
+                         F.col("degree").alias("deg_c")), "c")
+        .select(
+            "a",
+            "c",
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("deg_a") + F.col("deg_c") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("common").desc(), F.col("jaccard").desc(), "a", "c"
+    ).limit(50)
+
+
+register(
+    "graph_link_prediction",
+    _graph_link_prediction,
+    f"""
+    WITH {_EDGE_CTE},
+    e2 AS (SELECT part_a, part_b FROM e WHERE weight >= 2),
+    ed AS (
+        SELECT part_a AS src, part_b AS dst FROM e2
+        UNION ALL
+        SELECT part_b, part_a FROM e2
+    ),
+    deg AS (SELECT src AS node, count(*) AS degree FROM ed GROUP BY 1),
+    cn AS (
+        SELECT w1.dst AS a, w2.dst AS c, count(*) AS common
+        FROM ed w1 JOIN ed w2 ON w1.src = w2.src AND w1.dst < w2.dst
+        GROUP BY 1, 2
+    ),
+    non_edges AS (
+        SELECT cn.* FROM cn
+        WHERE NOT EXISTS (SELECT 1 FROM e2
+                          WHERE e2.part_a = cn.a AND e2.part_b = cn.c)
+    )
+    SELECT n.a, n.c, n.common,
+           round(n.common * 1.0 / (da.degree + dc.degree - n.common), 6)
+               AS jaccard
+    FROM non_edges n
+    JOIN deg da ON da.node = n.a
+    JOIN deg dc ON dc.node = n.c
+    ORDER BY n.common DESC, jaccard DESC, n.a, n.c
+    LIMIT 50
+    """,
+)
