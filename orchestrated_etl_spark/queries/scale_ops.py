@@ -665,6 +665,61 @@ register(
 )
 
 
+def _session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization through Spark's NATIVE session_window
+    aggregate — the API twin of `sessionize_events_30m` (which builds
+    sessions manually via lag + running sum). The built-in form is one
+    groupBy(user, session_window(ts, gap)) — no window functions at
+    all — and is the same operator Structured Streaming uses for
+    streaming session windows, so batch and stream share semantics.
+    session_window's `end` is last-event + gap (not last event), so
+    the comparable last-activity timestamp is max(ts), emitted
+    alongside window.start (which equals the session's min(ts)).
+    Oracle: the lag/cumsum formulation — both engines must carve
+    identical session boundaries (new session iff gap > 30 min)."""
+    ev = read_events(spark, sf_dir).select("user_id", "event_id", "ts")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "last_ts",
+        )
+    )
+
+
+register(
+    "window_session_builtin",
+    _session_window_builtin,
+    """
+    WITH x AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM x
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+           max(ts) AS last_ts
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # salted two-phase aggregation (skew mitigation)
 # ---------------------------------------------------------------------------
