@@ -687,3 +687,90 @@ register(
     FROM counts
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+
+def _rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation over purchase
+    events — the classic warehouse customer-scoring op: per user, days
+    since last purchase (vs the corpus max ts, so the query is
+    reproducible — no now()), purchase count, and exact DECIMAL spend;
+    each dimension quintiled with ntile(5) (ties broken by user_id so
+    bucket boundaries are engine-deterministic), emitting per
+    (r_score, f_score, m_score) cell the user count and total spend.
+
+    Shape: one user_id aggregate, three ntile windows over the
+    user-level relation, one cell rollup; spend stays in DECIMAL until
+    the final cast. Scale note: ntile is a GLOBAL ordered window —
+    exact quintiles by definition — acceptable while the user relation
+    fits a sort, which is the regime this query targets; past that,
+    swap each ntile for bucketing against broadcast approx-percentile
+    cutoffs (4 scalars per dimension, map-side, no global sort) and
+    accept boundary-epsilon differences. The exact form is the oracle-
+    comparable one, so it is what registers here."""
+    ev = read_events(spark, sf_dir)
+    purch = ev.where(F.col("event_type") == "purchase")
+    maxts = purch.agg(F.max("ts").alias("_maxts"))
+    per_user = (
+        purch.crossJoin(F.broadcast(maxts))
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("_last"),
+            F.max("_maxts").alias("_mx"),  # constant per row; max is a no-op
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_spend"),
+        )
+        .withColumn(
+            "recency_days",
+            F.datediff(F.to_date("_mx"), F.to_date("_last")),
+        )
+    )
+    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("user_id"))
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("user_id"))
+    m_w = Window.orderBy(F.col("_spend").desc(), F.col("user_id"))
+    scored = per_user.select(
+        "user_id",
+        "_spend",
+        F.ntile(5).over(r_w).alias("r_score"),
+        F.ntile(5).over(f_w).alias("f_score"),
+        F.ntile(5).over(m_w).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("_spend").cast("double").alias("total_spend"),
+    )
+
+
+register(
+    "events_rfm_segmentation",
+    _rfm_segmentation,
+    """
+    WITH purch AS (
+        SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS spend
+        FROM events WHERE event_type = 'purchase'
+    ),
+    per_user AS (
+        SELECT user_id,
+               date_diff('day', CAST(max(ts) AS DATE),
+                         (SELECT CAST(max(ts) AS DATE) FROM purch))
+                   AS recency_days,
+               count(*) AS frequency,
+               sum(spend) AS spend
+        FROM purch GROUP BY user_id
+    ),
+    scored AS (
+        SELECT user_id, spend,
+               ntile(5) OVER (ORDER BY recency_days, user_id) AS r_score,
+               ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+               ntile(5) OVER (ORDER BY spend DESC, user_id) AS m_score
+        FROM per_user
+    )
+    SELECT r_score, f_score, m_score, count(*) AS n_users,
+           CAST(sum(spend) AS DOUBLE) AS total_spend
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
