@@ -720,6 +720,55 @@ register(
 )
 
 
+def _binary_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The binaryFile source — Spark's whole-file ingest format for
+    opaque media (images/audio/model shards): each file becomes one row
+    of (path, modificationTime, length, content BINARY). Fixture files
+    are one small .bin per nation (driver-side prep, always rewritten —
+    dimension-sized); the QUERY path is pure Spark: binaryFile scan →
+    per-file digest/length → deterministic projection keyed by file
+    stem. The oracle recomputes digests from the nation table itself,
+    so the files' round-trip through the filesystem is end-to-end
+    verified.
+
+    Scale posture: binaryFile parallelizes by file and pushes a path
+    glob + maxBytesPerTrigger-style batching in streaming; content is
+    ONE column — project it away after feature extraction so only
+    digests/metadata shuffle (here: nothing shuffles at all; the
+    aggregate-free plan is map-only)."""
+    import os as _os
+
+    base = _scratch("binfiles", sf_dir)
+    import shutil as _shutil
+
+    _shutil.rmtree(base, ignore_errors=True)
+    _os.makedirs(base, exist_ok=True)
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    for row in nation.select("n_nationkey", "n_name").collect():
+        with open(f"{base}/{row['n_nationkey']:03d}.bin", "wb") as fh:
+            fh.write(row["n_name"].encode("utf-8"))
+    raw = spark.read.format("binaryFile").load(f"{base}/*.bin")
+    return raw.select(
+        F.regexp_extract(
+            F.col("path"), r"/(\d+)\.bin$", 1
+        ).cast("int").alias("n_nationkey"),
+        F.col("length").cast("long").alias("byte_len"),
+        F.md5("content").alias("digest"),
+    )
+
+
+register(
+    "src_binary_file_source",
+    _binary_file_source,
+    """
+    SELECT n_nationkey,
+           CAST(strlen(n_name) AS BIGINT) AS byte_len,
+           md5(n_name) AS digest
+    FROM nation
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # salted two-phase aggregation (skew mitigation)
 # ---------------------------------------------------------------------------
