@@ -720,3 +720,66 @@ register(
     FROM flagged GROUP BY doc_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# epoch-seeded deterministic shuffle (per-epoch data order)
+# ---------------------------------------------------------------------------
+
+
+def _epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch training-data shuffle that is REPRODUCIBLE: each
+    epoch's order key is md5(doc_id || ':' || epoch), so (a) every
+    epoch visits documents in a different pseudorandom order, (b) any
+    rerun — any engine, any cluster size — derives the identical order,
+    and (c) a crashed epoch resumes mid-stream by filtering on the
+    order key, none of which rand() or DataFrame.sample can offer.
+    Emitted per (epoch, doc): the shard it lands in (order-hash mod 8,
+    so shard composition ALSO reshuffles each epoch, unlike the common
+    hash(doc)-only sharding whose shards never change) and its rank
+    within the shard — exactly what an epoch-aware dataloader consumes.
+
+    Shape: map-only key derivation in the scan, one window per
+    (epoch, shard) partition for the rank — at 100 TB the rank window
+    sorts within shards only (corpus/8 per epoch), never globally; the
+    two epochs here are an explode, i.e. the epoch dimension fans out
+    map-side, not as separate jobs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    epochs = docs.select(
+        "doc_id", F.explode(F.array(F.lit(0), F.lit(1))).alias("epoch")
+    )
+    okey = F.md5(
+        F.concat_ws(":", F.col("doc_id"), F.col("epoch")).cast("binary")
+    )
+    keyed = epochs.select(
+        "doc_id",
+        "epoch",
+        okey.alias("order_key"),
+        (
+            F.conv(F.substring(okey, 1, 8), 16, 10).cast("long") % 8
+        ).alias("shard"),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("order_key", "doc_id")
+    return keyed.withColumn(
+        "shard_rank", F.row_number().over(w)
+    ).select("epoch", "shard", "doc_id", "order_key", "shard_rank")
+
+
+register(
+    "train_epoch_shuffle",
+    _epoch_shuffle,
+    """
+    WITH keyed AS (
+        SELECT doc_id, epoch,
+               md5(doc_id || ':' || epoch) AS order_key,
+               CAST(CAST(concat('0x', substr(md5(doc_id || ':' || epoch),
+                                             1, 8)) AS BIGINT) % 8
+                    AS BIGINT) AS shard
+        FROM documents, unnest([0, 1]) AS t(epoch)
+    )
+    SELECT epoch, shard, doc_id, order_key,
+           CAST(row_number() OVER (PARTITION BY epoch, shard
+                 ORDER BY order_key, doc_id) AS INTEGER) AS shard_rank
+    FROM keyed
+    """,
+)
