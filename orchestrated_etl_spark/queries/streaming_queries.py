@@ -457,3 +457,52 @@ def _dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("stream_dedup_within_watermark", _dedup_within_watermark)
+
+
+def _stream_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming whole-file media ingest: readStream over the binaryFile
+    source with maxFilesPerTrigger=7, so the 25 fixture blobs arrive
+    across several micro-batches — the shape of a landing-zone media
+    pipeline (each dropped image/audio file becomes one row; per-file
+    digests extracted map-side per batch, content projected away before
+    the sink). Append mode over a deterministic file set: the final
+    table is batch-equal regardless of batch boundaries, so this
+    streaming query carries a full oracle (same relation as
+    src_binary_file_source)."""
+    from orchestrated_etl_spark.queries.scale_ops import (
+        _binary_file_source,
+        _scratch,
+    )
+
+    # ensure the .bin fixture files exist (same prep as the batch query)
+    _binary_file_source(spark, sf_dir).count()
+    base = _scratch("binfiles", sf_dir)
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("maxFilesPerTrigger", 7)
+        .load(f"{base}/*.bin")
+    )
+    feats = raw.select(
+        F.regexp_extract(F.col("path"), r"/(\d+)\.bin$", 1)
+        .cast("int")
+        .alias("n_nationkey"),
+        F.col("length").cast("long").alias("byte_len"),
+        F.md5("content").alias("digest"),
+    )
+    return run_available_now(feats, output_mode="append")
+
+
+register(
+    "stream_binary_files",
+    _stream_binary_files,
+    """
+    SELECT n_nationkey,
+           CAST(strlen(n_name) AS BIGINT) AS byte_len,
+           md5(n_name) AS digest
+    FROM nation
+    """,
+)
