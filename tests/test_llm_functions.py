@@ -410,3 +410,46 @@ def test_ivf_nprobe1_assignment_has_no_window_sort(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" in p2, p2
+
+
+def test_sq8_all_zero_corpus_codes_to_zero(spark):
+    """Degenerate codebook: an all-zero corpus has scale 0 — every code
+    must be 0 (no division-by-zero, no NULLs)."""
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0])], ["vec_id", "embedding"]
+    )
+    got = {r["vec_id"]: r["q8"]
+           for r in SIM.sq8_quantize(df, "vec_id", "embedding").collect()}
+    assert got == {1: [0, 0], 2: [0, 0]}
+
+
+def test_scene_cut_counts_on_hand_built_frames(spark):
+    """Scene-cut rollup on a frame where the diffs are computable by
+    hand via the same md5-nibble features the query derives: per doc,
+    n_frames rows come back, the first frame never counts as a cut
+    (NULL lag), and n_cuts equals the explicit python recount."""
+    import hashlib
+
+    from orchestrated_etl_spark.queries.llm_multimodal import _scene_cut
+
+    # run on the real fixture but recompute one doc's cuts in python
+    sf = "/root/testdata/sf0.001"
+    rows = {r["doc_id"]: r for r in _scene_cut(spark, sf).collect()}
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(5).collect()
+    for d in docs:
+        digest = hashlib.md5(d["text"].encode()).hexdigest()
+        n_frames = 1 + int(digest[2], 16)
+        feats = []
+        for i in range(n_frames):
+            h = hashlib.md5(f"{digest}-{i}".encode()).hexdigest()
+            feats.append([int(c, 16) for c in h[:4]])
+        cuts = sum(
+            1
+            for a, b in zip(feats, feats[1:])
+            if sum(abs(x - y) for x, y in zip(a, b)) >= 24
+        )
+        row = rows[d["doc_id"]]
+        assert row["n_frames"] == n_frames
+        assert row["n_cuts"] == cuts
