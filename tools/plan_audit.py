@@ -54,6 +54,7 @@ SCALAR_BROADCAST_OK = {
     "sim_sq8_topk",  # broadcast 1-row quantization scale (max-abs) onto the scan
     "train_temperature_mixture",  # broadcast 1-row min-count onto per-lang rates
     "dq_drift_psi",  # broadcast 1-row batch totals onto the 10-bin cells
+    "events_rfm_segmentation",  # broadcast 1-row corpus max-ts (recency anchor)
 }
 
 # Streaming queries materialise through a memory sink; their batch plan is
