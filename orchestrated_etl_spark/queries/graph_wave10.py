@@ -414,3 +414,65 @@ register(
     LIMIT 50
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity (graph-level structural statistic)
+# ---------------------------------------------------------------------------
+
+
+def _graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of (source degree, destination degree) over the
+    undirected edge relation — positive means hubs link to hubs
+    (social-network-like), negative means hubs link to leaves
+    (hub-and-spoke catalogs). One number summarizing whether the
+    co-purchase structure is hierarchical or clique-y — the kind of
+    corpus-level statistic a graph-quality dashboard tracks.
+
+    Shape: degrees via one aggregate, two broadcast joins to annotate
+    edge endpoints, corr() as a single partial-aggregable pass (corr's
+    moments combine associatively). Rounded to 4 — corr is a quotient
+    of float moment sums, the registry's irrational-value policy."""
+    edges = copurchase_edges(spark, sf_dir, min_weight=2).localCheckpoint(
+        eager=True
+    )
+    ed = undirect(edges)
+    deg = degrees(edges)
+    annotated = (
+        ed.join(
+            deg.select(F.col("node").alias("src"),
+                       F.col("degree").alias("deg_src")),
+            "src",
+        )
+        .join(
+            deg.select(F.col("node").alias("dst"),
+                       F.col("degree").alias("deg_dst")),
+            "dst",
+        )
+    )
+    return annotated.agg(
+        F.count(F.lit(1)).alias("n_directed_edges"),
+        F.round(F.corr("deg_src", "deg_dst"), 4).alias("assortativity"),
+    )
+
+
+register(
+    "graph_assortativity",
+    _graph_assortativity,
+    f"""
+    WITH {_EDGE_CTE},
+    e2 AS (SELECT part_a, part_b FROM e WHERE weight >= 2),
+    ed AS (
+        SELECT part_a AS src, part_b AS dst FROM e2
+        UNION ALL
+        SELECT part_b, part_a FROM e2
+    ),
+    deg AS (SELECT src AS node, count(*) AS degree FROM ed GROUP BY 1)
+    SELECT count(*) AS n_directed_edges,
+           round(corr(da.degree, dc.degree), 4) AS assortativity
+    FROM ed
+    JOIN deg da ON da.node = ed.src
+    JOIN deg dc ON dc.node = ed.dst
+    """,
+)
