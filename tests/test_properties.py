@@ -313,3 +313,72 @@ def test_containment_pairs_matches_python_sets(spark, docs):
             if i != j and (a & b):
                 want[(i, j)] = round(len(a & b) / len(a), 6)
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),          # user
+            st.integers(min_value=0, max_value=10_800),     # seconds offset
+            st.sampled_from(["click", "purchase"]),
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_binned_range_join_matches_plain_model(spark, events):
+    """The binned range join must return exactly the plain python model
+    on adversarial event sets — including gaps of exactly 3600 s (the
+    strict-boundary case) and clicks landing at hour-bin edges (the
+    probe-bin coverage case)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, u, base + datetime.timedelta(seconds=s), t)
+        for i, (u, s, t) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    binf = lambda c: F.floor(F.unix_timestamp(c) / 3600)  # noqa: E731
+    c = df.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        binf(F.col("ts")).alias("c_bin"),
+    )
+    p = df.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.explode(
+            F.array(binf(F.col("ts")) - F.lit(1), binf(F.col("ts")))
+        ).alias("probe_bin"),
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("probe_bin") == F.col("c_bin"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    got = {
+        r["event_id"]: r["n"]
+        for r in joined.groupBy("event_id")
+        .agg(F.count(F.col("c_ts")).alias("n"))
+        .collect()
+    }
+    want = {}
+    for i, (u, s, t) in enumerate(events):
+        if t != "purchase":
+            continue
+        want[i] = sum(
+            1
+            for (u2, s2, t2) in events
+            if t2 == "click" and u2 == u and s2 <= s and s2 > s - 3600
+        )
+    assert got == want
