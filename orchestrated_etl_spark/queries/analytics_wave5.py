@@ -774,3 +774,69 @@ register(
     FROM scored GROUP BY 1, 2, 3
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU rolling distinct actives
+# ---------------------------------------------------------------------------
+
+
+def _dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily and 7-day rolling distinct active users — the engagement
+    metric every event warehouse publishes. Rolling DISTINCT cannot be
+    a window aggregate (distinctness doesn't decompose over frames), so
+    the scalable form is: dedup to (day, user) once, then EXPLODE each
+    active-day row onto the 7 report days it contributes to and count
+    distinct per report day — a 7x fan-out of two-column rows followed
+    by one distinct aggregate, instead of a 7-day self-join per day or
+    a quadratic subquery. Report days are restricted to those with
+    events (the calendar spine join is datetime_gap_fill's job). At
+    100 TB the (day,user) dedup is the only event-volume pass;
+    everything after operates on active-pairs. For a 30/90-day MAU the
+    same shape fans out 30x/90x compact pairs — or switch to stored HLL
+    sketches per day and merge (agg_hll_sketch_merge), trading
+    exactness for a constant-size merge."""
+    ev = read_events(spark, sf_dir)
+    daily = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    dau = daily.groupBy("day").agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    fanned = daily.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("report_day"),
+        "user_id",
+    )
+    wau = fanned.groupBy("report_day").agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+    return (
+        dau.join(wau, dau.day == wau.report_day)
+        .select("day", "dau", "wau")
+    )
+
+
+register(
+    "events_dau_wau",
+    _dau_wau,
+    """
+    WITH daily AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    dau AS (
+        SELECT day, count(DISTINCT user_id) AS dau FROM daily GROUP BY day
+    ),
+    fanned AS (
+        SELECT day + CAST(i AS INTEGER) AS report_day, user_id
+        FROM daily, unnest(range(0, 7)) AS t(i)
+    ),
+    wau AS (
+        SELECT report_day, count(DISTINCT user_id) AS wau
+        FROM fanned GROUP BY report_day
+    )
+    SELECT d.day, d.dau, w.wau
+    FROM dau d JOIN wau w ON w.report_day = d.day
+    """,
+)
