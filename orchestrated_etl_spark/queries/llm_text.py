@@ -376,3 +376,49 @@ register(
     FROM ts, LATERAL unnest(range(0, (len(toks) + 31) // 32)) AS u(i)
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# corpus length histogram (log2 buckets)
+# ---------------------------------------------------------------------------
+
+
+def _length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed document-length histogram per language — the
+    distribution diagnostic behind truncation/packing decisions (how
+    much of the corpus is shorter than the context window? where does
+    mass concentrate?). Bucket = floor(log2(n_chars)), computed as the
+    integer BIT LENGTH minus one (binary-string length on both
+    engines) rather than float log2, which can land a hair under an
+    integer at exact powers of two and flip the bucket — the integer
+    form is exact at every boundary. Map-only projection + one
+    aggregate."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # exact integer log2: number of bits in n_chars minus 1
+    bucket = (
+        F.length(F.conv(F.col("n_chars").cast("string"), 10, 2)) - 1
+    ).alias("log2_bucket")
+    return (
+        docs.where(F.col("n_chars") > 0)
+        .select("lang", bucket, "n_chars")
+        .groupBy("lang", "log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+register(
+    "text_length_histogram",
+    _length_histogram,
+    """
+    SELECT lang,
+           CAST(length(bin(n_chars)) - 1 AS INTEGER) AS log2_bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE n_chars > 0
+    GROUP BY 1, 2
+    """,
+)
