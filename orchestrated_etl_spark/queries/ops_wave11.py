@@ -561,3 +561,78 @@ register(
     FROM cells, t
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# dynamic partition overwrite (nightly partition refresh)
+# ---------------------------------------------------------------------------
+
+
+def _sink_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition overwrite — the nightly refresh op for
+    directory-partitioned tables: with
+    ``partitionOverwriteMode=dynamic``, an overwrite write replaces
+    ONLY the partitions present in the incoming frame and leaves every
+    other partition's files untouched (static mode would truncate the
+    whole table — the classic data-loss footgun this mode exists to
+    avoid). Here: orders land partitioned by o_orderstatus; a
+    corrected copy of JUST the 'P' partition (prices re-cast, a +1.00
+    adjustment) is overwritten in; the read-back aggregate proves 'P'
+    carries the adjustment while 'O'/'F' bytes were never rewritten.
+
+    Scale posture: the rewrite cost is proportional to the refreshed
+    partitions, not the table — the property that makes per-day or
+    per-status reprocessing O(day) on a 100 TB table. The conf is set
+    per-write via the DataFrameWriter option (no session-wide state)."""
+    base = _scratch("dyn_overwrite", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    path = f"{base}/orders_by_status"
+    orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(path)
+    corrected = (
+        spark.read.parquet(path)
+        .where(F.col("o_orderstatus") == "P")
+        .select(
+            "o_orderkey",
+            # decimal addition widens to (19,2); cast back so the
+            # refreshed partition's parquet physical type matches the
+            # untouched partitions' (mixed INT64/FLBA encodings would
+            # break the unified read schema)
+            (F.col("price") + F.lit(1).cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("price"),
+            "o_orderstatus",
+        )
+    )
+    (
+        corrected.write.partitionBy("o_orderstatus")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    )
+    final = spark.read.parquet(path)
+    return final.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price").cast("double").alias("total_price"),
+    )
+
+
+register(
+    "sink_dynamic_partition_overwrite",
+    _sink_dynamic_partition_overwrite,
+    """
+    SELECT o_orderstatus, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))
+                    + CASE WHEN o_orderstatus = 'P'
+                           THEN CAST(1 AS DECIMAL(18,2))
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS total_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)

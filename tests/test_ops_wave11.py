@@ -218,3 +218,52 @@ def test_zorder_write_prunes_on_both_dimensions(spark, sf_dir):
     global_ck = (min(lo for lo, _ in ck_all), max(hi for _, hi in ck_all))
     full_span = global_ck[1] - global_ck[0]
     assert all(hi - lo < full_span for lo, hi in ck_all), (ck_all, full_span)
+
+
+def test_dynamic_partition_overwrite_leaves_other_partitions_untouched(
+    spark, sf_dir
+):
+    """The dynamic overwrite must rewrite ONLY the 'P' partition: the
+    'O' and 'F' directories keep their exact original files (same
+    names), while 'P' gets new ones."""
+    from orchestrated_etl_spark.queries.ops_wave11 import (
+        _sink_dynamic_partition_overwrite,
+    )
+
+    _sink_dynamic_partition_overwrite(spark, sf_dir).collect()
+    base = _scratch("dyn_overwrite", sf_dir)
+    path = f"{base}/orders_by_status"
+
+    def files(status):
+        return sorted(
+            os.path.basename(f)
+            for f in glob.glob(f"{path}/o_orderstatus={status}/part-*")
+        )
+
+    before = {s: files(s) for s in ("O", "F", "P")}
+    # second refresh run: rewrites P again, must not touch O/F
+    _sink_dynamic_partition_overwrite(spark, sf_dir).collect()
+    # the helper recreates the whole table from scratch each call, so
+    # instead re-run ONLY the overwrite step against the existing table
+    from pyspark.sql import functions as F
+
+    corrected = (
+        spark.read.parquet(path)
+        .where(F.col("o_orderstatus") == "P")
+        .select(
+            "o_orderkey",
+            F.col("price").cast("decimal(18,2)").alias("price"),
+            "o_orderstatus",
+        )
+    )
+    before = {s: files(s) for s in ("O", "F", "P")}
+    (
+        corrected.write.partitionBy("o_orderstatus")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    )
+    after = {s: files(s) for s in ("O", "F", "P")}
+    assert after["O"] == before["O"] and after["F"] == before["F"]
+    assert after["P"] != before["P"]
+    assert after["P"]  # rewritten, not deleted
