@@ -707,11 +707,12 @@ def _rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-level relation, one cell rollup; spend stays in DECIMAL until
     the final cast. Scale note: ntile is a GLOBAL ordered window —
     exact quintiles by definition — acceptable while the user relation
-    fits a sort, which is the regime this query targets; past that,
-    swap each ntile for bucketing against broadcast approx-percentile
-    cutoffs (4 scalars per dimension, map-side, no global sort) and
-    accept boundary-epsilon differences. The exact form is the oracle-
-    comparable one, so it is what registers here."""
+    fits a sort, which is the regime this query targets; past that, use
+    the REGISTERED scale path `events_rfm_quantile_cutoffs` (below):
+    bucketing against broadcast histogram-derived quintile cutoffs —
+    4 scalars per dimension, map-side scoring, no ordered window over
+    the per-user relation. Both forms are oracle-checked; this exact
+    ntile form is the small-regime twin."""
     ev = read_events(spark, sf_dir)
     purch = ev.where(F.col("event_type") == "purchase")
     maxts = purch.agg(F.max("ts").alias("_maxts"))
@@ -770,6 +771,197 @@ register(
         FROM per_user
     )
     SELECT r_score, f_score, m_score, count(*) AS n_users,
+           CAST(sum(spend) AS DOUBLE) AS total_spend
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+
+
+def _rfm_cutoff_1row(per_user: DataFrame, col: str, n_df: DataFrame) -> DataFrame:
+    """Quintile cutoffs for one RFM dimension WITHOUT a global per-user
+    sort: histogram the dimension over its distinct values (map-side
+    combine makes this a domain-sized relation: recency is bounded by
+    the date range, frequency by max purchases/user, monetary by the
+    whole-currency grid), cumulative-sum over the tiny histogram, then
+    pick cutoff c_i = min value whose cumulative count reaches rank
+    k_i = ceil(i*n/5) (integer form (i*n+4) DIV 5 — no float rank).
+    The only ordered window runs over the O(domain) histogram, never
+    the O(users) relation. Returns a 1-row DF (c1..c4)."""
+    hist = per_user.groupBy(F.col(col).alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    joined = cum.crossJoin(F.broadcast(n_df))
+    return joined.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr(f"({i} * n + 4) DIV 5"), F.col("v")
+                )
+            ).alias(f"c{i}")
+            for i in (1, 2, 3, 4)
+        ]
+    )
+
+
+def _rfm_quantile_cutoffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation, SCALE PATH: the registered alternative to
+    `events_rfm_segmentation`'s three global ntile(5) windows (which
+    pull the whole per-user relation into one sorted partition). Here
+    each dimension is bucketed against 4 broadcast quintile cutoffs:
+
+      score = 1 + [v > c1] + [v > c2] + [v > c3] + [v > c4],
+      c_i   = min value whose cumulative count >= ceil(i*n/5)
+
+    computed from a per-dimension VALUE HISTOGRAM (see _rfm_cutoff_1row)
+    — recency in whole days, frequency in counts, monetary on a
+    whole-currency floor grid, so every domain is bounded and the
+    cutoffs are exact order statistics, reproducible bit-for-bit in the
+    oracle (no engine-specific percentile interpolation). Plan shape:
+    one user_id shuffle builds per_user; three domain-sized histogram
+    aggregates; scoring is MAP-SIDE against 12 broadcast scalars; final
+    cell rollup. No ordered window ever sees the per-user relation —
+    this is the plan that survives 100x users, where the ntile twin
+    becomes a single-executor sort."""
+    ev = read_events(spark, sf_dir)
+    purch = ev.where(F.col("event_type") == "purchase")
+    maxts = purch.agg(F.max("ts").alias("_maxts"))
+    per_user = (
+        purch.crossJoin(F.broadcast(maxts))
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("_last"),
+            F.max("_maxts").alias("_mx"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_spend"),
+        )
+        .withColumn(
+            "recency_days",
+            F.datediff(F.to_date("_mx"), F.to_date("_last")),
+        )
+        .withColumn("spend_unit", F.floor("_spend").cast("long"))
+    )
+    per_user = per_user.localCheckpoint(eager=False)
+    n_df = per_user.agg(F.count(F.lit(1)).alias("n"))
+    rc = _rfm_cutoff_1row(per_user, "recency_days", n_df)
+    fc = _rfm_cutoff_1row(per_user, "frequency", n_df)
+    mc = _rfm_cutoff_1row(per_user, "spend_unit", n_df)
+
+    def score(col: str, cuts) -> F.Column:
+        s = F.lit(1)
+        for i in (1, 2, 3, 4):
+            s = s + F.when(F.col(col) > cuts[f"c{i}"], 1).otherwise(0)
+        return s
+
+    rc_, fc_, mc_ = (
+        rc.select(*[F.col(f"c{i}").alias(f"r_c{i}") for i in (1, 2, 3, 4)]),
+        fc.select(*[F.col(f"c{i}").alias(f"f_c{i}") for i in (1, 2, 3, 4)]),
+        mc.select(*[F.col(f"c{i}").alias(f"m_c{i}") for i in (1, 2, 3, 4)]),
+    )
+    scored = (
+        per_user.crossJoin(F.broadcast(rc_))
+        .crossJoin(F.broadcast(fc_))
+        .crossJoin(F.broadcast(mc_))
+        .select(
+            "user_id",
+            "_spend",
+            score(
+                "recency_days",
+                {f"c{i}": F.col(f"r_c{i}") for i in (1, 2, 3, 4)},
+            ).alias("r_score"),
+            score(
+                "frequency",
+                {f"c{i}": F.col(f"f_c{i}") for i in (1, 2, 3, 4)},
+            ).alias("f_score"),
+            score(
+                "spend_unit",
+                {f"c{i}": F.col(f"m_c{i}") for i in (1, 2, 3, 4)},
+            ).alias("m_score"),
+        )
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("_spend").cast("double").alias("total_spend"),
+    )
+
+
+register(
+    "events_rfm_quantile_cutoffs",
+    _rfm_quantile_cutoffs,
+    """
+    WITH purch AS (
+        SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS spend
+        FROM events WHERE event_type = 'purchase'
+    ),
+    per_user AS (
+        SELECT user_id,
+               date_diff('day', CAST(max(ts) AS DATE),
+                         (SELECT CAST(max(ts) AS DATE) FROM purch))
+                   AS recency_days,
+               count(*) AS frequency,
+               sum(spend) AS spend,
+               CAST(floor(sum(spend)) AS BIGINT) AS spend_unit
+        FROM purch GROUP BY user_id
+    ),
+    nn AS (SELECT count(*) AS n FROM per_user),
+    rcum AS (
+        SELECT v, sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+        FROM (SELECT recency_days AS v, count(*) AS cnt
+              FROM per_user GROUP BY 1)
+    ),
+    rcut AS (
+        SELECT min(CASE WHEN cum >= (1*n+4)//5 THEN v END) AS c1,
+               min(CASE WHEN cum >= (2*n+4)//5 THEN v END) AS c2,
+               min(CASE WHEN cum >= (3*n+4)//5 THEN v END) AS c3,
+               min(CASE WHEN cum >= (4*n+4)//5 THEN v END) AS c4
+        FROM rcum, nn
+    ),
+    fcum AS (
+        SELECT v, sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+        FROM (SELECT frequency AS v, count(*) AS cnt FROM per_user GROUP BY 1)
+    ),
+    fcut AS (
+        SELECT min(CASE WHEN cum >= (1*n+4)//5 THEN v END) AS c1,
+               min(CASE WHEN cum >= (2*n+4)//5 THEN v END) AS c2,
+               min(CASE WHEN cum >= (3*n+4)//5 THEN v END) AS c3,
+               min(CASE WHEN cum >= (4*n+4)//5 THEN v END) AS c4
+        FROM fcum, nn
+    ),
+    mcum AS (
+        SELECT v, sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+        FROM (SELECT spend_unit AS v, count(*) AS cnt FROM per_user GROUP BY 1)
+    ),
+    mcut AS (
+        SELECT min(CASE WHEN cum >= (1*n+4)//5 THEN v END) AS c1,
+               min(CASE WHEN cum >= (2*n+4)//5 THEN v END) AS c2,
+               min(CASE WHEN cum >= (3*n+4)//5 THEN v END) AS c3,
+               min(CASE WHEN cum >= (4*n+4)//5 THEN v END) AS c4
+        FROM mcum, nn
+    ),
+    scored AS (
+        SELECT p.user_id, p.spend,
+               1 + (CASE WHEN p.recency_days > r.c1 THEN 1 ELSE 0 END)
+                 + (CASE WHEN p.recency_days > r.c2 THEN 1 ELSE 0 END)
+                 + (CASE WHEN p.recency_days > r.c3 THEN 1 ELSE 0 END)
+                 + (CASE WHEN p.recency_days > r.c4 THEN 1 ELSE 0 END)
+                   AS r_score,
+               1 + (CASE WHEN p.frequency > f.c1 THEN 1 ELSE 0 END)
+                 + (CASE WHEN p.frequency > f.c2 THEN 1 ELSE 0 END)
+                 + (CASE WHEN p.frequency > f.c3 THEN 1 ELSE 0 END)
+                 + (CASE WHEN p.frequency > f.c4 THEN 1 ELSE 0 END)
+                   AS f_score,
+               1 + (CASE WHEN p.spend_unit > m.c1 THEN 1 ELSE 0 END)
+                 + (CASE WHEN p.spend_unit > m.c2 THEN 1 ELSE 0 END)
+                 + (CASE WHEN p.spend_unit > m.c3 THEN 1 ELSE 0 END)
+                 + (CASE WHEN p.spend_unit > m.c4 THEN 1 ELSE 0 END)
+                   AS m_score
+        FROM per_user p, rcut r, fcut f, mcut m
+    )
+    SELECT r_score, f_score, m_score,
+           count(*) AS n_users,
            CAST(sum(spend) AS DOUBLE) AS total_spend
     FROM scored GROUP BY 1, 2, 3
     """,

@@ -654,8 +654,12 @@ register(
     ),
     s AS (
         SELECT user_id, ts,
-               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+               -- CAST: DuckDB integer sum() yields HUGEINT, which pandas
+               -- coerces to float64 in the driver's hasher; BIGINT keeps
+               -- the compared dtype int64 on both engines.
+               CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_id
         FROM x
     )
     SELECT user_id, session_id, count(*) AS n_events,
@@ -709,8 +713,12 @@ register(
     ),
     s AS (
         SELECT user_id, ts,
-               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+               -- CAST: DuckDB integer sum() yields HUGEINT, which pandas
+               -- coerces to float64 in the driver's hasher; BIGINT keeps
+               -- the compared dtype int64 on both engines.
+               CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_id
         FROM x
     )
     SELECT user_id, min(ts) AS session_start, count(*) AS n_events,

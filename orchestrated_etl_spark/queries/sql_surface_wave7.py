@@ -161,22 +161,34 @@ register(
 
 def _lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lateral column aliases: later select items reference earlier ones
-    in the SAME select list (no subquery staging) — chained derived
-    metrics stay one projection, and the whole chain constant-folds into
-    a single codegen'd Project."""
+    in the SAME select list — chained derived metrics stay one projection,
+    and the whole chain constant-folds into a single codegen'd Project.
+    The outer DOUBLE-normalizing projection exists only for the oracle
+    dtype contract (DuckDB DECIMAL → pandas float64 vs Spark Decimal)."""
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
         "lineitem_w7b"
     )
     return spark.sql(
         """
         SELECT l_orderkey, l_linenumber,
-               CAST(l_extendedprice AS DECIMAL(18,2)) AS base_price,
-               CAST(base_price * CAST(1 - l_discount AS DECIMAL(8,2))
-                    AS DECIMAL(28,6)) AS disc_price,
-               CAST(disc_price * CAST(1 + l_tax AS DECIMAL(8,2))
-                    AS DECIMAL(38,8)) AS charged
-        FROM lineitem_w7b
-        WHERE l_orderkey < 100
+               CAST(base_price_d AS DOUBLE) AS base_price,
+               CAST(disc_price_d AS DOUBLE) AS disc_price,
+               CAST(charged_d AS DOUBLE) AS charged
+        FROM (
+            -- lateral column aliases: disc_price_d references base_price_d,
+            -- charged_d references disc_price_d, all in ONE select list.
+            -- The outer projection only normalizes the DECIMAL chain to
+            -- DOUBLE (pandas coerces DuckDB DECIMAL to float64 while Spark
+            -- collects decimal.Decimal — DOUBLE pins a comparable dtype).
+            SELECT l_orderkey, l_linenumber,
+                   CAST(l_extendedprice AS DECIMAL(18,2)) AS base_price_d,
+                   CAST(base_price_d * CAST(1 - l_discount AS DECIMAL(8,2))
+                        AS DECIMAL(28,6)) AS disc_price_d,
+                   CAST(disc_price_d * CAST(1 + l_tax AS DECIMAL(8,2))
+                        AS DECIMAL(38,8)) AS charged_d
+            FROM lineitem_w7b
+            WHERE l_orderkey < 100
+        )
         """
     )
 
@@ -186,14 +198,16 @@ register(
     _lateral_alias,
     """
     SELECT l_orderkey, l_linenumber,
-           CAST(l_extendedprice AS DECIMAL(18,2)) AS base_price,
-           CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                * CAST(1 - l_discount AS DECIMAL(8,2))
-                AS DECIMAL(28,6)) AS disc_price,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+               AS base_price,
            CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                     * CAST(1 - l_discount AS DECIMAL(8,2)) AS DECIMAL(28,6))
-                * CAST(1 + l_tax AS DECIMAL(8,2))
-                AS DECIMAL(38,8)) AS charged
+                     * CAST(1 - l_discount AS DECIMAL(8,2))
+                     AS DECIMAL(28,6)) AS DOUBLE) AS disc_price,
+           CAST(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(1 - l_discount AS DECIMAL(8,2))
+                          AS DECIMAL(28,6))
+                     * CAST(1 + l_tax AS DECIMAL(8,2))
+                     AS DECIMAL(38,8)) AS DOUBLE) AS charged
     FROM lineitem
     WHERE l_orderkey < 100
     """,

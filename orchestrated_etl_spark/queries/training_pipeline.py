@@ -240,8 +240,12 @@ register(
     _profile,
     """
     SELECT count(*) AS n_rows,
-           sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
-           sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS null_lang,
+           -- CAST: DuckDB integer sum() yields HUGEINT → float64 through
+           -- pandas; BIGINT pins int64 to match Spark's long.
+           CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_text,
+           CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_lang,
            count(DISTINCT lang) AS n_langs,
            count(DISTINCT source) AS n_sources,
            min(n_chars) AS min_chars,
@@ -391,7 +395,9 @@ register(
         SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
     )
     SELECT lang, count(*) AS n_tokens,
-           sum(CASE WHEN vocab.word IS NULL THEN 1 ELSE 0 END) AS n_oov,
+           -- CAST: HUGEINT sum() → float64 through pandas; pin BIGINT.
+           CAST(sum(CASE WHEN vocab.word IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov,
            sum(CASE WHEN vocab.word IS NULL THEN 1 ELSE 0 END) * 1.0
                  / count(*) AS oov_rate
     FROM toks LEFT JOIN vocab USING (word)

@@ -7,7 +7,14 @@ order-insensitive multiset of normalized values. Stricter than the driver's
 hash compare: on mismatch it prints example differing rows, so oracle
 misalignment is debuggable locally.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--pandas] [sf_dir] [query ...]
+
+``--pandas`` fetches the DuckDB side through ``fetchdf()`` (the driver's
+evident conversion path) instead of ``fetchall()``. This surfaces dtype
+coercions that plain fetchall hides: DuckDB HUGEINT/DECIMAL columns become
+float64 in pandas while Spark collects int/Decimal — the exact class that
+made ``sessionize_events_30m`` hash-fail in round 2 while the fetchall gate
+stayed green. Run both modes before shipping a new oracle.
 """
 
 from __future__ import annotations
@@ -19,6 +26,8 @@ from collections import Counter
 from datetime import date, datetime
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
@@ -29,6 +38,20 @@ TABLES = [
 
 
 def normalize(v):
+    # numpy/pandas scalars (pandas mode): unwrap to plain Python first so
+    # that a BIGINT column fetched as np.int64 still matches Spark's int —
+    # but a float64-coerced HUGEINT/DECIMAL stays a float and MISmatches,
+    # which is the whole point of pandas mode.
+    if isinstance(v, np.integer):
+        v = int(v)
+    elif isinstance(v, np.floating):
+        v = float(v)
+    elif isinstance(v, np.bool_):
+        v = bool(v)
+    elif isinstance(v, pd.Timestamp):
+        v = v.to_pydatetime()
+    elif v is pd.NaT:
+        return "NaT"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -54,9 +77,30 @@ def df_multiset(cols, rows):
     return Counter(tuple(normalize(r[i]) for i in order) for r in rows)
 
 
+def duck_fetch(res, pandas_mode):
+    """Fetch a DuckDB result as (cols, rows-of-python-values).
+
+    In pandas mode the result goes through fetchdf() — the driver's
+    conversion — so HUGEINT→float64 / DECIMAL→float64 coercions are
+    visible to the compare instead of being laundered back to exact
+    Python ints by fetchall().
+    """
+    cols = [d[0] for d in res.description]
+    if not pandas_mode:
+        return cols, res.fetchall()
+    pdf = res.fetchdf()
+    rows = [tuple(rec) for rec in pdf.itertuples(index=False, name=None)]
+    # pandas NaT/NaN → keep as-is; normalize() already handles NaN floats.
+    return cols, rows
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    pandas_mode = "--pandas" in argv
+    if pandas_mode:
+        argv.remove("--pandas")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
     from orchestrated_etl_spark.session import get_spark
@@ -91,8 +135,7 @@ def main() -> int:
             continue
         try:
             res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dcols, drows = duck_fetch(res, pandas_mode)
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")

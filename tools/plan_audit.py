@@ -55,6 +55,10 @@ SCALAR_BROADCAST_OK = {
     "train_temperature_mixture",  # broadcast 1-row min-count onto per-lang rates
     "dq_drift_psi",  # broadcast 1-row batch totals onto the 10-bin cells
     "events_rfm_segmentation",  # broadcast 1-row corpus max-ts (recency anchor)
+    # broadcast 1-row relations only: corpus max-ts anchor, user count n,
+    # and three 4-scalar cutoff rows — scoring is map-side against 12
+    # broadcast scalars; no data x data cartesian exists in the plan.
+    "events_rfm_quantile_cutoffs",
 }
 
 # Streaming queries materialise through a memory sink; their batch plan is
