@@ -221,4 +221,9 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
             )
             .select(F.col("n2").alias("node"), "label")
         )
+        # Per-round checkpoint (same pattern as dedup's connected
+        # components): without it round N's lazy plan replays rounds
+        # 1..N-1's full lineage, turning a caller-supplied large
+        # `iterations` into exponential recompute.
+        labels = labels.localCheckpoint(eager=True)
     return labels.select("node", F.col("label").alias("community"))

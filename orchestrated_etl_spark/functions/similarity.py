@@ -226,7 +226,12 @@ def ivf_topk(
     )
 
 
-def sq8_quantize(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+def sq8_quantize(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    scale_stats: DataFrame | None = None,
+) -> DataFrame:
     """Scalar (SQ8) quantization: per-tensor symmetric codebook — one
     scale s = max|x| over the whole corpus, each float mapped to
     ``floor(x/s * 127 + 0.5)`` in [-127, 127].
@@ -256,9 +261,18 @@ def sq8_quantize(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     Plan shape: one explode + max-abs aggregate for the scale (a single
     scalar row), then a broadcast of that row into a map-only
     quantization projection — the corpus is scanned once and never
-    shuffled."""
-    stats = corpus.select(F.explode(vec_col).alias("x")).agg(
-        F.max(F.abs(F.col("x").cast("double"))).alias("_scale")
+    shuffled.
+
+    ``scale_stats`` (optional): a 1-row (_scale) DataFrame to quantize
+    against an EXTERNAL codebook — how out-of-corpus query vectors get
+    codes comparable to the corpus codes (sq8_topk passes the corpus
+    scale when quantizing its queries side)."""
+    stats = (
+        scale_stats
+        if scale_stats is not None
+        else corpus.select(F.explode(vec_col).alias("x")).agg(
+            F.max(F.abs(F.col("x").cast("double"))).alias("_scale")
+        )
     )
     code = F.transform(
         F.col(vec_col),
@@ -299,27 +313,44 @@ def sq8_topk(
     survivors against the original float vectors.
 
     |Q| CONTRACT (same as brute_force_topk): the query side is broadcast
-    and must be fixed-size. The approximate pass costs |Q|*|C| integer
-    dot products over 4x-smaller rows; the exact pass is two broadcast
-    id-joins touching |Q|*k float vectors — at scale the full-precision
-    corpus is read only for the candidates, which is the point."""
-    # Materialize the quantized relation ONCE (same pattern as the
-    # MinHash signature checkpoint in functions/dedup.py): it feeds the
-    # corpus side AND the query side of the scoring join, and column
+    and must be fixed-size, but is otherwise an ARBITRARY (id, vec)
+    relation — query vectors are quantized against the corpus codebook
+    scale, so out-of-corpus queries get comparable codes (they need NOT
+    be a subset of corpus rows by id). The approximate pass costs
+    |Q|*|C| integer dot products over 4x-smaller rows; the exact pass is
+    two broadcast id-joins touching |Q|*k float vectors — at scale the
+    full-precision corpus is read only for the candidates, which is the
+    point."""
+    # The codebook scale is ONE max-abs scalar over the corpus,
+    # checkpointed so the corpus-quantize and query-quantize consumers
+    # share it instead of re-aggregating.
+    scale_stats = (
+        corpus.select(F.explode(vec_col).alias("x"))
+        .agg(F.max(F.abs(F.col("x").cast("double"))).alias("_scale"))
+        .localCheckpoint(eager=True)
+    )
+    # Materialize the quantized corpus ONCE (same pattern as the
+    # MinHash signature checkpoint in functions/dedup.py): column
     # pruning would otherwise re-execute the scan → stats → quantize
     # subtree per consumer. q8 is id + 64 small ints — a fraction of
     # the float corpus; at 100 TB this is the staged int8 index write.
     q8 = sq8_quantize(
-        corpus.select(F.col(id_col), F.col(vec_col)), id_col, vec_col
+        corpus.select(F.col(id_col), F.col(vec_col)),
+        id_col,
+        vec_col,
+        scale_stats,
     ).localCheckpoint(eager=True)
-    qids = queries.select(F.col(id_col).alias("query_id"))
     sc = corpus.sparkSession.sparkContext
     c = q8.repartition(sc.defaultParallelism, F.col(id_col)).select(
         F.col(id_col).alias("neighbor_id"), F.col("q8").alias("_cq8")
     )
     q = F.broadcast(
-        q8.join(qids, q8[id_col] == F.col("query_id"), "semi")
-        .select(F.col(id_col).alias("query_id"), F.col("q8").alias("_qq8"))
+        sq8_quantize(
+            queries.select(F.col(id_col), F.col(vec_col)),
+            id_col,
+            vec_col,
+            scale_stats,
+        ).select(F.col(id_col).alias("query_id"), F.col("q8").alias("_qq8"))
     )
     scored = c.join(q, F.col("query_id") != F.col("neighbor_id")).withColumn(
         "score_q8", dot_int(F.col("_qq8"), F.col("_cq8"))
@@ -333,8 +364,10 @@ def sq8_topk(
         .select("query_id", "neighbor_id", "score_q8", "rank")
     )
     # Exact rerank of the survivors: |Q|*k rows — broadcast the candidate
-    # list into two id-joins against the float corpus.
-    qe = corpus.select(
+    # list into two id-joins: query vectors from the QUERIES relation
+    # (arbitrary, not assumed present in the corpus), neighbor vectors
+    # from the float corpus.
+    qe = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
         vec_norm(F.col(vec_col)).alias("_qnorm"),

@@ -609,6 +609,13 @@ def _sink_dynamic_partition_overwrite(
             .alias("price"),
             "o_orderstatus",
         )
+        # Materialize the corrected slice BEFORE the overwrite: the write
+        # targets the same path the plan reads from, and while Spark 4's
+        # dynamic-overwrite staging handles self-read-overwrite, the
+        # pattern has historically raised "Cannot overwrite a path that
+        # is also being read from" and is fragile across commit
+        # protocols. The checkpoint decouples read and write lineage.
+        .localCheckpoint(eager=True)
     )
     (
         corrected.write.partitionBy("o_orderstatus")

@@ -240,11 +240,8 @@ def test_dynamic_partition_overwrite_leaves_other_partitions_untouched(
             for f in glob.glob(f"{path}/o_orderstatus={status}/part-*")
         )
 
-    before = {s: files(s) for s in ("O", "F", "P")}
-    # second refresh run: rewrites P again, must not touch O/F
-    _sink_dynamic_partition_overwrite(spark, sf_dir).collect()
     # the helper recreates the whole table from scratch each call, so
-    # instead re-run ONLY the overwrite step against the existing table
+    # re-run ONLY the overwrite step against the existing table
     from pyspark.sql import functions as F
 
     corrected = (
@@ -255,6 +252,7 @@ def test_dynamic_partition_overwrite_leaves_other_partitions_untouched(
             F.col("price").cast("decimal(18,2)").alias("price"),
             "o_orderstatus",
         )
+        .localCheckpoint(eager=True)  # decouple read path from write path
     )
     before = {s: files(s) for s in ("O", "F", "P")}
     (
