@@ -122,6 +122,61 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
+def triangle_count_oriented(edges: DataFrame) -> DataFrame:
+    """Global triangle count via DEGREE ORIENTATION — the layout that
+    survives edge lists too large to broadcast (the executable form of
+    the fallback triangle_count's docstring names).
+
+    Each undirected edge is re-oriented from its lower-TOTAL-ORDER
+    endpoint, where the order is (degree, node) — degree first bounds
+    every vertex's out-degree by O(sqrt(m)) on any graph (a vertex with
+    out-degree d has d neighbors of degree >= its own, so d(d+1)/2 <= 2m),
+    node id breaks degree ties totally. Wedges pair the out-neighbors of
+    each apex (the triangle's minimum-order vertex), so each triangle is
+    generated exactly once, and the closure probe joins on the (v, w)
+    pair. All three joins carry explicit MERGE hints: the plan is
+    sort-merge end-to-end with NO broadcast dependence on the edge list
+    — per-vertex wedge fan-out is the only quadratic term and the
+    orientation caps it at O(sqrt(m)).
+    """
+    deg = degrees(edges)
+    da = deg.select(F.col("node").alias("part_a"), F.col("degree").alias("_da"))
+    db = deg.select(F.col("node").alias("part_b"), F.col("degree").alias("_db"))
+    e = (
+        edges.select("part_a", "part_b")
+        .join(da.hint("merge"), "part_a")
+        .join(db.hint("merge"), "part_b")
+    )
+    ra = F.struct(F.col("_da").alias("d"), F.col("part_a").alias("n"))
+    rb = F.struct(F.col("_db").alias("d"), F.col("part_b").alias("n"))
+    # Materialized once: the oriented relation feeds BOTH wedge legs and
+    # the closure probe — without the checkpoint each consumer replays
+    # the degree-annotation joins (3x the orientation work at any scale).
+    oriented = e.select(
+        F.when(ra < rb, F.col("part_a")).otherwise(F.col("part_b")).alias("src"),
+        F.when(ra < rb, F.col("part_b")).otherwise(F.col("part_a")).alias("dst"),
+        F.when(ra < rb, rb).otherwise(ra).alias("dst_rank"),
+    ).localCheckpoint(eager=True)
+    o1 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"),
+        F.col("dst_rank").alias("rv"),
+    )
+    o2 = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("w"),
+        F.col("dst_rank").alias("rw"),
+    )
+    wedges = (
+        o1.join(o2.hint("merge"), "u")
+        .where(F.col("rv") < F.col("rw"))
+        .select("v", "w")
+    )
+    closure = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    closed = wedges.join(closure.hint("merge"), ["v", "w"])
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
 def pagerank(
     edges: DataFrame, iterations: int = 3, damping: float = 0.85
 ) -> DataFrame:

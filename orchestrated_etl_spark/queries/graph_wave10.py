@@ -31,6 +31,7 @@ from orchestrated_etl_spark.functions.graph import (
     degrees,
     pagerank,
     triangle_count,
+    triangle_count_oriented,
     undirect,
 )
 from orchestrated_etl_spark.registry import register
@@ -151,6 +152,36 @@ register(
     SELECT (SELECT count(*) FROM e2) AS n_edges,
            nodes.n_nodes, tri.n_triangles
     FROM nodes, tri
+    """,
+)
+
+
+def _graph_triangles_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count through the degree-orientation layout
+    (functions/graph.py triangle_count_oriented): edges re-oriented from
+    their lower-(degree, id) endpoint, wedges paired per apex, closure
+    probed with sort-merge joins — NO broadcast of the edge list
+    anywhere in the plan (MERGE hints pin it), which is the triangle
+    plan that still works when the edge list outgrows the broadcast
+    threshold. Oracle: the canonical a<b<c join formulation — both must
+    count every triangle exactly once, so the counts are equal by
+    construction."""
+    edges = copurchase_edges(spark, sf_dir, min_weight=2).localCheckpoint(
+        eager=True
+    )
+    return triangle_count_oriented(edges)
+
+
+register(
+    "graph_triangle_orient",
+    _graph_triangles_oriented,
+    f"""
+    WITH {_EDGE_CTE},
+    e2 AS (SELECT part_a, part_b FROM e WHERE weight >= 2)
+    SELECT count(*) AS n_triangles
+    FROM e2 t1
+    JOIN e2 t2 ON t1.part_b = t2.part_a
+    JOIN e2 t3 ON t3.part_a = t1.part_a AND t3.part_b = t2.part_b
     """,
 )
 

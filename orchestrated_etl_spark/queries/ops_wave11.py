@@ -282,7 +282,11 @@ def _sink_clustered_write(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderdate") >= "1996-01-01")
             & (F.col("o_orderdate") < "1996-07-01")
         )
-        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        # trunc()->DATE->NTZ stays wall-clock; date_trunc on DATE converts
+        # through the session timezone (see tests/test_timezone.py)
+        .groupBy(
+            F.trunc("o_orderdate", "month").cast("timestamp_ntz").alias("month")
+        )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
@@ -393,7 +397,9 @@ def _sink_zorder_write(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") >= "1996-01-01")
             & (F.col("o_orderdate") < "1997-01-01")
         )
-        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .groupBy(
+            F.trunc("o_orderdate", "month").cast("timestamp_ntz").alias("month")
+        )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.count_distinct("o_custkey").alias("n_customers"),

@@ -425,7 +425,11 @@ def _date_trunc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events(spark, sf_dir)
     return (
         ev.groupBy(
-            F.date_trunc("day", "ts").alias("day"),
+            # NOT date_trunc: Spark's date_trunc on TIMESTAMP_NTZ converts
+            # through the SESSION timezone (NTZ -> LTZ), shifting day
+            # boundaries under any non-UTC session. cast date -> ntz stays
+            # wall-clock end to end (pinned by tests/test_timezone.py).
+            F.col("ts").cast("date").cast("timestamp_ntz").alias("day"),
             "event_type",
         )
         .agg(

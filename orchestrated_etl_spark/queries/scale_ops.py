@@ -286,7 +286,10 @@ def asof_salted_core(ev: DataFrame) -> DataFrame:
             "kind",
             F.when(F.col("event_type") == "click", F.lit(0)).otherwise(F.lit(1)),
         )
-        .withColumn("day", F.date_trunc("day", "ts"))
+        # cast-to-date (not date_trunc) keeps the bucket key wall-clock:
+        # date_trunc on NTZ round-trips through the session timezone and
+        # would shift as-of bucket boundaries under non-UTC sessions.
+        .withColumn("day", F.col("ts").cast("date"))
     )
     w_local = (
         Window.partitionBy("user_id", "day")
@@ -1253,7 +1256,8 @@ def _hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").isNotNull()
     )
     monthly = orders.groupBy(
-        "o_orderstatus", F.date_trunc("month", "o_orderdate").alias("_m")
+        # trunc()->DATE is wall-clock (tz-invariant sketch partitioning)
+        "o_orderstatus", F.trunc("o_orderdate", "month").alias("_m")
     ).agg(F.hll_sketch_agg("o_custkey").alias("_sk"))
     merged = monthly.groupBy("o_orderstatus").agg(
         F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est_merged"),

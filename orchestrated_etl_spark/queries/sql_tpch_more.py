@@ -107,7 +107,10 @@ def _q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.join(
             F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
         )
-        .groupBy(F.date_trunc("month", "l_shipdate").alias("month"))
+        # trunc()->DATE->NTZ stays wall-clock across session timezones
+        .groupBy(
+            F.trunc("l_shipdate", "month").cast("timestamp_ntz").alias("month")
+        )
         .agg(
             (100.0 * promo_rev / F.sum(rev).cast("double")).alias(
                 "promo_share"

@@ -13,6 +13,7 @@ from orchestrated_etl_spark.functions.graph import (
     degrees,
     pagerank,
     triangle_count,
+    triangle_count_oriented,
 )
 
 
@@ -35,6 +36,22 @@ def test_triangle_count_k4(spark):
     assert (
         triangle_count(_edges_df(spark, k4 + [(4, 9)])).collect()[0][0] == 4
     )
+
+
+def test_triangle_oriented_matches_canonical(spark):
+    """Degree-orientation triangle count equals the canonical a<b<c join
+    on K4 + pendant (4 triangles) and on a triangle-free star (0), and
+    its physical plan contains NO broadcast join — the orientation
+    layout must keep every join sort-merge so it survives edge lists
+    past the broadcast threshold."""
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    df = triangle_count_oriented(_edges_df(spark, k4 + [(4, 9)]))
+    assert df.collect()[0][0] == 4
+    star = [(1, n) for n in range(2, 8)]
+    assert triangle_count_oriented(_edges_df(spark, star)).collect()[0][0] == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan and "BroadcastNestedLoop" not in plan
+    assert "SortMergeJoin" in plan
 
 
 def test_degrees_path_graph(spark):
