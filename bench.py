@@ -46,6 +46,9 @@ HEADLINE = [
     # round 2: quantized ANN + attribution
     "sim_sq8_topk",
     "events_attribution_linear",
+    # round 3: scale-path RFM + no-broadcast triangle layout
+    "events_rfm_quantile_cutoffs",
+    "graph_triangle_orient",
 ]
 
 

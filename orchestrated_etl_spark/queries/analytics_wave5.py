@@ -713,7 +713,11 @@ def _rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 scalars per dimension, map-side scoring, no ordered window over
     the per-user relation. Both forms are oracle-checked; this exact
     ntile form is the small-regime twin."""
-    ev = read_events(spark, sf_dir)
+    return rfm_ntile_core(read_events(spark, sf_dir))
+
+
+def rfm_ntile_core(ev: DataFrame) -> DataFrame:
+    """Exact-ntile RFM core over an events frame — see _rfm_segmentation."""
     purch = ev.where(F.col("event_type") == "purchase")
     maxts = purch.agg(F.max("ts").alias("_maxts"))
     per_user = (
@@ -826,7 +830,13 @@ def _rfm_quantile_cutoffs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell rollup. No ordered window ever sees the per-user relation —
     this is the plan that survives 100x users, where the ntile twin
     becomes a single-executor sort."""
-    ev = read_events(spark, sf_dir)
+    return rfm_cutoff_core(read_events(spark, sf_dir))
+
+
+def rfm_cutoff_core(ev: DataFrame) -> DataFrame:
+    """Quantile-cutoff RFM core over an events frame — see
+    _rfm_quantile_cutoffs (split out so scaling measurements drive the
+    identical plan on synthetically grown inputs)."""
     purch = ev.where(F.col("event_type") == "purchase")
     maxts = purch.agg(F.max("ts").alias("_maxts"))
     per_user = (

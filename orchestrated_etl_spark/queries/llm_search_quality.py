@@ -74,7 +74,15 @@ def _bm25_index(spark: SparkSession, sf_dir: str) -> None:
     key = (spark.sparkContext.applicationId, sf_dir)
     if _BM25_INDEX_BUILT.get(key):
         return
-    docs = _docs(spark, sf_dir)
+    build_bm25_index(_docs(spark, sf_dir))
+    _BM25_INDEX_BUILT.clear()  # one fixture's views are live at a time
+    _BM25_INDEX_BUILT[key] = True
+
+
+def build_bm25_index(docs: DataFrame) -> None:
+    """Build + register the staged index views from a documents frame
+    (split out so scaling measurements drive the identical build on
+    synthetically grown corpora)."""
     tokens = docs.select(
         "doc_id",
         F.size(F.split("text", " ")).alias("dl"),
@@ -97,8 +105,6 @@ def _bm25_index(spark: SparkSession, sf_dir: str) -> None:
     postings.createOrReplaceTempView("bm25_postings")
     dfreq.createOrReplaceTempView("bm25_dfreq")
     stats.createOrReplaceTempView("bm25_stats")
-    _BM25_INDEX_BUILT.clear()  # one fixture's views are live at a time
-    _BM25_INDEX_BUILT[key] = True
 
 
 def _search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,6 +119,12 @@ def _search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged. Ranking ties break on doc_id so the LIMIT boundary is
     deterministic on both engines."""
     _bm25_index(spark, sf_dir)
+    return bm25_query(spark)
+
+
+def bm25_query(spark: SparkSession) -> DataFrame:
+    """The posting-list lookup over the staged index views — see
+    _search_bm25_topk."""
     terms_in = "('" + "','".join(_BM25_TERMS) + "')"
     return spark.sql(
         f"""

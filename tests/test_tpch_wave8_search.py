@@ -60,11 +60,13 @@ def test_q20_nested_in_is_semi_join_chain(spark, sf_dir):
     assert plan.count("LeftSemi") >= 2, plan
 
 
-def test_bm25_filter_below_index_build(spark, sf_dir):
-    """The query-term filter must reach the token stream BEFORE the
-    (doc, term) aggregate: the posting-list aggregate may only ever see
-    the query's own terms — that is what makes a 3-term query touch 3
-    posting lists instead of the corpus vocabulary."""
+def test_bm25_query_is_posting_lookup_over_staged_index(spark, sf_dir):
+    """Round 3 contract: the index (postings/df/stats) is STAGED once per
+    session, so the query plan must (a) filter the checkpointed postings
+    by the query terms, and (b) never rescan the corpus — 0 parquet
+    scans, with stats arriving as scalar subqueries rather than a re-
+    derivation. (Round 2's one-shot plan re-derived corpus stats per
+    query: 6 scans.)"""
     from orchestrated_etl_spark.queries.llm_search_quality import (
         _search_bm25_topk,
     )
@@ -72,13 +74,11 @@ def test_bm25_filter_below_index_build(spark, sf_dir):
     import re
 
     plan = _plan(_search_bm25_topk(spark, sf_dir))
-    # the IN filter on the exploded term column sits DIRECTLY on the
-    # Generate (explode) output — nothing aggregates between them
-    assert re.search(
-        r"Filter term#\d+ IN \(spark,window,merge\)\n"
-        r"[-:+\s]*Generate explode",
-        plan,
-    ), plan
+    # term filter on the staged posting list
+    assert re.search(r"term#\d+ IN \(spark,window,merge\)", plan), plan
+    # corpus is never rescanned at query time
+    assert "Scan parquet" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
 
 
 # ---------------------------------------------------------------------------

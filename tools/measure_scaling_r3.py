@@ -1,0 +1,97 @@
+"""Round-3 scaling measurements: staged BM25 index and quantile-cutoff RFM.
+
+Method matches SCALING.md: the sf0.1 corpus is grown by unioning
+alphabet-rotated copies (disjoint vocabularies — the index genuinely
+grows) and events by user-shifted copies (disjoint users). Steady-state:
+each timing is the second consecutive run. Usage:
+
+    python tools/measure_scaling_r3.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import string
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from orchestrated_etl_spark.session import get_spark  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+
+def scaled_docs(spark, mult: int):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n = docs.count()
+    lower = string.ascii_lowercase
+    parts = [docs]
+    for i in range(1, mult):
+        rot = lower[i % 26 :] + lower[: i % 26]
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + i * n).alias("doc_id"),
+                F.translate("text", lower, rot).alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def scaled_events(spark, mult: int):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    shift = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    parts = [ev]
+    for i in range(1, mult):
+        parts.append(ev.withColumn("user_id", F.col("user_id") + i * shift))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def steady(fn):
+    fn()
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
+def main():
+    spark = get_spark("scaling_r3")
+
+    from orchestrated_etl_spark.queries.llm_search_quality import (
+        bm25_query,
+        build_bm25_index,
+    )
+
+    print("== BM25 staged index ==")
+    for mult in (1, 5, 20):
+        docs = scaled_docs(spark, mult).localCheckpoint(eager=True)
+        nd = docs.count()
+        t_build = steady(lambda: build_bm25_index(docs))
+        t_query = steady(lambda: bm25_query(spark).collect())
+        print(f"docs={nd}: build={t_build:.2f}s query={t_query:.3f}s")
+
+    from orchestrated_etl_spark.queries.analytics_wave5 import (
+        rfm_cutoff_core,
+        rfm_ntile_core,
+    )
+
+    print("== RFM: ntile vs quantile-cutoff ==")
+    for mult in (1, 5, 20):
+        ev = scaled_events(spark, mult).localCheckpoint(eager=True)
+        ne = ev.count()
+        t_ntile = steady(lambda: rfm_ntile_core(ev).collect())
+        t_cut = steady(lambda: rfm_cutoff_core(ev).collect())
+        print(f"events={ne}: ntile={t_ntile:.2f}s cutoffs={t_cut:.2f}s")
+
+
+if __name__ == "__main__":
+    main()
