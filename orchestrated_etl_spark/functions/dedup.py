@@ -266,13 +266,13 @@ def minhash_signature_text(
     return _minhash_agg(shingle_rows(df, id_col, text_col, n), k)
 
 
-def lsh_candidate_pairs(
+def band_buckets(
     sigs: DataFrame, bands: int = 4, rows_per_band: int = 2
 ) -> DataFrame:
-    """Band the signature (b bands × r rows), bucket by band value, and
-    self-join inside buckets. Pair multiplicity from multiple matching
-    bands is collapsed with distinct. Bucket key is the '|'-joined band
-    sig values — already uniform integers, no extra hashing needed."""
+    """(_id, band, bucket) rows: the signature split into b bands of r
+    rows, bucket key = '|'-joined band sig values (already uniform
+    integers — no extra hashing needed). Shared by the self-join pair
+    generator below and the cross-set incremental variant."""
     bucket_cols = []
     for b in range(bands):
         parts = [f"sig{b * rows_per_band + r}" for r in range(rows_per_band)]
@@ -282,9 +282,19 @@ def lsh_candidate_pairs(
                 F.concat_ws("|", *[F.col(p) for p in parts]).alias("bucket"),
             )
         )
-    buckets = sigs.select(
+    return sigs.select(
         "_id", F.explode(F.array(*bucket_cols)).alias("bk")
     ).select("_id", "bk.band", "bk.bucket")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Band the signature (b bands × r rows), bucket by band value, and
+    self-join inside buckets. Pair multiplicity from multiple matching
+    bands is collapsed with distinct. Bucket key is the '|'-joined band
+    sig values — already uniform integers, no extra hashing needed."""
+    buckets = band_buckets(sigs, bands, rows_per_band)
     # Pairs are generated WITHIN each bucket from a collected id list, not
     # via a bucket self-join: the self-join's two branches would each
     # recompute the whole upstream signature pipeline (scan → shingles →
@@ -418,6 +428,94 @@ def minhash_lsh_dedup(
         .withColumn("jaccard", F.round(shared / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def incremental_minhash_flags(
+    incoming: DataFrame,
+    history: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Cross-set MinHash-LSH: flag INCOMING docs that are near-dups of
+    the HISTORY corpus — the nightly-ingest fuzzy twin of the exact
+    content-hash anti-join (train_incremental_dedup). Output one row per
+    incoming doc: (id, is_neardup, matched = min matching history id, or
+    -1).
+
+    The asymmetry is the scale story: history signatures/buckets are the
+    PERSISTED dedup index (here localCheckpoint; at 100 TB a staged
+    parquet store keyed by bucket, appended nightly) — history text is
+    never re-shingled per batch. The batch joins its bucket rows against
+    the store on (band, bucket) — candidate pairs are cross-set band
+    collisions only, never history x history — and only candidate docs'
+    shingle arrays are built for exact-Jaccard verification. Per-night
+    cost: O(|batch|) signature work + bucket-join against the store +
+    O(|candidates|) verification."""
+    sc = incoming.sparkSession.sparkContext
+    inc = incoming.repartition(sc.defaultParallelism, F.col(id_col))
+    hist = history.repartition(sc.defaultParallelism, F.col(id_col))
+    sigs_h = minhash_signature_text(
+        hist, id_col, text_col, shingle_n, k
+    ).localCheckpoint(eager=True)
+    sigs_i = minhash_signature_text(
+        inc, id_col, text_col, shingle_n, k
+    ).localCheckpoint(eager=True)
+    bk_h = band_buckets(sigs_h, bands, rows_per_band).select(
+        F.col("_id").alias("hist_id"), "band", "bucket"
+    )
+    bk_i = band_buckets(sigs_i, bands, rows_per_band).select(
+        F.col("_id").alias("in_id"), "band", "bucket"
+    )
+    cands = (
+        bk_i.join(bk_h, ["band", "bucket"]).select("in_id", "hist_id").distinct()
+    ).localCheckpoint(eager=True)
+    # verification arrays only for candidate docs (semi-join both sides)
+    set_col = shingles(text_col, shingle_n)
+    sa = (
+        inc.join(
+            cands.select(F.col("in_id").alias("_cid")),
+            inc[id_col] == F.col("_cid"),
+            "left_semi",
+        )
+        .select(F.col(id_col).alias("in_id"), set_col.alias("_sa"))
+        .localCheckpoint(eager=True)
+    )
+    sb = (
+        hist.join(
+            cands.select(F.col("hist_id").alias("_cid")),
+            hist[id_col] == F.col("_cid"),
+            "left_semi",
+        )
+        .select(F.col(id_col).alias("hist_id"), set_col.alias("_sb"))
+        .localCheckpoint(eager=True)
+    )
+    shared = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    union = F.size("_sa") + F.size("_sb") - shared
+    verified = (
+        cands.join(F.broadcast(sa), "in_id")
+        .join(F.broadcast(sb), "hist_id")
+        .withColumn("jaccard", F.round(shared / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("in_id")
+        .agg(F.min("hist_id").alias("matched"))
+    )
+    return (
+        inc.select(F.col(id_col).alias("in_id"))
+        .join(verified, "in_id", "left")
+        .select(
+            F.col("in_id").alias(id_col),
+            F.col("matched").isNotNull().alias("is_neardup"),
+            F.coalesce(F.col("matched"), F.lit(-1).cast("long")).alias(
+                "matched"
+            ),
+        )
     )
 
 

@@ -33,4 +33,5 @@ def load() -> None:
         surface_wave9,
         graph_wave10,
         ops_wave11,
+        sql_surface_wave12,
     )

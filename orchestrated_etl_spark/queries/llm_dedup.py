@@ -146,6 +146,63 @@ def _minhash_oracle() -> str:
 
 register("dedup_minhash_lsh", _minhash, _minhash_oracle())
 
+
+def _incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly-ingest FUZZY dedup: incoming batch (doc_id % 5 == 0)
+    flagged against the curated history (% 5 != 0) through the persisted
+    MinHash index — the near-dup companion to train_incremental_dedup's
+    exact content-hash anti-join. Candidates are cross-set band
+    collisions ONLY (the batch's bucket rows join the history bucket
+    store; history never self-joins), verified with exact shingle
+    Jaccard. See functions/dedup.py incremental_minhash_flags for the
+    staged-store scale posture."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    incoming = docs.where(F.col("doc_id") % 5 == 0)
+    history = docs.where(F.col("doc_id") % 5 != 0)
+    return D.incremental_minhash_flags(
+        incoming,
+        history,
+        "doc_id",
+        "text",
+        shingle_n=3,
+        k=_MINHASH_K,
+        bands=_BANDS,
+        rows_per_band=_ROWS,
+        threshold=_MINHASH_THRESHOLD,
+    )
+
+
+def _incremental_minhash_oracle() -> str:
+    # Cross-set pairs are the subset of the full candidate set with one
+    # incoming (id % 5 = 0) and one history endpoint; the shared/tok CTEs
+    # are byte-identical to the dedup_minhash_lsh oracle.
+    return f"""
+    WITH {_minhash_ctes()},
+    verified AS (
+        SELECT CASE WHEN id_a % 5 = 0 THEN id_a ELSE id_b END AS in_id,
+               CASE WHEN id_a % 5 = 0 THEN id_b ELSE id_a END AS hist_id
+        FROM shared
+        WHERE round(shared * 1.0 / (n_a + n_b - shared), 6)
+                  >= {_MINHASH_THRESHOLD}
+          AND (id_a % 5 = 0) <> (id_b % 5 = 0)
+    ),
+    matches AS (
+        SELECT in_id, min(hist_id) AS matched FROM verified GROUP BY in_id
+    )
+    SELECT d.doc_id,
+           m.matched IS NOT NULL AS is_neardup,
+           coalesce(m.matched, -1) AS matched
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+    LEFT JOIN matches m ON d.doc_id = m.in_id
+    """
+
+
+register(
+    "train_incremental_minhash",
+    _incremental_minhash,
+    _incremental_minhash_oracle(),
+)
+
 # ---------------------------------------------------------------------------
 # n-gram (trigram-shingle) exact Jaccard via inverted-index self-join
 # ---------------------------------------------------------------------------

@@ -583,3 +583,101 @@ register(
     QUALIFY rank <= 5
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# SemDedup: semantic deduplication inside centroid clusters
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_THRESHOLD = 0.4
+
+
+def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup (Abbas et al. 2023-style semantic dedup): cluster the
+    embedding space, then drop any vector whose cosine to a LOWER-id
+    member of its OWN cluster exceeds the threshold — near-duplicate
+    semantics without an all-pairs corpus join, because candidate pairs
+    exist only within a cluster. Emits every vector with its cluster and
+    keep/drop decision (the linear-output format, like
+    dedup_cluster_components).
+
+    Plan shape: nearest-centroid assignment is a broadcast-K map pass
+    with a max_by argmax (no window over the corpus,
+    functions/similarity.assign_to_centroids); the within-cluster
+    pairwise scoring is the algorithm's defining cost, bounded by
+    Σ cluster_size² — at 100 TB you raise K with corpus size to hold
+    E[cluster] constant (the fixture's 8 centroids stand in for the
+    √N-ish K a production run would train), and the decision join
+    shuffles only (id, cluster, bool) rows. Deterministic: assignment
+    and drops both rank on the ROUNDED cosine with id tie-breaks."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    assigned = SIM.assign_to_centroids(
+        emb, centroids, "vec_id", "embedding"
+    ).localCheckpoint(eager=True)  # feeds both pair sides + the output
+    a = assigned.select(
+        F.col("_id").alias("id_a"), F.col("_vec").alias("_va"), "centroid_id"
+    ).withColumn("_na", SIM.vec_norm(F.col("_va")))
+    b = assigned.select(
+        F.col("_id").alias("id_b"),
+        F.col("_vec").alias("_vb"),
+        F.col("centroid_id").alias("_cb"),
+    ).withColumn("_nb", SIM.vec_norm(F.col("_vb")))
+    pairs = a.join(
+        b,
+        (F.col("centroid_id") == F.col("_cb"))
+        & (F.col("id_b") < F.col("id_a")),
+    )
+    cos = F.round(
+        F.try_divide(
+            SIM.dot(F.col("_va"), F.col("_vb")),
+            F.col("_na") * F.col("_nb"),
+        ),
+        6,
+    )
+    dropped = (
+        pairs.where(cos >= _SEMDEDUP_THRESHOLD)
+        .select(F.col("id_a").alias("vec_id"))
+        .distinct()
+        .withColumn("_d", F.lit(1))
+    )
+    return (
+        assigned.select(F.col("_id").alias("vec_id"), "centroid_id")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.col("_d").isNotNull().alias("dropped"),
+        )
+    )
+
+
+register(
+    "dedup_semantic_clusters",
+    _semdedup,
+    f"""
+    WITH centroids AS (
+        SELECT vec_id AS centroid_id, embedding AS cvec
+        FROM embeddings WHERE vec_id < 8
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({_COS_SQL.format(a='e.embedding', b='c.cvec')}, 6) DESC,
+                                c.centroid_id) AS rn
+            FROM embeddings e, centroids c
+        ) WHERE rn = 1
+    )
+    SELECT a.vec_id, a.centroid_id,
+           EXISTS (
+               SELECT 1 FROM assigned b
+               WHERE b.centroid_id = a.centroid_id
+                 AND b.vec_id < a.vec_id
+                 AND round({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 6)
+                     >= {_SEMDEDUP_THRESHOLD}
+           ) AS dropped
+    FROM assigned a
+    """,
+)

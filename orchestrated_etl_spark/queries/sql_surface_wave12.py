@@ -1,0 +1,337 @@
+"""Wave-12 SQL/aggregate surface: ordered string aggregation (LISTAGG),
+ignore-nulls window carry-forward (LOCF), bitwise/boolean aggregates,
+exact median, ANSI percentile_cont/disc, nth_value frames, and the
+approx_top_k sketch aggregate.
+
+These are the remaining ANSI/Spark-4 aggregate-surface functions a
+reference user could reach for that had no registered twin yet (the
+reference itself has none of this — its only aggregation is five pandas
+groupbys, dags/dag.py:167-181; this is the §2.7 "full SQL surface"
+extension family).
+
+Determinism policy (same as the registry-wide float policy):
+- LISTAGG carries an explicit WITHIN GROUP (ORDER BY) on a unique key —
+  the concatenation order is pinned on both engines.
+- approx_top_k is registered on a LOW-CARDINALITY column with k >
+  distinct-count and re-sorted by item, so the sketch is provably exact
+  and the output order independent of count ties.
+- percentile_cont/disc follow ANSI on both engines (probed: disc picks
+  the same order statistic, cont interpolates bit-identically on
+  identical doubles).
+- The ignore-nulls carry-forward orders on (ts, event_id) — a unique
+  total order.
+
+Scale posture: every query here is one partial-aggregable hash aggregate
+or one partitioned window — the same shuffle-once shapes as the
+relational core; LISTAGG strings are bounded by group size (guarded by
+the o_orderkey < 50 slice — unbounded LISTAGG at 100 TB is an anti-
+pattern; cap or switch to arrays).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from orchestrated_etl_spark.registry import register
+from orchestrated_etl_spark.sources.catalog import read_events
+
+
+def _li(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+# ---------------------------------------------------------------------------
+# LISTAGG / string_agg with pinned ordering
+# ---------------------------------------------------------------------------
+
+
+def _listagg_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order ordered line manifest via LISTAGG ... WITHIN GROUP — the
+    ANSI ordered string aggregation (Spark 4 syntax; DuckDB spells it
+    string_agg(... ORDER BY ...)). Restricted to a key slice so group
+    strings stay bounded — the 100 TB guidance is to cap membership or
+    aggregate into arrays instead of unbounded strings."""
+    _li(spark, sf_dir).createOrReplaceTempView("lineitem_w12a")
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               listagg(CAST(l_linenumber AS STRING), ',')
+                   WITHIN GROUP (ORDER BY l_linenumber) AS line_manifest,
+               listagg(DISTINCT l_returnflag, '|')
+                   WITHIN GROUP (ORDER BY l_returnflag) AS flags,
+               count(*) AS n_lines
+        FROM lineitem_w12a
+        WHERE l_orderkey < 50
+        GROUP BY l_orderkey
+        """
+    )
+
+
+register(
+    "agg_listagg_lines",
+    _listagg_lines,
+    """
+    SELECT l_orderkey,
+           string_agg(CAST(l_linenumber AS VARCHAR), ','
+                      ORDER BY l_linenumber) AS line_manifest,
+           string_agg(DISTINCT l_returnflag, '|' ORDER BY l_returnflag)
+               AS flags,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_orderkey < 50
+    GROUP BY l_orderkey
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# ignore-nulls carry-forward (LOCF)
+# ---------------------------------------------------------------------------
+
+
+def _locf_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward: annotate every event with the
+    value of the user's most recent PURCHASE at-or-before it — the
+    sensor/price-feed gap-fill shape, done with last(expr, ignorenulls)
+    over a running frame instead of a self-join. One shuffle on user_id;
+    the frame scan is O(1) amortized per row. Ordering (ts, event_id) is
+    a unique total order, so the carried value is engine-deterministic."""
+    ev = read_events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        # coalesce to a typed sentinel: a NULL-bearing numeric column
+        # pandas-coerces to float64/NaN downstream, which hashes
+        # differently from Spark's None (tests/test_oracle_dtypes.py
+        # class); -1.0 is outside the value domain (values >= 0).
+        F.coalesce(
+            F.last(
+                F.when(F.col("event_type") == "purchase", F.col("value")),
+                ignorenulls=True,
+            ).over(w),
+            F.lit(-1.0),
+        ).alias("last_purchase_value"),
+    )
+
+
+register(
+    "window_locf_ignore_nulls",
+    _locf_purchase_value,
+    """
+    SELECT event_id, user_id,
+           coalesce(
+               last_value(CASE WHEN event_type = 'purchase' THEN value END
+                          IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING),
+               -1.0) AS last_purchase_value
+    FROM events
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# bitwise aggregates
+# ---------------------------------------------------------------------------
+
+
+def _bitwise_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bit_or / bit_and / bit_xor over a derived 8-bit flag word — the
+    compact-bitmask rollup (feature flags, permission masks). Fully
+    partial-aggregable: each is a commutative-associative fold, so the
+    map-side combine does almost all the work."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    flag = (F.col("o_orderkey") % 256).cast("long")
+    return orders.groupBy("o_orderpriority").agg(
+        F.bit_or(flag).alias("flags_any"),
+        F.bit_and(flag).alias("flags_all"),
+        F.bit_xor(flag).alias("flags_parity"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+register(
+    "agg_bitwise_flags",
+    _bitwise_flags,
+    """
+    SELECT o_orderpriority,
+           bit_or(o_orderkey % 256) AS flags_any,
+           bit_and(o_orderkey % 256) AS flags_all,
+           bit_xor(o_orderkey % 256) AS flags_parity,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# boolean aggregates
+# ---------------------------------------------------------------------------
+
+
+def _bool_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool_and / bool_or rule rollups — the constraint-audit aggregate
+    in its native ANSI form (EVERY/ANY): does EVERY line in the flag
+    group satisfy the rule, does ANY violate it. Integer/boolean outputs
+    only — bit-exact cross-engine."""
+    li = _li(spark, sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") > 0).alias("all_qty_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.bool_and(F.col("l_shipdate").isNotNull()).alias("all_shipped_dated"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+register(
+    "agg_bool_rules",
+    _bool_rules,
+    """
+    SELECT l_returnflag,
+           bool_and(l_quantity > 0) AS all_qty_positive,
+           bool_or(l_discount > 0.09) AS any_deep_discount,
+           bool_and(l_shipdate IS NOT NULL) AS all_shipped_dated,
+           count(*) AS n_lines
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# exact median + ANSI percentiles
+# ---------------------------------------------------------------------------
+
+
+def _median_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median and ANSI percentile_cont/disc per group. disc picks
+    an actual order statistic (probed: both engines implement the ANSI
+    smallest-cume_dist>=p rule); cont interpolates between adjacent
+    statistics with bit-identical IEEE arithmetic on identical inputs
+    (integer quantities cast to double). Exact percentile buffers each
+    group's values — bounded-cardinality groups only; the streaming-
+    friendly histogram alternative is events_rfm_quantile_cutoffs'
+    cutoff derivation."""
+    _li(spark, sf_dir).createOrReplaceTempView("lineitem_w12b")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               median(CAST(l_quantity AS INT)) AS median_qty,
+               percentile_cont(0.25)
+                   WITHIN GROUP (ORDER BY CAST(l_quantity AS INT))
+                   AS q1_qty,
+               CAST(percentile_disc(0.9)
+                   WITHIN GROUP (ORDER BY CAST(l_quantity AS INT))
+                   AS DOUBLE) AS p90_qty_disc,
+               count(*) AS n_lines
+        FROM lineitem_w12b
+        GROUP BY l_returnflag
+        """
+    )
+
+
+register(
+    "agg_median_percentiles",
+    _median_percentiles,
+    """
+    SELECT l_returnflag,
+           median(CAST(l_quantity AS INT)) AS median_qty,
+           percentile_cont(0.25)
+               WITHIN GROUP (ORDER BY CAST(l_quantity AS INT)) AS q1_qty,
+           CAST(percentile_disc(0.9)
+               WITHIN GROUP (ORDER BY CAST(l_quantity AS INT))
+               AS DOUBLE) AS p90_qty_disc,
+           count(*) AS n_lines
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# nth_value over a full frame
+# ---------------------------------------------------------------------------
+
+
+def _nth_value_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over the FULL partition frame: each order's 2nd line
+    part key annotated onto every line (NULL for 1-line orders) — the
+    "compare to the group's k-th element" window shape. Unique ordering
+    (l_linenumber) makes the picked row engine-deterministic."""
+    li = _li(spark, sf_dir).where(F.col("l_orderkey") < 200)
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # sentinel for 1-line orders: NULL-bearing BIGINT pandas-coerces
+        # to float64 downstream (see window_locf_ignore_nulls note)
+        F.coalesce(F.nth_value("l_partkey", 2).over(w), F.lit(-1).cast("long"))
+        .alias("second_line_part"),
+    )
+
+
+register(
+    "window_nth_value",
+    _nth_value_lines,
+    """
+    SELECT l_orderkey, l_linenumber,
+           coalesce(
+               nth_value(l_partkey, 2)
+                   OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING),
+               -1) AS second_line_part
+    FROM lineitem
+    WHERE l_orderkey < 200
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# approx_top_k sketch (registered in its provably-exact regime)
+# ---------------------------------------------------------------------------
+
+
+def _approx_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_top_k — Spark 4's frequent-items sketch aggregate,
+    registered in the regime where the sketch is PROVABLY exact:
+    k and maxItemsTracked exceed the column's distinct count (5 event
+    types), so every item survives with its exact count, and the output
+    re-sorts by item so count ties can't reorder rows. At real
+    cardinalities the same one-pass sketch returns approximate heavy
+    hitters with bounded memory — the scale path for "top URLs / top
+    tokens" over 100 TB where an exact groupBy-then-sort would shuffle
+    the full key space. The oracle is the exact GROUP BY this sketch
+    deliberately collapses to here."""
+    read_events(spark, sf_dir).createOrReplaceTempView("events_w12")
+    return spark.sql(
+        """
+        SELECT t.item AS event_type, t.count AS n_events
+        FROM (
+            SELECT explode(approx_top_k(event_type, 10, 1000)) AS t
+            FROM events_w12
+        )
+        ORDER BY event_type
+        """
+    )
+
+
+register(
+    "agg_approx_topk_exact_regime",
+    _approx_topk_event_types,
+    """
+    SELECT event_type, count(*) AS n_events
+    FROM events GROUP BY event_type
+    ORDER BY event_type
+    """,
+)

@@ -9,11 +9,15 @@ misalignment is debuggable locally.
 
 Usage: python tools/check_oracle.py [--pandas] [sf_dir] [query ...]
 
-``--pandas`` fetches the DuckDB side through ``fetchdf()`` (the driver's
-evident conversion path) instead of ``fetchall()``. This surfaces dtype
-coercions that plain fetchall hides: DuckDB HUGEINT/DECIMAL columns become
-float64 in pandas while Spark collects int/Decimal — the exact class that
-made ``sessionize_events_30m`` hash-fail in round 2 while the fetchall gate
+``--pandas`` fetches BOTH sides through pandas (DuckDB ``fetchdf()``,
+Spark ``toPandas()``) — the driver's evident conversion path (round-2
+evidence: NULL-bearing numeric columns pass the driver, so both sides
+must coerce None→NaN symmetrically; but a no-NULL int64 Spark column
+hash-failed against a HUGEINT→float64 oracle column, so the coercion is
+per-side dtype-driven). This surfaces asymmetric dtype coercions that
+plain fetchall hides: a DuckDB HUGEINT/DECIMAL column becomes float64
+while Spark's stays int64 — the exact class that made
+``sessionize_events_30m`` hash-fail in round 2 while the fetchall gate
 stayed green. Run both modes before shipping a new oracle.
 """
 
@@ -77,6 +81,22 @@ def df_multiset(cols, rows):
     return Counter(tuple(normalize(r[i]) for i in order) for r in rows)
 
 
+def _pandasify(v):
+    """Pandas-mode value alignment: a pandas frame has no date dtype, so
+    DuckDB's fetchdf promotes DATE to midnight datetime64 while Spark's
+    toPandas keeps datetime.date objects (object dtype). Promote date →
+    midnight Timestamp on BOTH sides so the compare sees what a fully
+    pandas-converted pipeline sees. (The strict fetchall mode still
+    distinguishes DATE from midnight TIMESTAMP.)"""
+    from datetime import date, datetime
+
+    if v is pd.NaT:
+        return None  # Spark's toPandas yields None for null dates
+    if isinstance(v, date) and not isinstance(v, datetime):
+        return pd.Timestamp(v)
+    return v
+
+
 def duck_fetch(res, pandas_mode):
     """Fetch a DuckDB result as (cols, rows-of-python-values).
 
@@ -89,7 +109,10 @@ def duck_fetch(res, pandas_mode):
     if not pandas_mode:
         return cols, res.fetchall()
     pdf = res.fetchdf()
-    rows = [tuple(rec) for rec in pdf.itertuples(index=False, name=None)]
+    rows = [
+        tuple(_pandasify(x) for x in rec)
+        for rec in pdf.itertuples(index=False, name=None)
+    ]
     # pandas NaT/NaN → keep as-is; normalize() already handles NaN floats.
     return cols, rows
 
@@ -122,7 +145,14 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            if pandas_mode:
+                spdf = sdf.toPandas()
+                srows = [
+                    tuple(_pandasify(x) for x in rec)
+                    for rec in spdf.itertuples(index=False, name=None)
+                ]
+            else:
+                srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
