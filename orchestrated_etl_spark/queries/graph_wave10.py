@@ -55,6 +55,30 @@ _EDGE_CTE = """
 # ---------------------------------------------------------------------------
 
 
+# Materialize-once edge store: (applicationId, sf_dir, min_weight) ->
+# eagerly checkpointed edge relation. Every graph query in this module
+# starts from the same derived co-purchase edges; without the cache each
+# query re-runs the two fact-table shuffles of the derivation (the
+# per-query fixed cost SCALING.md documents, ~1.6 s at sf0.1 — and at
+# 100 TB, two fact-scale shuffles per query). This is the same session
+# cache pattern as the BM25 index: on a cluster it is the staged edges
+# table the nightly graph job writes once and every query reads.
+_EDGE_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def cached_edges(
+    spark: SparkSession, sf_dir: str, min_weight: int = 2
+) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, min_weight)
+    if key not in _EDGE_CACHE:
+        if len(_EDGE_CACHE) > 8:  # one fixture's relations at a time
+            _EDGE_CACHE.clear()
+        _EDGE_CACHE[key] = copurchase_edges(
+            spark, sf_dir, min_weight=min_weight
+        ).localCheckpoint(eager=True)
+    return _EDGE_CACHE[key]
+
+
 def _graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thresholded co-purchase edge list (weight ≥ 2): the pairs that
     co-occur in at least two orders. See functions/graph.py for the
@@ -62,7 +86,7 @@ def _graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the edge relation orders of magnitude smaller than the fact table
     (a random pair needs REPEATED co-purchase to survive), which is the
     precondition for the broadcast joins downstream queries use."""
-    return copurchase_edges(spark, sf_dir, min_weight=2)
+    return cached_edges(spark, sf_dir, min_weight=2)
 
 
 register(
@@ -85,7 +109,7 @@ def _graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     how many parts have k co-purchase partners. Two cheap aggregates on
     top of the edge derivation; output is histogram-sized regardless of
     scale (the 100 TB-safe shape for any distribution profile)."""
-    deg = degrees(copurchase_edges(spark, sf_dir, min_weight=1))
+    deg = degrees(cached_edges(spark, sf_dir, min_weight=1))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_parts"))
 
 
@@ -118,9 +142,7 @@ def _graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialized once: three join legs + two count legs all read the
     # same small edge relation (a lazy plan re-derives the fact scan per
     # leg — 6 scans at bench, 6 corpus passes at 100 TB).
-    edges = copurchase_edges(spark, sf_dir, min_weight=2).localCheckpoint(
-        eager=True
-    )
+    edges = cached_edges(spark, sf_dir, min_weight=2)
     tri = triangle_count(edges)
     counts = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     nodes = (
@@ -166,9 +188,7 @@ def _graph_triangles_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold. Oracle: the canonical a<b<c join formulation — both must
     count every triangle exactly once, so the counts are equal by
     construction."""
-    edges = copurchase_edges(spark, sf_dir, min_weight=2).localCheckpoint(
-        eager=True
-    )
+    edges = cached_edges(spark, sf_dir, min_weight=2)
     return triangle_count_oriented(edges)
 
 
@@ -198,7 +218,7 @@ def _graph_walk_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle comparison is exact with no float policy at all. Same
     join-aggregate-per-round shape as PageRank below."""
     ed = undirect(
-        copurchase_edges(spark, sf_dir, min_weight=2)
+        cached_edges(spark, sf_dir, min_weight=2)
     ).localCheckpoint(eager=True)
     walks = ed.select(F.col("src").alias("node")).distinct().select(
         "node", F.lit(1).cast("long").alias("w")
@@ -248,7 +268,7 @@ def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape SQL engines rarely host — is still oracle-checkable. Rounded
     with the ε-nudge documented in the module docstring."""
     ranks = pagerank(
-        copurchase_edges(spark, sf_dir, min_weight=2),
+        cached_edges(spark, sf_dir, min_weight=2),
         iterations=3,
         damping=0.85,
     )
@@ -308,7 +328,7 @@ def _graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from orchestrated_etl_spark.functions.graph import label_propagation
 
     return label_propagation(
-        copurchase_edges(spark, sf_dir, min_weight=2), iterations=3
+        cached_edges(spark, sf_dir, min_weight=2), iterations=3
     )
 
 
@@ -376,9 +396,7 @@ def _graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     division of exact ints, rounded 6 on both engines. The top-50
     boundary is deterministic: ties broken by the full (cn, jaccard,
     a, c) composite."""
-    edges = copurchase_edges(spark, sf_dir, min_weight=2).localCheckpoint(
-        eager=True
-    )
+    edges = cached_edges(spark, sf_dir, min_weight=2)
     ed = undirect(edges)
     deg = degrees(edges)
     w1 = ed.select(F.col("src").alias("b"), F.col("dst").alias("a"))
@@ -465,9 +483,7 @@ def _graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge endpoints, corr() as a single partial-aggregable pass (corr's
     moments combine associatively). Rounded to 4 — corr is a quotient
     of float moment sums, the registry's irrational-value policy."""
-    edges = copurchase_edges(spark, sf_dir, min_weight=2).localCheckpoint(
-        eager=True
-    )
+    edges = cached_edges(spark, sf_dir, min_weight=2)
     ed = undirect(edges)
     deg = degrees(edges)
     annotated = (

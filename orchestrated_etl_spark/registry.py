@@ -64,6 +64,8 @@ _FRONT = [
     "sessionize_events_30m",
     # new/reworked this round
     "events_rfm_quantile_cutoffs", "graph_triangle_orient",
+    "dedup_semantic_clusters", "train_incremental_minhash",
+    "window_locf_ignore_nulls",
     # TPC-H tail (never driver-sampled)
     "sql_q5_local_supplier_volume", "sql_q6_forecast_revenue",
     "sql_q7_volume_shipping", "sql_q11_important_stock",
@@ -87,12 +89,11 @@ _FRONT = [
     "sql_session_variables", "sql_group_by_all", "sql_collation_ci",
     "sql_identifier_clause", "sql_lateral_alias", "sql_try_functions",
     # dedup variants
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_minhash_mllib",
+    "dedup_ngram_jaccard", "dedup_simhash",
     # training pipeline (incl. the two latent HUGEINT fixes)
-    "train_profile_documents", "train_oov_rate", "train_token_packing",
+    "train_profile_documents", "train_oov_rate",
     # events/scale misc
     "asof_join_salted", "range_join_clicks_before_purchase",
-    "window_session_builtin",
 ]
 
 
