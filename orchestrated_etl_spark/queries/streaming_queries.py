@@ -506,3 +506,105 @@ register(
     FROM nation
     """,
 )
+
+
+def _stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply (SCD1 upsert): the event stream is treated as
+    a change feed keyed by user_id, and foreachBatch MERGEs each
+    micro-batch into a parquet dimension holding every user's LATEST
+    event — the canonical streaming-ingest-into-warehouse-table pattern
+    (foreachBatch is how Structured Streaming reaches MERGE and any
+    other batch-only sink).
+
+    Versioning is EVENT-TIME, not arrival order: the kept row per user
+    is the max by (ts, event_id) across target+batch, so the final
+    table is identical no matter how the source is micro-batched —
+    proven here by splitting the source into 6 files consumed 2 per
+    trigger (3 micro-batches). Per-batch cost: one batch-sized reduce +
+    one merge against the target's per-key latest rows; at 100 TB the
+    target is a partitioned table and the merge rewrites only matched
+    partitions (sink_dynamic_partition_overwrite's contract). The
+    corrected relation is checkpointed before each overwrite to
+    decouple read/write lineage (self-read-overwrite hazard)."""
+    import shutil
+    import tempfile
+
+    from orchestrated_etl_spark.sources.catalog import read_events
+
+    work = tempfile.mkdtemp(prefix="cdc_upsert_")
+    src = f"{work}/feed"
+    target = f"{work}/dim_user_latest"
+    # driver-side prep: split the fixed events table into 6 feed files
+    (
+        read_events(spark, sf_dir)
+        .select("event_id", "user_id", "ts", "value")
+        .repartition(6)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+
+    def latest_per_user(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("ts", "event_id", "value"),
+                    F.struct("ts", "event_id"),
+                ).alias("r")
+            )
+            .select(
+                "user_id",
+                F.col("r.ts").alias("ts"),
+                F.col("r.event_id").alias("event_id"),
+                F.col("r.value").alias("value"),
+            )
+        )
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        b = latest_per_user(batch_df)
+        try:
+            cur = batch_df.sparkSession.read.parquet(target)
+            merged = latest_per_user(cur.unionByName(b))
+        except Exception:  # first batch: target doesn't exist yet
+            merged = b
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            target
+        )
+
+    feed = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp, value double"
+    ).option("maxFilesPerTrigger", 2).parquet(src)
+    q = (
+        feed.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(target).select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
+    # materialize before the temp dir is reclaimed by later reruns
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+register(
+    "stream_cdc_upsert",
+    _stream_cdc_upsert,
+    """
+    SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+           value AS last_value
+    FROM (
+        SELECT user_id, ts, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+)
