@@ -608,3 +608,59 @@ register(
     WHERE rn = 1
     """,
 )
+
+
+def _stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: purchases keep flowing
+    even with no click in the preceding hour — the outer row (NULL click
+    side) is emitted only once the watermark passes the purchase's join
+    window, because until then a matching click could still arrive.
+    That eviction boundary is engine-internal (final-watermark position
+    after the last micro-batch), so this registers ROWS-ONLY: the exact
+    null-row set near the stream's tail is not SQL-expressible, while
+    the semantics are pinned in tests/test_streaming.py — matched pairs
+    equal the batch interval join exactly, every emitted NULL row is a
+    true batch no-click purchase, and every no-click purchase safely
+    below the final watermark IS emitted.
+
+    State bound: same as the inner form — click state older than
+    watermark+interval is evicted; purchase state is evicted when its
+    window closes (emitting the outer row). Runnable forever."""
+    ev = read_events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    pairs = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    )
+    out = run_available_now(pairs, output_mode="append")
+    return out.groupBy(
+        F.col("p_id").alias("event_id"),
+        F.col("p_user").alias("user_id"),
+        F.col("p_ts").alias("ts"),
+    ).agg(
+        F.sum(F.col("c_ts").isNotNull().cast("long")).alias("clicks_1h")
+    )
+
+
+register("stream_stream_left_outer", _stream_stream_left_outer)

@@ -320,3 +320,50 @@ def test_books_stream_resumes_from_checkpoint(spark, tmp_path):
     out = spark.read.parquet(target)
     assert out.count() == 300  # no re-read of pages 0-99
     assert out.select("title").distinct().count() == 300
+
+
+def test_stream_left_outer_join_semantics(spark, sf_dir):
+    """LEFT OUTER stream-stream interval join: (a) matched purchases and
+    their click counts equal the batch interval join exactly; (b) every
+    zero-click emission is a true batch no-click purchase; (c) every
+    no-click purchase comfortably below the final watermark (max ts - 2h)
+    is emitted. The exact emission boundary near the stream tail is
+    engine-internal — that is why the query registers rows-only."""
+    from orchestrated_etl_spark.queries.streaming_queries import (
+        _stream_stream_left_outer,
+    )
+    from orchestrated_etl_spark.sources.catalog import read_events
+
+    out = {
+        (r["event_id"], r["clicks_1h"])
+        for r in _stream_stream_left_outer(spark, sf_dir).collect()
+    }
+    ev = read_events(spark, sf_dir).select("event_id", "user_id", "ts", "event_type")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"))
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left",
+    ).groupBy("p_id", "p_ts").agg(
+        F.sum(F.col("c_ts").isNotNull().cast("long")).alias("n"))
+    batch = {(r["p_id"], r["n"]): r["p_ts"] for r in joined.collect()}
+    # (a) matched purchases agree exactly
+    assert {x for x in out if x[1] > 0} == {
+        k for k in batch if k[1] > 0
+    }
+    # (b) every zero-click emission is a true batch no-click purchase
+    batch_zero = {k for k in batch if k[1] == 0}
+    out_zero = {x for x in out if x[1] == 0}
+    assert out_zero <= batch_zero
+    # (c) no-click purchases well below the final watermark are emitted
+    maxts = ev.agg(F.max("ts")).collect()[0][0]
+    import datetime
+    cutoff = maxts - datetime.timedelta(hours=2)
+    must_emit = {k for k in batch_zero if batch[k] < cutoff}
+    assert must_emit <= out_zero
