@@ -335,3 +335,118 @@ register(
     ORDER BY event_type
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# higher-order array functions
+# ---------------------------------------------------------------------------
+
+
+def _array_hof_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function surface over per-order quantity
+    arrays: aggregate (fold), filter, exists, array_distinct,
+    array_position — the fold/position half of the lambda-expression
+    API (the existing `array_hof_profile` covers filter/exists/min/max
+    over embeddings); keeps per-row collection logic JVM-side instead
+    of a Python UDF. The array is
+    built with ONE collect_list aggregate (sorted for determinism);
+    every HOF then evaluates map-side in the same projection. Oracle:
+    DuckDB's list_* twins (list_reduce/list_filter/list_contains/
+    list_distinct/list_position; absent-element position NULL-coalesced
+    to Spark's 0 contract)."""
+    li = _li(spark, sf_dir).where(F.col("l_orderkey") < 500)
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(F.col("l_quantity").cast("int"))
+        ).alias("qtys")
+    )
+    return per_order.select(
+        "l_orderkey",
+        F.aggregate(
+            "qtys", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("total_qty"),
+        F.size(F.filter("qtys", lambda x: x > 30)).alias("n_big"),
+        F.exists("qtys", lambda x: x == 40).alias("has_qty_40"),
+        F.size(F.array_distinct("qtys")).alias("n_distinct_qty"),
+        F.array_position("qtys", 25).cast("long").alias("pos_of_25"),
+        F.size("qtys").alias("n_lines"),
+    )
+
+
+register(
+    "array_fold_profile",
+    _array_hof_profile,
+    """
+    SELECT l_orderkey,
+           CAST(list_reduce(list_prepend(0, qtys), (a, b) -> a + b)
+                AS BIGINT) AS total_qty,
+           len(list_filter(qtys, x -> x > 30)) AS n_big,
+           list_contains(qtys, 40) AS has_qty_40,
+           len(list_distinct(qtys)) AS n_distinct_qty,
+           CAST(coalesce(list_position(qtys, 25), 0) AS BIGINT)
+               AS pos_of_25,
+           len(qtys) AS n_lines
+    FROM (
+        SELECT l_orderkey,
+               list_sort(list(CAST(l_quantity AS INTEGER))) AS qtys
+        FROM lineitem
+        WHERE l_orderkey < 500
+        GROUP BY l_orderkey
+    )
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# calendar / interval arithmetic
+# ---------------------------------------------------------------------------
+
+
+def _interval_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-arithmetic surface on order dates: fixed-day and
+    calendar-month offsets (month-end clamping pinned: Jan 31 + 1 month
+    = Feb 28/29), last_day, ISO week start/number, day-of-week,
+    quarter, and day distance to an anchor. All map-side projections on
+    DATE values — wall-clock, engine- and timezone-independent (the
+    contract tests/test_timezone.py enforces). DuckDB's dayofweek is
+    0=Sunday vs Spark's 1=Sunday — the oracle carries the +1."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderkey") < 500
+    )
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        d.alias("d"),
+        F.date_add(d, 45).alias("plus_45d"),
+        F.add_months(d, 2).alias("plus_2m"),
+        F.last_day(d).alias("month_end"),
+        F.trunc(d, "week").alias("week_start"),
+        F.dayofweek(d).alias("dow"),
+        F.weekofyear(d).alias("iso_week"),
+        F.quarter(d).alias("qtr"),
+        F.datediff(F.to_date(F.lit("1997-01-01")), d).alias("days_to_1997"),
+    )
+
+
+register(
+    "datetime_interval_math",
+    _interval_math,
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS d,
+           CAST(CAST(o_orderdate AS DATE) + to_days(45) AS DATE)
+               AS plus_45d,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE)
+               AS plus_2m,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE)
+               AS week_start,
+           CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INTEGER) AS dow,
+           CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INTEGER) AS iso_week,
+           CAST(quarter(CAST(o_orderdate AS DATE)) AS INTEGER) AS qtr,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1997-01-01')
+                AS INTEGER) AS days_to_1997
+    FROM orders
+    WHERE o_orderkey < 500
+    """,
+)

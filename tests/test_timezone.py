@@ -69,6 +69,8 @@ _TZ_SENSITIVE = [
     "sink_zorder_write",
     "sql_q14_promo_share",
     "agg_hll_sketch_merge",
+    "datetime_interval_math",
+    "window_locf_ignore_nulls",
 ]
 
 
