@@ -272,3 +272,124 @@ register(
     FROM scored GROUP BY doc_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# voice-activity segmentation (energy gate + run-length islands)
+# ---------------------------------------------------------------------------
+
+
+def _vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio voice-activity detection, STUB energy / real pipeline
+    shape: each fake-decoded clip's frames get a deterministic integer
+    energy (md5 nibble, stands in for per-frame RMS a real decoder
+    emits); frames with energy >= 8 are "voiced", and consecutive
+    voiced frames collapse into SEGMENTS via the gaps-and-islands
+    transform (frame_idx - row_number over voiced frames is constant
+    within a run). Emits per clip: frame count, voiced-frame count,
+    segment count, longest segment (0-sentinels when silent — NULL
+    numerics would pandas-coerce downstream).
+
+    This is the speech-pipeline front end (VAD -> segment -> transcribe
+    only voiced spans): the island window and both aggregates share ONE
+    doc_id shuffle; energies are scan-stage expressions; all arithmetic
+    is exact integers. At 100 TB of audio the frame table never
+    re-shuffles for feature computation, and transcription cost falls
+    from total-duration to voiced-duration."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payload = docs.select("doc_id", M.to_binary("text").alias("media"))
+    decoded = M.decoded_metadata(payload, "doc_id", "media")
+    frames = decoded.select(
+        "doc_id",
+        "digest",
+        "n_frames",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(1))
+        ).alias("frame_idx"),
+    )
+    fh = F.md5(
+        F.concat_ws("-", F.col("digest"), F.col("frame_idx")).cast("binary")
+    )
+    energized = frames.select(
+        "doc_id",
+        "n_frames",
+        "frame_idx",
+        F.conv(F.substring(fh, 1, 1), 16, 10).cast("int").alias("energy"),
+    )
+    voiced = energized.where(F.col("energy") >= 8)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    islands = voiced.withColumn(
+        "isl", F.col("frame_idx") - F.row_number().over(w)
+    )
+    segs = islands.groupBy("doc_id", "isl").agg(
+        F.count(F.lit(1)).alias("seg_len")
+    )
+    per_doc = segs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("seg_len").alias("n_voiced"),
+        F.max("seg_len").alias("longest_segment"),
+    )
+    return (
+        decoded.select("doc_id", "n_frames")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_frames",
+            F.coalesce(F.col("n_voiced"), F.lit(0).cast("long")).alias(
+                "n_voiced"
+            ),
+            F.coalesce(F.col("n_segments"), F.lit(0).cast("long")).alias(
+                "n_segments"
+            ),
+            F.coalesce(
+                F.col("longest_segment"), F.lit(0).cast("long")
+            ).alias("longest_segment"),
+        )
+    )
+
+
+register(
+    "mm_vad_segments",
+    _vad_segments,
+    """
+    WITH d AS (
+        SELECT doc_id, md5(text) AS digest,
+               strpos('0123456789abcdef', substr(md5(text), 3, 1)) AS n_frames
+        FROM documents
+    ),
+    frames AS (
+        SELECT doc_id, n_frames,
+               CAST(unnest(range(0, n_frames)) AS INTEGER) AS frame_idx,
+               digest
+        FROM d
+    ),
+    energized AS (
+        SELECT doc_id, n_frames, frame_idx,
+               strpos('0123456789abcdef',
+                      substr(md5(digest || '-' || frame_idx), 1, 1)) - 1
+                   AS energy
+        FROM frames
+    ),
+    voiced AS (
+        SELECT doc_id, frame_idx,
+               frame_idx - row_number()
+                   OVER (PARTITION BY doc_id ORDER BY frame_idx) AS isl
+        FROM energized WHERE energy >= 8
+    ),
+    segs AS (
+        SELECT doc_id, isl, count(*) AS seg_len
+        FROM voiced GROUP BY doc_id, isl
+    ),
+    per_doc AS (
+        SELECT doc_id, count(*) AS n_segments,
+               CAST(sum(seg_len) AS BIGINT) AS n_voiced,
+               max(seg_len) AS longest_segment
+        FROM segs GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(d.n_frames AS BIGINT) AS n_frames,
+           coalesce(p.n_voiced, 0) AS n_voiced,
+           coalesce(p.n_segments, 0) AS n_segments,
+           coalesce(p.longest_segment, 0) AS longest_segment
+    FROM d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """,
+)

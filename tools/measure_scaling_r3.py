@@ -10,6 +10,7 @@ each timing is the second consecutive run. Usage:
 
 from __future__ import annotations
 
+import os
 import string
 import sys
 import time
@@ -95,3 +96,80 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def scaled_embeddings(spark, mult: int):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = emb.count()
+    parts = [emb]
+    for i in range(1, mult):
+        # id-shift only: same vector distribution, disjoint ids — clusters
+        # genuinely grow, so within-cluster pair work genuinely grows.
+        parts.append(emb.withColumn("vec_id", F.col("vec_id") + i * n))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def extra():
+    spark = get_spark("scaling_r3b")
+    from orchestrated_etl_spark.functions.similarity import (
+        assign_to_centroids,
+    )
+    from orchestrated_etl_spark.functions.dedup import (
+        incremental_minhash_flags,
+    )
+
+    print("== SemDedup (within-cluster pairwise) ==")
+    from orchestrated_etl_spark.queries.llm_similarity import _semdedup  # noqa
+    import orchestrated_etl_spark.queries.llm_similarity as LS
+
+    for mult in (1, 5, 20):
+        emb = scaled_embeddings(spark, mult).localCheckpoint(eager=True)
+        nv = emb.count()
+        centroids = emb.filter(F.col("vec_id") < 8)
+
+        def run():
+            assigned = assign_to_centroids(
+                emb, centroids, "vec_id", "embedding"
+            ).localCheckpoint(eager=True)
+            a = assigned.select(
+                F.col("_id").alias("id_a"), F.col("_vec").alias("_va"),
+                "centroid_id",
+            ).withColumn("_na", LS.SIM.vec_norm(F.col("_va")))
+            b = assigned.select(
+                F.col("_id").alias("id_b"), F.col("_vec").alias("_vb"),
+                F.col("centroid_id").alias("_cb"),
+            ).withColumn("_nb", LS.SIM.vec_norm(F.col("_vb")))
+            pairs = a.join(
+                b,
+                (F.col("centroid_id") == F.col("_cb"))
+                & (F.col("id_b") < F.col("id_a")),
+            )
+            cos = F.round(
+                F.try_divide(
+                    LS.SIM.dot(F.col("_va"), F.col("_vb")),
+                    F.col("_na") * F.col("_nb"),
+                ), 6)
+            return pairs.where(cos >= 0.4).count()
+
+        t = steady(run)
+        print(f"vectors={nv}: semdedup={t:.2f}s")
+
+    print("== Incremental MinHash (batch vs history) ==")
+    for mult in (1, 5, 20):
+        docs = scaled_docs(spark, mult).localCheckpoint(eager=True)
+        nd = docs.count()
+        incoming = docs.where(F.col("doc_id") % 5 == 0)
+        history = docs.where(F.col("doc_id") % 5 != 0)
+        t = steady(
+            lambda: incremental_minhash_flags(
+                incoming, history, "doc_id", "text"
+            ).count()
+        )
+        print(f"docs={nd}: incr_minhash={t:.2f}s")
+
+
+if __name__ == "__main__" and os.environ.get("SCALING_EXTRA"):
+    extra()
