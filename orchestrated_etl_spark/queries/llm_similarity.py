@@ -605,11 +605,15 @@ def _semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a max_by argmax (no window over the corpus,
     functions/similarity.assign_to_centroids); the within-cluster
     pairwise scoring is the algorithm's defining cost, bounded by
-    Σ cluster_size² — at 100 TB you raise K with corpus size to hold
-    E[cluster] constant (the fixture's 8 centroids stand in for the
-    √N-ish K a production run would train), and the decision join
-    shuffles only (id, cluster, bool) rows. Deterministic: assignment
-    and drops both rank on the ROUNDED cosine with id tie-breaks."""
+    Σ cluster_size². Scale calculus (measured, SCALING.md): fixed K is
+    quadratic in N; K ∝ N linearizes the pairs but makes the N·K
+    assignment the quadratic term — the balanced choice is K = Θ(√N)
+    (both terms N·√N), and production runs push assignment below N·K
+    with a two-level centroid tree (broadcast the coarse √K level,
+    probe only its children). The fixture's K=8 stands in for a
+    corpus-sized trained K; the decision join shuffles only (id,
+    cluster, bool) rows. Deterministic: assignment and drops both rank
+    on the ROUNDED cosine with id tie-breaks."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     centroids = emb.filter(F.col("vec_id") < 8)
     assigned = SIM.assign_to_centroids(

@@ -450,3 +450,46 @@ register(
     WHERE o_orderkey < 500
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# grouping() / grouping_id() over a cube
+# ---------------------------------------------------------------------------
+
+
+def _grouping_id_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping()/grouping_id() disambiguation over CUBE: a NULL group
+    key from the data vs a NULL standing for "all" at a superaggregate
+    level are indistinguishable without grouping() — grouping_id gives
+    the level bitmask every reporting layer keys on. Standard ANSI on
+    both engines; superaggregate NULL keys are rendered as 'ALL' via
+    the grouping bit so the compared output has no NULL strings."""
+    _li(spark, sf_dir).createOrReplaceTempView("lineitem_w12c")
+    return spark.sql(
+        """
+        SELECT CASE WHEN grouping(l_returnflag) = 1 THEN 'ALL'
+                    ELSE l_returnflag END AS returnflag,
+               CASE WHEN grouping(l_linestatus) = 1 THEN 'ALL'
+                    ELSE l_linestatus END AS linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+               count(*) AS n_lines
+        FROM lineitem_w12c
+        GROUP BY CUBE(l_returnflag, l_linestatus)
+        """
+    )
+
+
+register(
+    "agg_grouping_id_cube",
+    _grouping_id_cube,
+    """
+    SELECT CASE WHEN grouping(l_returnflag) = 1 THEN 'ALL'
+                ELSE l_returnflag END AS returnflag,
+           CASE WHEN grouping(l_linestatus) = 1 THEN 'ALL'
+                ELSE l_linestatus END AS linestatus,
+           CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+           count(*) AS n_lines
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
