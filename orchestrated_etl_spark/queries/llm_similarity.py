@@ -685,3 +685,144 @@ register(
     FROM assigned a
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# two-level centroid-tree assignment (the N·K -> N·(√K + fanout) reduction)
+# ---------------------------------------------------------------------------
+
+
+def _tree_assign_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level centroid-tree assignment — the executable form of the
+    assignment-cost fix SCALING.md's SemDedup analysis names: instead of
+    scoring every vector against all K fine centroids (N·K — the term
+    that turns quadratic when K grows with the corpus), route each
+    vector to its nearest COARSE pivot first (√K-ish candidates), then
+    argmax only among that group's fine centroids — N·(coarse + fanout)
+    scored pairs. Pivots are the min-id member of each group (no float
+    averaging: pivot vectors are actual data vectors, so every cosine is
+    exactly reproducible cross-engine; mean-centroids would inherit
+    summation-order ulp).
+
+    Tree routing is approximate (a vector near a group boundary can be
+    routed away from its true nearest centroid), so the query emits the
+    per-fine-centroid agreement audit against flat assignment — the
+    recall-style metric a production run tracks when tuning fanout.
+    Both assignments rank on ROUNDED cosine with id tie-breaks; all
+    joins are broadcast map passes; one final 8-row aggregate."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    flat = SIM.assign_to_centroids(
+        emb, centroids, "vec_id", "embedding"
+    ).select(F.col("_id").alias("vec_id"), F.col("centroid_id").alias("flat_cid"))
+
+    # coarse pivots: min-id member of each group (group = centroid_id DIV 4)
+    pivots = centroids.where(F.col("vec_id").isin(0, 4)).select(
+        (F.col("vec_id") / 4).cast("int").alias("grp"),
+        F.col("embedding").alias("_pvec"),
+        SIM.vec_norm(F.col("embedding")).alias("_pnorm"),
+    )
+    scored_p = (
+        emb.select(
+            F.col("vec_id").alias("_id"),
+            F.col("embedding").alias("_vec"),
+            SIM.vec_norm(F.col("embedding")).alias("_vnorm"),
+        )
+        .join(F.broadcast(pivots))
+    )
+    pcos = F.round(
+        F.try_divide(
+            SIM.dot(F.col("_vec"), F.col("_pvec")),
+            F.col("_vnorm") * F.col("_pnorm"),
+        ),
+        6,
+    )
+    routed = scored_p.groupBy("_id").agg(
+        F.first("_vec").alias("_vec"),
+        F.first("_vnorm").alias("_vnorm"),
+        F.max_by(
+            F.col("grp"), F.struct(pcos.alias("c"), (-F.col("grp")).alias("t"))
+        ).alias("grp"),
+    )
+    fine = centroids.select(
+        (F.col("vec_id") / 4).cast("int").alias("grp"),
+        F.col("vec_id").alias("fine_cid"),
+        F.col("embedding").alias("_cvec"),
+        SIM.vec_norm(F.col("embedding")).alias("_cnorm"),
+    )
+    scored_f = routed.join(F.broadcast(fine), "grp")
+    fcos = F.round(
+        F.try_divide(
+            SIM.dot(F.col("_vec"), F.col("_cvec")),
+            F.col("_vnorm") * F.col("_cnorm"),
+        ),
+        6,
+    )
+    tree = scored_f.groupBy("_id").agg(
+        F.max_by(
+            F.col("fine_cid"),
+            F.struct(fcos.alias("c"), (-F.col("fine_cid")).alias("t")),
+        ).alias("tree_cid")
+    ).select(F.col("_id").alias("vec_id"), "tree_cid")
+
+    joined = flat.join(tree, "vec_id")
+    return joined.groupBy(F.col("flat_cid").alias("centroid_id")).agg(
+        F.count(F.lit(1)).alias("n_flat"),
+        F.sum(
+            (F.col("tree_cid") == F.col("flat_cid")).cast("long")
+        ).alias("n_agree"),
+    )
+
+
+register(
+    "sim_tree_assign_agreement",
+    _tree_assign_agreement,
+    f"""
+    WITH centroids AS (
+        SELECT vec_id AS centroid_id, embedding AS cvec,
+               CAST(vec_id // 4 AS INTEGER) AS grp
+        FROM embeddings WHERE vec_id < 8
+    ),
+    flat AS (
+        SELECT vec_id, centroid_id AS flat_cid FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({_COS_SQL.format(a='e.embedding', b='c.cvec')}, 6) DESC,
+                                c.centroid_id) AS rn
+            FROM embeddings e, centroids c
+        ) WHERE rn = 1
+    ),
+    pivots AS (
+        SELECT grp, cvec AS pvec FROM centroids WHERE centroid_id IN (0, 4)
+    ),
+    routed AS (
+        SELECT vec_id, grp FROM (
+            SELECT e.vec_id, p.grp,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({_COS_SQL.format(a='e.embedding', b='p.pvec')}, 6) DESC,
+                                p.grp) AS rn
+            FROM embeddings e, pivots p
+        ) WHERE rn = 1
+    ),
+    tree AS (
+        SELECT vec_id, fine_cid AS tree_cid FROM (
+            SELECT e.vec_id, c.centroid_id AS fine_cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({_COS_SQL.format(a='e.embedding', b='c.cvec')}, 6) DESC,
+                                c.centroid_id) AS rn
+            FROM embeddings e
+            JOIN routed r ON r.vec_id = e.vec_id
+            JOIN centroids c ON c.grp = r.grp
+        ) WHERE rn = 1
+    )
+    SELECT f.flat_cid AS centroid_id,
+           count(*) AS n_flat,
+           CAST(sum(CASE WHEN t.tree_cid = f.flat_cid THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_agree
+    FROM flat f JOIN tree t ON f.vec_id = t.vec_id
+    GROUP BY f.flat_cid
+    """,
+)

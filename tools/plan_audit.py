@@ -34,6 +34,10 @@ PAIRWISE_OK = {
     "mm_fake_embed_topk",  # brute-force query-set x corpus scoring is the baseline path
     "sim_mrl_prefix_topk",  # stage-1 prefix scan is the brute-force baseline at 1/4 width
     "search_hybrid_rrf",  # semantic leg is the brute-force query-set x corpus scan
+    # corpus x broadcast-centroid scoring (2 pivots / K fine centroids):
+    # bounded fan-out by construction — the assignment algorithm itself
+    "sim_tree_assign_agreement",
+    "dedup_semantic_clusters",  # same corpus x broadcast-K assignment pass
 }
 
 # Queries whose POINT is per-row Python: the UDTF demo exists to cover the
