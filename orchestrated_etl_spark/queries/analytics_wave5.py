@@ -1042,3 +1042,140 @@ register(
     FROM dau d JOIN wau w ON w.report_day = d.day
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# EWMA via ordered array fold (exact sequential recurrence)
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.25  # exact binary fraction: products/sums are reproducible
+
+
+def _ewma_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of purchase values — the recurrence s_1 = x_1,
+    s_t = α·x_t + (1-α)·s_{t-1}. A recurrence is NOT partial-aggregable
+    (no window frame computes it), so the exact form is a per-key
+    ORDERED LEFT FOLD: collect the user's (ts, event_id, value) structs,
+    array_sort (unique total order), fold left. Both engines execute the
+    identical sequence of IEEE ops (α is an exact binary fraction), so
+    the result is bit-reproducible with NO rounding policy.
+
+    Scale note: the fold holds one user's history in memory — bounded
+    by per-key cardinality, the same contract as any collect_list
+    sessionization. For unbounded keys, window the recurrence per day
+    and chain daily states (the stored-sketch pattern); Spark cannot
+    stream an order-dependent fold any other way."""
+    ev = read_events(spark, sf_dir)
+    purch = ev.where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    arr = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "value"))
+    )
+    a = F.lit(_EWMA_ALPHA)
+    per_user = purch.groupBy("user_id").agg(arr.alias("xs"))
+    ewma = F.aggregate(
+        F.slice(F.col("xs"), 2, F.size("xs")),
+        F.element_at(F.col("xs"), 1)["value"],
+        lambda acc, x: a * x["value"] + (F.lit(1.0) - a) * acc,
+    )
+    return per_user.select(
+        "user_id",
+        F.size("xs").alias("n_purchases"),
+        ewma.alias("ewma_value"),
+    )
+
+
+register(
+    "events_ewma_fold",
+    _ewma_fold,
+    f"""
+    WITH per_user AS (
+        SELECT user_id,
+               list(value ORDER BY ts, event_id) AS xs
+        FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           len(xs) AS n_purchases,
+           list_reduce(xs,
+               (acc, x) -> {_EWMA_ALPHA} * x + {1 - _EWMA_ALPHA} * acc)
+               AS ewma_value
+    FROM per_user
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# robust anomaly detection: median absolute deviation
+# ---------------------------------------------------------------------------
+
+
+def _anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD-based robust outlier report per event type: median and
+    median-absolute-deviation are computed with percentile_disc (ACTUAL
+    data values — exact, no interpolation), and a value is an outlier
+    when |x - med| > 3 · 1.4826 · MAD (the normal-consistency constant).
+    Unlike the z-score twin (events_anomaly_zscore), a few huge values
+    cannot drag the threshold — median/MAD have a 50% breakdown point.
+    Two grouped exact-percentile passes + one broadcast join + one
+    conditional aggregate; every compared number is either an exact data
+    value or an integer count."""
+    ev = read_events(spark, sf_dir).where(F.col("value").isNotNull())
+    ev.createOrReplaceTempView("events_mad")
+    return spark.sql(
+        """
+        WITH med AS (
+            SELECT event_type,
+                   percentile_disc(0.5) WITHIN GROUP (ORDER BY value)
+                       AS med
+            FROM events_mad GROUP BY event_type
+        ),
+        dev AS (
+            SELECT e.event_type, e.value, m.med,
+                   abs(e.value - m.med) AS ad
+            FROM events_mad e JOIN med m USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type, max(med) AS med,
+                   percentile_disc(0.5) WITHIN GROUP (ORDER BY ad) AS mad
+            FROM dev GROUP BY event_type
+        )
+        SELECT d.event_type, m.med, m.mad,
+               count(*) AS n_values,
+               CAST(sum(CASE WHEN d.ad > 3 * 1.4826 * m.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev d JOIN mad m USING (event_type)
+        GROUP BY d.event_type, m.med, m.mad
+        """
+    )
+
+
+register(
+    "events_anomaly_mad",
+    _anomaly_mad,
+    """
+    WITH e AS (SELECT * FROM events WHERE value IS NOT NULL),
+    med AS (
+        SELECT event_type,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med
+        FROM e GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS ad
+        FROM e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, max(med) AS med,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY ad) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, m.med, m.mad,
+           count(*) AS n_values,
+           CAST(sum(CASE WHEN d.ad > 3 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type, m.med, m.mad
+    """,
+)

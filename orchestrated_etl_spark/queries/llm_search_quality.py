@@ -612,3 +612,56 @@ register(
     LIMIT 10
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# positional phrase match (exact-phrase retrieval)
+# ---------------------------------------------------------------------------
+
+_PHRASE = ("table", "hash")
+
+
+def _phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PHRASE retrieval ("table hash" as adjacent tokens, in
+    order) — the positional-postings operator BM25's bag-of-words
+    scoring cannot express. Evaluated as a map-only array expression:
+    for each document, count positions i with token[i]='table' AND
+    token[i+1]='hash' (filter over sequence + element_at — all
+    whole-stage codegen, no explode, no shuffle before the final
+    top-k). At 100 TB the production form stores POSITIONAL posting
+    lists next to the BM25 index and intersects the two terms' position
+    lists (adjacent-offset join) instead of rescanning text; the
+    per-document counting rule is identical. Integer counts — exact."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    hits = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: (F.element_at(toks, i) == _PHRASE[0])
+            & (F.element_at(toks, i + 1) == _PHRASE[1]),
+        )
+    )
+    return (
+        docs.select("doc_id", hits.alias("n_hits"))
+        .where(F.col("n_hits") > 0)
+        .orderBy(F.col("n_hits").desc(), F.col("doc_id"))
+        .limit(20)
+    )
+
+
+register(
+    "search_phrase_match",
+    _phrase_match,
+    f"""
+    SELECT doc_id, n_hits FROM (
+        SELECT doc_id,
+               len(list_filter(range(1, len(ts)),
+                   i -> ts[i] = '{_PHRASE[0]}'
+                        AND ts[i+1] = '{_PHRASE[1]}')) AS n_hits
+        FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+    )
+    WHERE n_hits > 0
+    ORDER BY n_hits DESC, doc_id
+    LIMIT 20
+    """,
+)
