@@ -493,3 +493,199 @@ register(
     GROUP BY CUBE(l_returnflag, l_linestatus)
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# ANSI linear-regression aggregates
+# ---------------------------------------------------------------------------
+
+
+def _regression_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI regr_* aggregates: per return flag, OLS slope / intercept /
+    R² / count / mean-x / mean-y of extended price against quantity —
+    single-pass partial-aggregable moment statistics (never a driver
+    fit). Probed bit-identical cross-engine on identical doubles;
+    round(6) absorbs partial-aggregation summation-order ulp on the
+    fixture's larger groups (irrational-valued outputs — the allowed
+    rounding class)."""
+    _li(spark, sf_dir).createOrReplaceTempView("lineitem_w12d")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+               round(regr_intercept(l_extendedprice, l_quantity), 6)
+                   AS intercept,
+               round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+               regr_count(l_extendedprice, l_quantity) AS n,
+               round(regr_avgx(l_extendedprice, l_quantity), 6) AS avg_qty,
+               round(regr_avgy(l_extendedprice, l_quantity), 6) AS avg_price
+        FROM lineitem_w12d
+        GROUP BY l_returnflag
+        """
+    )
+
+
+register(
+    "agg_regression_funcs",
+    _regression_funcs,
+    """
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 6)
+               AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           regr_count(l_extendedprice, l_quantity) AS n,
+           round(regr_avgx(l_extendedprice, l_quantity), 6) AS avg_qty,
+           round(regr_avgy(l_extendedprice, l_quantity), 6) AS avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# width_bucket equi-width histogram
+# ---------------------------------------------------------------------------
+
+
+def _width_bucket_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals via ANSI width_bucket —
+    fixed [0, 400000) domain in 20 bins with under/overflow buckets 0
+    and 21. One map-side bucketing projection + one tiny aggregate —
+    the fixed-domain histogram that needs NO stats pass first (contrast
+    dq_drift_psi's data-derived bins). The oracle spells the bucketing
+    rule arithmetically (DuckDB has no width_bucket): identical doubles
+    through floor((x-lo)/(hi-lo)*n)+1 on both engines."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.select(
+            F.expr(
+                "width_bucket(o_totalprice, 0.0, 400000.0, 20)"
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+register(
+    "agg_width_bucket_histogram",
+    _width_bucket_hist,
+    """
+    SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+                WHEN o_totalprice >= 400000.0 THEN 21
+                ELSE CAST(floor(o_totalprice / 400000.0 * 20) AS BIGINT) + 1
+           END AS bucket,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# null-safe equality join
+# ---------------------------------------------------------------------------
+
+
+def _null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): the events
+    table's anonymous activity (NULL user_id) forms a real group that
+    plain equi-joins silently drop — here per-user click and purchase
+    rollups are joined null-safely so the anonymous bucket joins to
+    itself. <=> plans as an ordinary hash join (NULL is just another key
+    value), so the scale shape is identical to the equi-join. The
+    nullable key is emitted through a -1 sentinel (no NULL-bearing
+    numeric output)."""
+    ev = read_events(spark, sf_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    joined = clicks.alias("c").join(
+        purchases.alias("p"),
+        F.col("c.user_id").eqNullSafe(F.col("p.user_id")),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce(
+            F.col("c.user_id"), F.col("p.user_id"), F.lit(-1).cast("long")
+        ).alias("user_key"),
+        F.coalesce(F.col("n_clicks"), F.lit(0).cast("long")).alias("n_clicks"),
+        F.coalesce(F.col("n_purchases"), F.lit(0).cast("long")).alias(
+            "n_purchases"
+        ),
+        (
+            F.col("c.user_id").isNull() & F.col("p.user_id").isNull()
+        ).alias("is_anonymous"),
+    )
+
+
+register(
+    "join_null_safe_eq",
+    _null_safe_join,
+    """
+    WITH c AS (
+        SELECT user_id, count(*) AS n_clicks
+        FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    p AS (
+        SELECT user_id, count(*) AS n_purchases
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT coalesce(c.user_id, p.user_id, -1) AS user_key,
+           coalesce(c.n_clicks, 0) AS n_clicks,
+           coalesce(p.n_purchases, 0) AS n_purchases,
+           c.user_id IS NULL AND p.user_id IS NULL AS is_anonymous
+    FROM c FULL OUTER JOIN p
+      ON c.user_id IS NOT DISTINCT FROM p.user_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# SHUFFLE_HASH join hint
+# ---------------------------------------------------------------------------
+
+
+def _shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHUFFLE_HASH hint surface: pins the orders–lineitem join to a
+    shuffled hash join — the strategy that beats sort-merge when one
+    side is much smaller than the other but too big to broadcast (no
+    sort phase, build-side hash table per partition). Hints change the
+    PHYSICAL strategy only; the result is the plain join, which is the
+    oracle. The plan pin lives in tests (ShuffledHashJoin node)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderstatus") == "P"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    joined = li.join(
+        orders.hint("shuffle_hash"),
+        li.l_orderkey == orders.o_orderkey,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+register(
+    "join_shuffle_hash_hint",
+    _shuffle_hash_hint,
+    """
+    SELECT o_orderpriority, count(*) AS n_lines,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'P'
+    GROUP BY o_orderpriority
+    """,
+)

@@ -87,3 +87,21 @@ def test_split_assignment_is_deterministic_and_exhaustive(spark, tmp_path):
     assert sum(a.values()) == 200  # every doc assigned exactly once
     assert set(s for s, _ in a) == {"train", "val", "test"}
     assert a[("train", "en")] > a[("val", "en")]
+
+
+def test_shuffle_hash_hint_changes_physical_strategy(spark, sf_dir):
+    """The SHUFFLE_HASH hint must materialize as a ShuffledHashJoin node
+    (not broadcast — the filtered orders side would otherwise broadcast
+    at this scale, and not sort-merge); the query's RESULT is strategy-
+    independent, which is what its oracle checks."""
+    from orchestrated_etl_spark.queries.sql_surface_wave12 import (
+        _shuffle_hash_hint,
+    )
+
+    plan = (
+        _shuffle_hash_hint(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ShuffledHashJoin" in plan, plan
