@@ -689,3 +689,77 @@ register(
     GROUP BY o_orderpriority
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# approx_percentile with verified rank-error bounds
+# ---------------------------------------------------------------------------
+
+_AP_ACCURACY = 1000  # rank error guarantee: |rank - target| <= n / accuracy
+
+
+def _approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile under its own contract: the Greenwald-Khanna
+    sketch guarantees the returned value's RANK is within n/accuracy of
+    the target rank. The query computes the approximate p50/p90 per
+    order priority AND then verifies the guarantee exactly — count of
+    rows <= the returned value vs the target rank — emitting booleans.
+    The sketch value itself is engine-specific (DuckDB uses t-digest),
+    so the ORACLE CONTRACT is the bounds booleans + exact counts, the
+    same pattern as agg_hll_sketch_merge: what is checked cross-engine
+    is that Spark's sketch satisfies the published guarantee, not that
+    two different sketches agree. This is the bounded-memory,
+    partial-aggregable percentile for 100 TB groups — the scale path
+    the exact percentile queries (agg_median_percentiles) document
+    against."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ap = orders.groupBy("o_orderpriority").agg(
+        F.expr(
+            f"approx_percentile(o_totalprice, array(0.5, 0.9), {_AP_ACCURACY})"
+        ).alias("ap"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    joined = orders.join(
+        F.broadcast(
+            ap.select(
+                "o_orderpriority",
+                F.col("ap")[0].alias("p50"),
+                F.col("ap")[1].alias("p90"),
+                "n",
+            )
+        ),
+        "o_orderpriority",
+    )
+    ranks = joined.groupBy("o_orderpriority").agg(
+        F.first("n").alias("n"),
+        F.sum((F.col("o_totalprice") <= F.col("p50")).cast("long")).alias(
+            "rank50"
+        ),
+        F.sum((F.col("o_totalprice") <= F.col("p90")).cast("long")).alias(
+            "rank90"
+        ),
+    )
+    eps = F.col("n") / F.lit(_AP_ACCURACY) + 1
+    return ranks.select(
+        "o_orderpriority",
+        "n",
+        (F.abs(F.col("rank50") - F.col("n") * 0.5) <= eps).alias(
+            "p50_within_bounds"
+        ),
+        (F.abs(F.col("rank90") - F.col("n") * 0.9) <= eps).alias(
+            "p90_within_bounds"
+        ),
+    )
+
+
+register(
+    "agg_approx_percentile_bounds",
+    _approx_percentile_bounds,
+    """
+    SELECT o_orderpriority, count(*) AS n,
+           TRUE AS p50_within_bounds,
+           TRUE AS p90_within_bounds
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
