@@ -65,7 +65,8 @@ _FRONT = [
     # new/reworked this round
     "events_rfm_quantile_cutoffs", "graph_triangle_orient",
     "dedup_semantic_clusters", "train_incremental_minhash",
-    "window_locf_ignore_nulls",
+    "window_locf_ignore_nulls", "stream_cdc_upsert", "events_ewma_fold",
+    "mm_vad_segments", "agg_approx_percentile_bounds",
     # TPC-H tail (never driver-sampled)
     "sql_q5_local_supplier_volume", "sql_q6_forecast_revenue",
     "sql_q7_volume_shipping", "sql_q11_important_stock",
@@ -78,15 +79,13 @@ _FRONT = [
     "graph_link_prediction", "graph_assortativity",
     # text statistics
     "text_token_stats", "text_quality_score", "text_lang_profile",
-    "text_word_topk", "text_fingerprint", "text_bpe_token_counts",
-    "text_repetition_score", "text_length_histogram",
-    "text_tfidf_keywords", "text_unigram_logprob",
+    "text_bpe_token_counts", "text_repetition_score",
+    "text_length_histogram", "text_tfidf_keywords", "text_unigram_logprob",
     # physical layout / sinks / sources
     "sink_compacted_roundtrip", "sink_clustered_write", "src_file_lineage",
-    "sink_dynamic_partition_overwrite", "sink_partitioned_parquet",
-    "sink_ctas_insert",
+    "sink_dynamic_partition_overwrite", "sink_ctas_insert",
     # wave-4/7/9 SQL surface
-    "sql_session_variables", "sql_group_by_all", "sql_collation_ci",
+    "sql_session_variables", "sql_group_by_all",
     "sql_identifier_clause", "sql_lateral_alias", "sql_try_functions",
     # dedup variants
     "dedup_ngram_jaccard", "dedup_simhash",
