@@ -664,3 +664,61 @@ def _stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("stream_stream_left_outer", _stream_stream_left_outer)
+
+
+def _tumbling_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling daily rollup ACROSS MICRO-BATCHES: the events table is
+    split into 6 feed files consumed 2 per trigger (3 micro-batches), so
+    windows genuinely accumulate partial state across triggers and the
+    complete-mode output at stream end must STILL equal the batch
+    rollup — the state-accumulation contract the single-file twin
+    (stream_tumbling_daily, one micro-batch) can't exercise. The late
+    micro-batches contain arbitrary (repartitioned) slices of event
+    time, so any window state mishandling (premature eviction, lost
+    partials) would corrupt the totals. DECIMAL accumulation keeps the
+    sums order-exact across batch boundaries."""
+    import tempfile
+
+    from orchestrated_etl_spark.sources.catalog import read_events
+
+    work = tempfile.mkdtemp(prefix="tumble_mb_")
+    src = f"{work}/feed"
+    (
+        read_events(spark, sf_dir)
+        .select("event_id", "user_id", "ts", "event_type", "value")
+        .repartition(6)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    feed = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double"
+    ).option("maxFilesPerTrigger", 2).parquet(src)
+    agg = W.tumbling_counts(
+        feed,
+        duration="1 day",
+        watermark="1 hour",
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,10)"))
+            .cast("double")
+            .alias("sum_value"),
+        ],
+    )
+    out = run_available_now(agg, output_mode="complete")
+    return out.localCheckpoint(eager=True)
+
+
+register(
+    "stream_tumbling_multibatch",
+    _tumbling_multibatch,
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS sum_value,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL '1 day'
+               AS window_end
+    FROM events GROUP BY event_type, date_trunc('day', ts)
+    """,
+)
