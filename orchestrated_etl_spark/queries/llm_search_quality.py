@@ -665,3 +665,126 @@ register(
     LIMIT 20
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# BM25 over a BUCKETED posting store (bucket-pruned lookups)
+# ---------------------------------------------------------------------------
+
+_BM25_STORE_BUILT: dict[tuple[str, str], bool] = {}
+_BM25_BUCKETS = 16
+
+
+def _bm25_store(spark: SparkSession, sf_dir: str) -> None:
+    """The durable form of the staged BM25 index: postings WRITTEN AS A
+    BUCKETED TABLE (bucketBy term), plus df and 1-row stats tables. A
+    term-filtered lookup then reads only the term's hash buckets —
+    Spark's bucket pruning (`SelectedBucketsCount: k of 16` in the scan,
+    plan-asserted in tests) — which is the localCheckpoint variant's
+    documented 100 TB posture made executable: the index survives the
+    session and a q-term query touches ~q/16 of the posting files."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if _BM25_STORE_BUILT.get(key):
+        return
+    # The in-memory catalog starts empty each session, but the warehouse
+    # directory persists — clear stale locations first (the
+    # join_bucketed_colocated pattern).
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for tbl in ("bm25_postings_tbl", "bm25_dfreq_tbl", "bm25_stats_tbl"):
+        if not spark.catalog.tableExists(tbl):
+            shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+    docs = _docs(spark, sf_dir)
+    tokens = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
+        F.explode(F.split("text", " ")).alias("term"),
+    )
+    postings = tokens.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    (
+        postings.write.bucketBy(_BM25_BUCKETS, "term")
+        .sortBy("term")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable("bm25_postings_tbl")
+    )
+    dfreq = spark.table("bm25_postings_tbl").groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    dfreq.write.mode("overwrite").format("parquet").saveAsTable(
+        "bm25_dfreq_tbl"
+    )
+    docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(F.split("text", " "))).alias("avgdl"),
+    ).write.mode("overwrite").format("parquet").saveAsTable("bm25_stats_tbl")
+    _BM25_STORE_BUILT.clear()
+    _BM25_STORE_BUILT[key] = True
+
+
+def _search_bm25_store_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 served from the DURABLE bucketed posting store — same
+    scores as search_bm25_topk (identical index content, different
+    physical layout): the term IN filter prunes to the query terms'
+    hash buckets before any IO beyond those files. The oracle is the
+    same BM25 SQL."""
+    _bm25_store(spark, sf_dir)
+    terms_in = "('" + "','".join(_BM25_TERMS) + "')"
+    return spark.sql(
+        f"""
+        SELECT /*+ BROADCAST(d) */ doc_id,
+               round(sum(
+                   ln(1.0 + ((SELECT n_docs FROM bm25_stats_tbl) - d.df + 0.5)
+                            / (d.df + 0.5))
+                   * (tf * ({_BM25_K1} + 1))
+                   / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl /
+                        (SELECT avgdl FROM bm25_stats_tbl)))
+               ), 6) AS score,
+               count(*) AS n_matched_terms
+        FROM bm25_postings_tbl p JOIN bm25_dfreq_tbl d USING (term)
+        WHERE term IN {terms_in}
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id
+        LIMIT 20
+        """
+    )
+
+
+register(
+    "search_bm25_store_bucketed",
+    _search_bm25_store_bucketed,
+    f"""
+    WITH postings AS (
+        SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+        FROM (
+            SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                   unnest(string_split(text, ' ')) AS term
+            FROM documents
+        )
+        WHERE term IN ('spark', 'window', 'merge')
+        GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT count(*) AS n_docs,
+               avg(len(string_split(text, ' '))) AS avgdl
+        FROM documents
+    ),
+    df AS (SELECT term, count(*) AS df FROM postings GROUP BY 1)
+    SELECT doc_id,
+           round(sum(
+               ln(1.0 + (n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf * ({_BM25_K1} + 1))
+               / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+           ), 6) AS score,
+           count(*) AS n_matched_terms
+    FROM postings JOIN df USING (term) CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)

@@ -198,3 +198,24 @@ def test_tfidf_rank_ties_break_alphabetically(spark, tmp_path):
     ]
     # apple and zebra: tf=2, df=1 each → tied score; apple ranks first
     assert (1, "apple") in rows and (2, "zebra") in rows
+
+
+def test_bm25_bucketed_store_prunes_buckets(spark, sf_dir):
+    """The durable posting store must serve a 3-term query from only the
+    terms' hash buckets (bucket pruning), and score identically to the
+    checkpoint-staged index."""
+    import re
+
+    from orchestrated_etl_spark.queries.llm_search_quality import (
+        _search_bm25_store_bucketed,
+        _search_bm25_topk,
+    )
+
+    df = _search_bm25_store_bucketed(spark, sf_dir)
+    plan = _plan(df)
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, plan
+    assert int(m.group(1)) < int(m.group(2)), m.group(0)
+    a = sorted(tuple(r) for r in df.collect())
+    b = sorted(tuple(r) for r in _search_bm25_topk(spark, sf_dir).collect())
+    assert a == b
