@@ -422,3 +422,77 @@ register(
     GROUP BY 1, 2
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# URL parsing / canonicalization surface
+# ---------------------------------------------------------------------------
+
+
+def _url_parse_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_url surface over deterministic synthetic URLs (the fixture
+    has no URL column, so one is derived from source/doc_id — the
+    parsing is what's under test): HOST / PATH / QUERY-param extraction
+    and the canonical crawl-dedup key (host + path, tracking params
+    stripped). Per-host rollup counts canonical-distinct pages — the
+    URL-dedup front end of a crawl pipeline; all map-side expressions,
+    one host-sized aggregate. Oracle: regex equivalents (DuckDB has no
+    parse_url)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("?utm_source=feed&page="),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    with_url = docs.select("doc_id", url.alias("url"))
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    path = F.parse_url(F.col("url"), F.lit("PATH"))
+    page = F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("page"))
+    canon = F.concat(host, path)  # tracking params stripped
+    return (
+        with_url.select(
+            "doc_id",
+            host.alias("host"),
+            path.alias("path"),
+            page.alias("page_param"),
+            canon.alias("canonical"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.count_distinct("canonical").alias("n_canonical"),
+            F.count_distinct("page_param").alias("n_page_values"),
+        )
+    )
+
+
+register(
+    "text_url_parse_profile",
+    _url_parse_profile,
+    """
+    WITH u AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/docs/'
+                   || CAST(doc_id % 7 AS VARCHAR)
+                   || '?utm_source=feed&page='
+                   || CAST(doc_id % 3 AS VARCHAR) AS url
+        FROM documents
+    ),
+    parsed AS (
+        SELECT doc_id,
+               regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+               regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+               regexp_extract(url, '[?&]page=([^&]*)', 1) AS page_param
+        FROM u
+    )
+    SELECT host,
+           count(*) AS n_urls,
+           count(DISTINCT host || path) AS n_canonical,
+           count(DISTINCT page_param) AS n_page_values
+    FROM parsed
+    GROUP BY host
+    """,
+)
