@@ -763,3 +763,83 @@ register(
     GROUP BY o_orderpriority
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# ORDER BY ALL + LIMIT/OFFSET pagination
+# ---------------------------------------------------------------------------
+
+
+def _pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless pagination surface: ORDER BY ALL (every select item, left
+    to right — the dashboard shorthand both engines implement) plus
+    LIMIT/OFFSET page 3 of the nation roster. OFFSET is fine at page
+    depth 10 and an anti-pattern at depth 10^6 (each page re-sorts the
+    prefix); the scale path is keyset pagination (WHERE key > last_seen
+    ORDER BY key LIMIT n), which is exactly how every *_topk query here
+    bounds its scan. Total order ⇒ deterministic page."""
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+        "nation_w12"
+    )
+    return spark.sql(
+        """
+        SELECT n_regionkey, n_name
+        FROM nation_w12
+        ORDER BY ALL
+        LIMIT 5 OFFSET 10
+        """
+    )
+
+
+register(
+    "sql_pagination_offset",
+    _pagination,
+    """
+    SELECT n_regionkey, n_name
+    FROM nation
+    ORDER BY ALL
+    LIMIT 5 OFFSET 10
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# regexp_count / instr / substr surface
+# ---------------------------------------------------------------------------
+
+
+def _regexp_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting/locating regexp family (regexp_count / regexp_instr
+    / regexp_substr) over document text — all map-side JVM expressions.
+    DuckDB spells them differently (len(regexp_extract_all(...)),
+    strpos of the first extract, regexp_extract(...)), which is what the
+    oracle does; the -1/'' sentinels pin the no-match contracts so no
+    NULL-bearing output column exists."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 200
+    )
+    return docs.select(
+        "doc_id",
+        F.expr("regexp_count(text, 'a[a-z]+')").alias("n_a_words"),
+        F.expr("CAST(regexp_instr(text, 'join') AS INT)").alias("join_pos"),
+        F.coalesce(
+            F.expr("regexp_substr(text, '[a-z]{7,}')"), F.lit("")
+        ).alias("first_long_word"),
+    )
+
+
+register(
+    "sql_regexp_count_instr",
+    _regexp_surface,
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, 'a[a-z]+')) AS INTEGER)
+               AS n_a_words,
+           CAST(CASE WHEN regexp_extract(text, 'join') = ''
+                     THEN 0 ELSE strpos(text, regexp_extract(text, 'join'))
+                END AS INTEGER) AS join_pos,
+           regexp_extract(text, '[a-z]{7,}') AS first_long_word
+    FROM documents
+    WHERE doc_id < 200
+    """,
+)
