@@ -856,9 +856,54 @@ def rfm_cutoff_core(ev: DataFrame) -> DataFrame:
     )
     per_user = per_user.localCheckpoint(eager=False)
     n_df = per_user.agg(F.count(F.lit(1)).alias("n"))
-    rc = _rfm_cutoff_1row(per_user, "recency_days", n_df)
-    fc = _rfm_cutoff_1row(per_user, "frequency", n_df)
-    mc = _rfm_cutoff_1row(per_user, "spend_unit", n_df)
+    # FUSED cutoff derivation: all three dimensions' histograms in ONE
+    # pass — explode each user row into (dim, value), histogram by
+    # (dim, value), cumulative-sum over a window PARTITIONED BY dim
+    # (no unpartitioned window anywhere), pick the 4 ranks per dim, and
+    # fold the 3 rows into a single 12-scalar broadcast row. One job and
+    # one broadcast instead of three of each (the per-dimension helper
+    # _rfm_cutoff_1row remains as the reference implementation, pinned
+    # by tests). Semantically identical cutoffs.
+    dims = [("r", "recency_days"), ("f", "frequency"), ("m", "spend_unit")]
+    exploded = per_user.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(tag).alias("dim"),
+                        F.col(c).cast("long").alias("v"),
+                    )
+                    for tag, c in dims
+                ]
+            )
+        ).alias("e")
+    ).select("e.dim", "e.v")
+    hist = exploded.groupBy("dim", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("dim")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    per_dim = cum.crossJoin(F.broadcast(n_df)).groupBy("dim").agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr(f"({i} * n + 4) DIV 5"), F.col("v")
+                )
+            ).alias(f"c{i}")
+            for i in (1, 2, 3, 4)
+        ]
+    )
+    cuts_row = per_dim.agg(
+        *[
+            F.min(F.when(F.col("dim") == tag, F.col(f"c{i}"))).alias(
+                f"{tag}_c{i}"
+            )
+            for tag, _ in dims
+            for i in (1, 2, 3, 4)
+        ]
+    )
 
     def score(col: str, cuts) -> F.Column:
         s = F.lit(1)
@@ -866,15 +911,8 @@ def rfm_cutoff_core(ev: DataFrame) -> DataFrame:
             s = s + F.when(F.col(col) > cuts[f"c{i}"], 1).otherwise(0)
         return s
 
-    rc_, fc_, mc_ = (
-        rc.select(*[F.col(f"c{i}").alias(f"r_c{i}") for i in (1, 2, 3, 4)]),
-        fc.select(*[F.col(f"c{i}").alias(f"f_c{i}") for i in (1, 2, 3, 4)]),
-        mc.select(*[F.col(f"c{i}").alias(f"m_c{i}") for i in (1, 2, 3, 4)]),
-    )
     scored = (
-        per_user.crossJoin(F.broadcast(rc_))
-        .crossJoin(F.broadcast(fc_))
-        .crossJoin(F.broadcast(mc_))
+        per_user.crossJoin(F.broadcast(cuts_row))
         .select(
             "user_id",
             "_spend",
