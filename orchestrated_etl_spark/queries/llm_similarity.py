@@ -826,3 +826,90 @@ register(
     GROUP BY f.flat_cid
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# MLlib BucketedRandomProjectionLSH (Euclidean) — the library scale path
+# ---------------------------------------------------------------------------
+
+_BRP_THRESHOLD = 1.10
+_BRP_BUCKET_LEN = 4.4  # 4x threshold: per-table collision >= 0.75 at theta
+_BRP_TABLES = 10  # miss probability per qualifying pair <= 0.25^10 ~ 1e-6
+
+
+def _brp_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Euclidean near-neighbor pairs through MLlib's
+    BucketedRandomProjectionLSH — the library scale path SURVEY §4.2
+    names next to MinHashLSH (dedup_minhash_mllib is the Jaccard twin).
+    Seeded approxSimilarityJoin generates candidates; every emitted pair
+    is then re-scored with the EXACT L2 distance expression, so bucket
+    geometry can only affect recall, never values. With bucketLength =
+    4·θ the per-table collision probability at distance θ is ≥ 0.75, so
+    a qualifying pair escapes all 10 OR'd tables with probability
+    ≤ 0.25¹⁰ ≈ 1e-6 — on this fixture the output equals the brute-force
+    distance-threshold pair set the oracle computes. At 100 TB the
+    bucket self-join replaces the quadratic all-pairs scan; θ and
+    bucketLength trade recall against bucket sizes."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    feats = emb.select(
+        "vec_id",
+        F.col("embedding").alias("_arr"),
+        array_to_vector(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=_BRP_BUCKET_LEN,
+        numHashTables=_BRP_TABLES,
+        seed=42,
+    )
+    model = lsh.fit(feats)
+    cand = model.approxSimilarityJoin(
+        feats, feats, _BRP_THRESHOLD, distCol="_d"
+    )
+    # exact re-score: sum of squared component deltas in double
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("_aa"),
+            F.col("_ab"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.where(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("id_a"),
+            F.col("datasetB.vec_id").alias("id_b"),
+            F.col("datasetA._arr").alias("_aa"),
+            F.col("datasetB._arr").alias("_ab"),
+        )
+        .withColumn("dist", F.round(F.sqrt(d2), 6))
+        .where(F.col("dist") <= _BRP_THRESHOLD)
+        .select("id_a", "id_b", "dist")
+    )
+
+
+register(
+    "sim_brp_lsh_mllib",
+    _brp_lsh_mllib,
+    f"""
+    WITH d AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(sqrt(list_sum(list_transform(
+                   list_zip(CAST(a.embedding AS DOUBLE[]),
+                            CAST(b.embedding AS DOUBLE[])),
+                   x -> (x[1] - x[2]) * (x[1] - x[2])))), 6) AS dist
+        FROM embeddings a
+        JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, dist FROM d WHERE dist <= {_BRP_THRESHOLD}
+    """,
+)
