@@ -913,3 +913,91 @@ register(
     SELECT id_a, id_b, dist FROM d WHERE dist <= {_BRP_THRESHOLD}
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# ONE deterministic Lloyd step, fully oracle-checked
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_step_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A single Lloyd iteration with BIT-REPRODUCIBLE centroid updates —
+    the oracle-bearing companion to the rows-only sim_kmeans_refine
+    (whose per-element means depend on float summation order). Here the
+    update is an ORDERED FOLD: members of each cluster are collected
+    sorted by id and their vectors summed left-to-right (identical IEEE
+    sequence on both engines, the events_ewma_fold trick applied to
+    vectors), then divided by the member count. Assignment uses the
+    standard rounded-cosine argmax. Output: per centroid, member count
+    and the rounded updated-centroid L2 norm + first component.
+
+    Scale note: the ordered fold holds one CLUSTER's vectors in a task —
+    fine at IVF centroid-training scale (clusters are corpus/K); the
+    production unordered tree-reduce trades bit-reproducibility for
+    unbounded clusters, which is exactly why that variant is rows-only."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    assigned = SIM.assign_to_centroids(emb, centroids, "vec_id", "embedding")
+    members = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_id").alias("i"), F.col("_vec").alias("v")))
+        ).alias("ms"),
+    )
+    # ordered vector-sum fold, then element-wise divide by n
+    vsum = F.aggregate(
+        F.slice(F.col("ms"), 2, F.size("ms")),
+        F.transform(F.element_at(F.col("ms"), 1)["v"], lambda x: x.cast("double")),
+        lambda acc, m: F.zip_with(
+            acc, m["v"], lambda a, x: a + x.cast("double")
+        ),
+    )
+    new_c = F.transform(vsum, lambda s: s / F.col("n_members"))
+    return members.select(
+        "centroid_id",
+        "n_members",
+        F.round(
+            F.sqrt(
+                F.aggregate(new_c, F.lit(0.0), lambda a, x: a + x * x)
+            ),
+            6,
+        ).alias("new_l2"),
+        F.round(F.element_at(new_c, 1), 6).alias("new_c0"),
+    )
+
+
+register(
+    "sim_kmeans_step_exact",
+    _kmeans_step_exact,
+    f"""
+    WITH centroids AS (
+        SELECT vec_id AS centroid_id, embedding AS cvec
+        FROM embeddings WHERE vec_id < 8
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({_COS_SQL.format(a='e.embedding', b='c.cvec')}, 6) DESC,
+                                c.centroid_id) AS rn
+            FROM embeddings e, centroids c
+        ) WHERE rn = 1
+    ),
+    folded AS (
+        SELECT centroid_id,
+               count(*) AS n_members,
+               list_reduce(
+                   list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id),
+                   (a, b) -> list_transform(list_zip(a, b),
+                                            x -> x[1] + x[2])) AS vsum
+        FROM assigned
+        GROUP BY centroid_id
+    )
+    SELECT centroid_id, n_members,
+           round(sqrt(list_sum(list_transform(vsum,
+                 s -> (s / n_members) * (s / n_members)))), 6) AS new_l2,
+           round(vsum[1] / n_members, 6) AS new_c0
+    FROM folded
+    """,
+)

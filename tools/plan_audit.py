@@ -38,6 +38,7 @@ PAIRWISE_OK = {
     # bounded fan-out by construction — the assignment algorithm itself
     "sim_tree_assign_agreement",
     "dedup_semantic_clusters",  # same corpus x broadcast-K assignment pass
+    "sim_kmeans_step_exact",  # same corpus x broadcast-K assignment pass
 }
 
 # Queries whose POINT is per-row Python: the UDTF demo exists to cover the
