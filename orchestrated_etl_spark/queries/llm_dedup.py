@@ -521,3 +521,67 @@ register(
     WHERE round(shared * 1.0 / (n_a + n_b - shared), 6) >= 0.9
     """,
 )
+
+
+def _fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination: corpus docs flagged when they are
+    MinHash near-dups (exact-verified Jaccard >= 0.9) of the benchmark
+    set (doc_id < 10) — catches lightly-edited benchmark copies the
+    exact 8-gram detector (train_decontaminate) would need a shared
+    shingle to see, and the whole-document near-dup rate of a lightly
+    paraphrased leak. Same cross-set engine as train_incremental_minhash
+    with the roles recast: the benchmark side is the tiny persisted
+    index, the corpus is the probe — per-run cost is one corpus
+    signature pass + a bucket join against the benchmark's handful of
+    bucket rows. On this fixture one real leak exists (doc 245 ~ bench
+    doc 8, j = 0.988) — the output is a genuine detection, not a
+    vacuous all-false column."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.where(F.col("doc_id") >= _BENCH_N)
+    bench = docs.where(F.col("doc_id") < _BENCH_N)
+    out = D.incremental_minhash_flags(
+        corpus,
+        bench,
+        "doc_id",
+        "text",
+        shingle_n=3,
+        k=_MINHASH_K,
+        bands=_BANDS,
+        rows_per_band=_ROWS,
+        threshold=_MINHASH_THRESHOLD,
+    )
+    return out.select(
+        "doc_id",
+        F.col("is_neardup").alias("is_contaminated"),
+        F.col("matched").alias("matched_benchmark"),
+    )
+
+
+_BENCH_N = 10
+
+
+def _fuzzy_decontaminate_oracle() -> str:
+    return f"""
+    WITH {_minhash_ctes()},
+    verified AS (
+        SELECT CASE WHEN id_a >= {_BENCH_N} THEN id_a ELSE id_b END AS cid,
+               CASE WHEN id_a >= {_BENCH_N} THEN id_b ELSE id_a END AS bid
+        FROM shared
+        WHERE round(shared * 1.0 / (n_a + n_b - shared), 6)
+                  >= {_MINHASH_THRESHOLD}
+          AND (id_a < {_BENCH_N}) <> (id_b < {_BENCH_N})
+    ),
+    matches AS (SELECT cid, min(bid) AS matched FROM verified GROUP BY cid)
+    SELECT d.doc_id,
+           m.matched IS NOT NULL AS is_contaminated,
+           coalesce(m.matched, -1) AS matched_benchmark
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= {_BENCH_N}) d
+    LEFT JOIN matches m ON d.doc_id = m.cid
+    """
+
+
+register(
+    "train_fuzzy_decontaminate",
+    _fuzzy_decontaminate,
+    _fuzzy_decontaminate_oracle(),
+)
