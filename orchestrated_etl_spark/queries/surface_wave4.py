@@ -450,3 +450,121 @@ register(
     FROM per_doc GROUP BY lang
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# linear interpolation over the day spine
+# ---------------------------------------------------------------------------
+
+
+def _linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR interpolation of missing daily values — the resampling op
+    forward-fill (datetime_gap_fill) can't express: a gap day's value is
+    prev + (next - prev) · (day - prev_day)/(next_day - prev_day), from
+    the nearest known neighbors found with last(ignorenulls) over the
+    preceding frame and first(ignorenulls) over the following frame —
+    two frames over ONE user_id window partitioning, no self-join. The
+    formula is written identically in the oracle, so both engines
+    execute the same IEEE ops on the same exact-DECIMAL-derived doubles;
+    boundary days (before first / after last observation) coalesce to
+    the known side. The standard sensor/time-series regularization at
+    any scale: two shuffles (daily agg, spine join), both on user_id."""
+    ev = (
+        read_events(spark, sf_dir)
+        .where(F.col("user_id").isNotNull() & (F.col("user_id") < 40))
+        .select("user_id", F.col("ts").cast("date").alias("day"), "value")
+    )
+    daily = ev.groupBy("user_id", "day").agg(
+        F.sum(F.col("value").cast("decimal(25,10)"))
+        .cast("double").alias("day_value")
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_v = F.last("day_value", ignorenulls=True).over(wp)
+    next_v = F.first("day_value", ignorenulls=True).over(wf)
+    prev_d = F.last(
+        F.when(F.col("day_value").isNotNull(), F.col("day")), ignorenulls=True
+    ).over(wp)
+    next_d = F.first(
+        F.when(F.col("day_value").isNotNull(), F.col("day")), ignorenulls=True
+    ).over(wf)
+    frac = F.datediff(F.col("day"), prev_d) / F.datediff(next_d, prev_d)
+    interp = F.when(F.col("day_value").isNotNull(), F.col("day_value")).otherwise(
+        F.when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.col("day_value").isNotNull().alias("observed"),
+        interp.alias("interp_value"),
+    )
+
+
+register(
+    "datetime_linear_interpolate",
+    _linear_interpolate,
+    """
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS day_value
+        FROM events
+        WHERE user_id IS NOT NULL AND user_id < 40
+        GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    spine AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(min(day), max(day),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM daily GROUP BY user_id
+    ),
+    j AS (
+        SELECT s.user_id, s.day, d.day_value FROM spine s
+        LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    ),
+    n AS (
+        SELECT user_id, day, day_value,
+               last_value(day_value IGNORE NULLS) OVER wp AS prev_v,
+               first_value(day_value IGNORE NULLS) OVER wf AS next_v,
+               last_value(CASE WHEN day_value IS NOT NULL THEN day END
+                          IGNORE NULLS) OVER wp AS prev_d,
+               first_value(CASE WHEN day_value IS NOT NULL THEN day END
+                           IGNORE NULLS) OVER wf AS next_d
+        FROM j
+        WINDOW wp AS (PARTITION BY user_id ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user_id ORDER BY day
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, day,
+           day_value IS NOT NULL AS observed,
+           CASE WHEN day_value IS NOT NULL THEN day_value
+                WHEN prev_v IS NULL THEN next_v
+                WHEN next_v IS NULL THEN prev_v
+                ELSE prev_v + (next_v - prev_v)
+                     * (CAST(day - prev_d AS DOUBLE)
+                        / CAST(next_d - prev_d AS DOUBLE))
+           END AS interp_value
+    FROM n
+    """,
+)

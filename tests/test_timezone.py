@@ -52,6 +52,7 @@ _TZ_SENSITIVE = [
     "sessionize_events_30m",
     "window_session_builtin",
     "datetime_gap_fill",
+    "datetime_linear_interpolate",
     "events_dau_wau",
     "events_retention_cohorts",
     "funnel_view_click_purchase",
