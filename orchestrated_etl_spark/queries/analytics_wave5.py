@@ -1217,3 +1217,114 @@ register(
     GROUP BY d.event_type, m.med, m.mad
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# seasonal decomposition: trend + day-of-week effect + residual
+# ---------------------------------------------------------------------------
+
+
+def _seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite seasonal decomposition of the daily per-type volume:
+    trend = centered 7-day moving average (emitted only where the full
+    window exists — a partial-window "trend" is an artifact), seasonal =
+    the type's mean detrended value per day-of-week, residual = value −
+    trend − seasonal. The anomaly-detection preprocessor: a spike is
+    judged against residual, not raw volume, so weekday/weekend rhythm
+    stops producing false positives (compare events_anomaly_zscore,
+    which scores raw values). Two window passes + one (type, dow)
+    aggregate — all on the days-sized relation, one event_type shuffle.
+    Day totals are exact DECIMAL sums; trend/seasonal are genuinely
+    non-terminating (÷7, group means), so outputs round(6) per the
+    registry float policy."""
+    daily = (
+        read_events(spark, sf_dir)
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(25,10)"))
+            .cast("double")
+            .alias("day_total")
+        )
+    )
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    trended = daily.select(
+        "event_type",
+        "day",
+        "day_total",
+        F.when(
+            F.count("day_total").over(w7) == 7,
+            F.avg("day_total").over(w7),
+        ).alias("trend"),
+    )
+    # ISO day-of-week; weekday() is 0=Monday on Spark
+    dow = (F.weekday("day") + 1).alias("dow")
+    detr = trended.select(
+        "event_type", "day", "day_total", "trend", dow,
+        (F.col("day_total") - F.col("trend")).alias("_d"),
+    )
+    seasonal = detr.where(F.col("trend").isNotNull()).groupBy(
+        "event_type", "dow"
+    ).agg(F.avg("_d").alias("seasonal"))
+    return (
+        detr.join(seasonal, ["event_type", "dow"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.round("day_total", 6).alias("day_total"),
+            F.coalesce(F.round("trend", 6), F.lit(-1.0)).alias("trend"),
+            F.coalesce(F.round("seasonal", 6), F.lit(0.0)).alias("seasonal"),
+            F.coalesce(
+                F.round(
+                    F.col("day_total") - F.col("trend") - F.col("seasonal"),
+                    6,
+                ),
+                F.lit(0.0),
+            ).alias("residual"),
+        )
+    )
+
+
+register(
+    "events_seasonal_decompose",
+    _seasonal_decompose,
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE)
+                   AS day_total
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    trended AS (
+        SELECT event_type, day, day_total,
+               CASE WHEN count(day_total) OVER w7 = 7
+                    THEN avg(day_total) OVER w7 END AS trend
+        FROM daily
+        WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    detr AS (
+        SELECT event_type, day, day_total, trend,
+               isodow(day) AS dow,
+               day_total - trend AS _d
+        FROM trended
+    ),
+    seasonal AS (
+        SELECT event_type, dow, avg(_d) AS seasonal
+        FROM detr WHERE trend IS NOT NULL
+        GROUP BY event_type, dow
+    )
+    SELECT d.event_type, d.day,
+           round(d.day_total, 6) AS day_total,
+           coalesce(round(d.trend, 6), -1.0) AS trend,
+           coalesce(round(s.seasonal, 6), 0.0) AS seasonal,
+           coalesce(round(d.day_total - d.trend - s.seasonal, 6), 0.0)
+               AS residual
+    FROM detr d
+    LEFT JOIN seasonal s
+      ON d.event_type = s.event_type AND d.dow = s.dow
+    """,
+)

@@ -57,6 +57,7 @@ _TZ_SENSITIVE = [
     "events_retention_cohorts",
     "funnel_view_click_purchase",
     "events_anomaly_zscore",
+    "events_seasonal_decompose",
     "events_attribution_linear",
     "events_markov_transitions",
     "asof_join_purchase_click",
