@@ -1302,3 +1302,53 @@ register(
     GROUP BY o_orderstatus
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# deterministic WEIGHTED sampling (Efraimidis–Spirakis order statistics)
+# ---------------------------------------------------------------------------
+
+_WS_K = 50
+
+
+def _sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, DETERMINISTIC: the
+    Efraimidis–Spirakis order-statistic trick — each document draws a
+    uniform u from its own id (the same multiplicative hash every
+    deterministic sampler here uses, mapped to (0,1)), and the k kept
+    items are the top-k by key = ln(u)/w with weight w = n_chars. Long
+    documents are proportionally likelier to survive, a rerun or another
+    engine selects the IDENTICAL sample (df.sample() cannot promise
+    either), and the key is rounded to 9 decimals before ranking so a
+    last-ulp libm ln() difference can never flip an ordering (ties then
+    break on doc_id). One map-side key projection + one top-k — the
+    mixture-sampling shape for corpus construction at any scale."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    u = ((F.col("doc_id") * _HASH_MULT) % _HASH_MOD + 0.5) / float(_HASH_MOD)
+    key = F.round(F.log(u) / F.col("n_chars").cast("double"), 9)
+    keyed = docs.select("doc_id", "n_chars", key.alias("ws_key"))
+    w = Window.orderBy(F.col("ws_key").desc(), F.col("doc_id"))
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _WS_K)
+        .select("doc_id", "n_chars", "ws_key", F.col("rn").cast("int").alias("rank"))
+    )
+
+
+register(
+    "sample_weighted_deterministic",
+    _sample_weighted,
+    f"""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               round(ln((({{m}} * doc_id) % {{p}} + 0.5) / {{p}}.0)
+                     / CAST(n_chars AS DOUBLE), 9) AS ws_key
+        FROM documents
+    )
+    SELECT doc_id, n_chars, ws_key,
+           CAST(row_number() OVER (ORDER BY ws_key DESC, doc_id) AS INTEGER)
+               AS rank
+    FROM keyed
+    QUALIFY rank <= {_WS_K}
+    """.replace("{m}", str(_HASH_MULT)).replace("{p}", str(_HASH_MOD)),
+)
