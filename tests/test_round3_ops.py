@@ -160,3 +160,41 @@ def test_locf_carries_last_purchase_only(spark):
     finally:
         W12.read_events = orig
     assert got == {1: -1.0, 2: 5.0, 3: 5.0, 4: 8.0, 5: 8.0, 6: -1.0}
+
+
+def test_linear_interpolation_hand_series(spark):
+    """Planted series: user 1 observes 10.0 on day 1 and 40.0 on day 4 —
+    days 2 and 3 must interpolate to 20.0 and 30.0 exactly; user 2's
+    single observation spans no gap."""
+    import datetime as dt
+
+    import orchestrated_etl_spark.queries.surface_wave4 as W4
+
+    t = lambda d: dt.datetime(2024, 1, d, 12, 0)  # noqa: E731
+    rows = [
+        (1, 1, t(1), "view", 10.0),
+        (2, 1, t(4), "view", 40.0),
+        (3, 2, t(2), "view", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp_ntz, "
+        "event_type string, value double",
+    )
+    orig = W4.read_events
+    W4.read_events = lambda s, d: df
+    try:
+        got = {
+            (r["user_id"], r["day"].isoformat()): (
+                r["observed"],
+                r["interp_value"],
+            )
+            for r in W4._linear_interpolate(spark, "unused").collect()
+        }
+    finally:
+        W4.read_events = orig
+    assert got[(1, "2024-01-01")] == (True, 10.0)
+    assert got[(1, "2024-01-02")] == (False, 20.0)
+    assert got[(1, "2024-01-03")] == (False, 30.0)
+    assert got[(1, "2024-01-04")] == (True, 40.0)
+    assert got[(2, "2024-01-02")] == (True, 7.0)
