@@ -568,3 +568,49 @@ register(
     FROM n
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# pandas API on Spark — the reference's own syntax, distributed
+# ---------------------------------------------------------------------------
+
+
+def _pandas_api_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference IS a pandas pipeline (its whole transform stage is
+    pandas groupbys, dags/dag.py:167-181) — this query runs that exact
+    SYNTAX distributed through the pandas API on Spark (pyspark.pandas):
+    assign → groupby → named-agg → reset_index, then back to a Spark
+    DataFrame. A reference user migrates by changing the import, not the
+    code; under the hood every pandas call here compiles to the same
+    Catalyst plan the native DataFrame form produces (one hash
+    aggregate). Aggregates are chosen exact-by-construction (counts,
+    integer sums, min/max) because pandas-API float sums accumulate in
+    double — order-dependent — which is also why the reference's own
+    float sums were quietly nondeterministic."""
+    import pyspark.pandas as ps  # noqa: F401  (API under test)
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pdf = li.pandas_api()
+    pdf = pdf.assign(qty_int=pdf.l_quantity.astype("int"))
+    out = pdf.groupby("l_returnflag").agg(
+        n_lines=("l_orderkey", "count"),
+        total_qty=("qty_int", "sum"),
+        min_price=("l_extendedprice", "min"),
+        max_price=("l_extendedprice", "max"),
+    )
+    return out.reset_index().to_spark()
+
+
+register(
+    "ps_pandas_api_rollup",
+    _pandas_api_rollup,
+    """
+    SELECT l_returnflag,
+           count(l_orderkey) AS n_lines,
+           CAST(sum(CAST(l_quantity AS INTEGER)) AS BIGINT) AS total_qty,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
