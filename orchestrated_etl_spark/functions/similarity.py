@@ -36,8 +36,15 @@ def brute_force_topk(
     k: int,
     *,
     broadcast_queries: bool = True,
+    exclude_self: bool = True,
 ) -> DataFrame:
-    """Exact top-k neighbors per query (self-matches excluded).
+    """Exact top-k neighbors per query.
+
+    ``exclude_self=True`` (default) drops query_id == neighbor_id pairs —
+    correct only when query ids name the same entities as corpus ids
+    (queries drawn from the corpus). External query sets whose ids may
+    collide numerically with unrelated corpus ids must pass
+    ``exclude_self=False`` (same contract as sq8_topk).
 
     |Q| CONTRACT: with ``broadcast_queries=True`` (default) the query side
     must be FIXED-SIZE — bounded independently of corpus size — so the
@@ -66,8 +73,13 @@ def brute_force_topk(
         .withColumn("_cnorm", vec_norm(F.col("_cvec")))
     )
     # norms precomputed per side → per-pair work is the dot product alone
+    cond = (
+        F.col("query_id") != F.col("neighbor_id")
+        if exclude_self
+        else F.lit(True)
+    )
     scored = (
-        c.join(q, F.col("query_id") != F.col("neighbor_id"))
+        c.join(q, cond)
         .withColumn(
             "cosine",
             F.round(
@@ -306,6 +318,7 @@ def sq8_topk(
     id_col: str,
     vec_col: str,
     k: int,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Quantized-scan top-k: SQ8-quantize corpus and queries against the
     same codebook, rank candidates per query by the exact-integer
@@ -320,7 +333,15 @@ def sq8_topk(
     |Q|*|C| integer dot products over 4x-smaller rows; the exact pass is
     two broadcast id-joins touching |Q|*k float vectors — at scale the
     full-precision corpus is read only for the candidates, which is the
-    point."""
+    point.
+
+    ID-SPACE CONTRACT (round-3 advice): ``exclude_self=True`` (default)
+    drops candidates with query_id == neighbor_id — correct ONLY when
+    query ids refer to the same entities as corpus ids (queries are a
+    corpus subset, the self-match is the trivial cosine=1 row). For an
+    EXTERNAL query set whose ids merely collide numerically with
+    unrelated corpus ids, pass ``exclude_self=False`` or the collided
+    corpus vector is silently lost as a candidate."""
     # The codebook scale is ONE max-abs scalar over the corpus,
     # checkpointed so the corpus-quantize and query-quantize consumers
     # share it instead of re-aggregating.
@@ -352,7 +373,12 @@ def sq8_topk(
             scale_stats,
         ).select(F.col(id_col).alias("query_id"), F.col("q8").alias("_qq8"))
     )
-    scored = c.join(q, F.col("query_id") != F.col("neighbor_id")).withColumn(
+    join_cond = (
+        F.col("query_id") != F.col("neighbor_id")
+        if exclude_self
+        else F.lit(True)
+    )
+    scored = c.join(q, join_cond).withColumn(
         "score_q8", dot_int(F.col("_qq8"), F.col("_cq8"))
     )
     w = Window.partitionBy("query_id").orderBy(

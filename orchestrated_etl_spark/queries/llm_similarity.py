@@ -869,8 +869,13 @@ def _brp_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=42,
     )
     model = lsh.fit(feats)
+    # Candidate threshold carries slack beyond the final cut: the inner
+    # unrounded distance must never prefilter a pair whose ROUNDED exact
+    # re-score lands at <= theta (a true distance in (theta, theta+5e-7]
+    # rounds down into the oracle's set). Only the exact rounded filter
+    # below decides membership; the LSH join is recall-only.
     cand = model.approxSimilarityJoin(
-        feats, feats, _BRP_THRESHOLD, distCol="_d"
+        feats, feats, _BRP_THRESHOLD + 1e-3, distCol="_d"
     )
     # exact re-score: sum of squared component deltas in double
     d2 = F.aggregate(

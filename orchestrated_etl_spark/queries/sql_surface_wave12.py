@@ -589,15 +589,24 @@ register(
 
 
 def _null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): the events
-    table's anonymous activity (NULL user_id) forms a real group that
-    plain equi-joins silently drop — here per-user click and purchase
-    rollups are joined null-safely so the anonymous bucket joins to
-    itself. <=> plans as an ordinary hash join (NULL is just another key
-    value), so the scale shape is identical to the equi-join. The
-    nullable key is emitted through a -1 sentinel (no NULL-bearing
-    numeric output)."""
-    ev = read_events(spark, sf_dir)
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): anonymous
+    activity (NULL user key) forms a real group that plain equi-joins
+    silently drop — here per-user click and purchase rollups are joined
+    null-safely so the anonymous bucket joins to itself. The fixture has
+    no NULL user_id rows, so the anonymization rule user_id % 7 == 0 →
+    NULL is applied identically on both engines, guaranteeing NULL keys
+    on BOTH join sides — the null-safe path, the -1 sentinel, and
+    is_anonymous=true are all exercised by the oracle (round-3 advice:
+    previously vacuous). <=> plans as an ordinary hash join (NULL is
+    just another key value), so the scale shape is identical to the
+    equi-join. The nullable key is emitted through a -1 sentinel (no
+    NULL-bearing numeric output)."""
+    ev = read_events(spark, sf_dir).withColumn(
+        "user_id",
+        F.when(F.col("user_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("user_id")
+        ),
+    )
     clicks = (
         ev.where(F.col("event_type") == "click")
         .groupBy("user_id")
@@ -631,13 +640,19 @@ register(
     "join_null_safe_eq",
     _null_safe_join,
     """
-    WITH c AS (
+    WITH anon AS (
+        SELECT CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id END
+                   AS user_id,
+               event_type
+        FROM events
+    ),
+    c AS (
         SELECT user_id, count(*) AS n_clicks
-        FROM events WHERE event_type = 'click' GROUP BY user_id
+        FROM anon WHERE event_type = 'click' GROUP BY user_id
     ),
     p AS (
         SELECT user_id, count(*) AS n_purchases
-        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        FROM anon WHERE event_type = 'purchase' GROUP BY user_id
     )
     SELECT coalesce(c.user_id, p.user_id, -1) AS user_key,
            coalesce(c.n_clicks, 0) AS n_clicks,

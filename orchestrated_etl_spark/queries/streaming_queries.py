@@ -526,6 +526,7 @@ def _stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions (sink_dynamic_partition_overwrite's contract). The
     corrected relation is checkpointed before each overwrite to
     decouple read/write lineage (self-read-overwrite hazard)."""
+    import os
     import shutil
     import tempfile
 
@@ -562,10 +563,14 @@ def _stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
         b = latest_per_user(batch_df)
-        try:
+        # Explicit existence probe, NOT try/except-Exception: a transient
+        # read failure mid-stream must surface, never be mistaken for
+        # "first batch" (which would silently reset the dimension to the
+        # current micro-batch and lose all accumulated state).
+        if os.path.exists(target):
             cur = batch_df.sparkSession.read.parquet(target)
             merged = latest_per_user(cur.unionByName(b))
-        except Exception:  # first batch: target doesn't exist yet
+        else:  # first batch: target doesn't exist yet
             merged = b
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
             target

@@ -5,7 +5,8 @@ alphabet-rotated copies (disjoint vocabularies — the index genuinely
 grows) and events by user-shifted copies (disjoint users). Steady-state:
 each timing is the second consecutive run. Usage:
 
-    python tools/measure_scaling_r3.py [sf_dir]
+    python tools/measure_scaling_r3.py [sf_dir]          # BM25 + RFM sweep
+    SCALING_EXTRA=1 python tools/measure_scaling_r3.py   # SemDedup + incr-MinHash ONLY
 """
 
 from __future__ import annotations
@@ -57,6 +58,20 @@ def scaled_events(spark, mult: int):
     return out
 
 
+def scaled_embeddings(spark, mult: int):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = emb.count()
+    parts = [emb]
+    for i in range(1, mult):
+        # id-shift only: same vector distribution, disjoint ids — clusters
+        # genuinely grow, so within-cluster pair work genuinely grows.
+        parts.append(emb.withColumn("vec_id", F.col("vec_id") + i * n))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 def steady(fn):
     fn()
     t0 = time.time()
@@ -94,24 +109,6 @@ def main():
         print(f"events={ne}: ntile={t_ntile:.2f}s cutoffs={t_cut:.2f}s")
 
 
-if __name__ == "__main__":
-    main()
-
-
-def scaled_embeddings(spark, mult: int):
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    n = emb.count()
-    parts = [emb]
-    for i in range(1, mult):
-        # id-shift only: same vector distribution, disjoint ids — clusters
-        # genuinely grow, so within-cluster pair work genuinely grows.
-        parts.append(emb.withColumn("vec_id", F.col("vec_id") + i * n))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
-
-
 def extra():
     spark = get_spark("scaling_r3b")
     from orchestrated_etl_spark.functions.similarity import (
@@ -122,7 +119,6 @@ def extra():
     )
 
     print("== SemDedup (within-cluster pairwise) ==")
-    from orchestrated_etl_spark.queries.llm_similarity import _semdedup  # noqa
     import orchestrated_etl_spark.queries.llm_similarity as LS
 
     for mult in (1, 5, 20):
@@ -171,5 +167,10 @@ def extra():
         print(f"docs={nd}: incr_minhash={t:.2f}s")
 
 
-if __name__ == "__main__" and os.environ.get("SCALING_EXTRA"):
-    extra()
+if __name__ == "__main__":
+    # Single entry point dispatching on SCALING_EXTRA (round-3 advice:
+    # two guards made main() run even when only the extras were wanted).
+    if os.environ.get("SCALING_EXTRA"):
+        extra()
+    else:
+        main()
