@@ -282,3 +282,43 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
         # `iterations` into exponential recompute.
         labels = labels.localCheckpoint(eager=True)
     return labels.select("node", F.col("label").alias("community"))
+
+
+def bfs_distances(
+    edges: DataFrame, seed: int, max_hops: int
+) -> DataFrame:
+    """Multi-source-capable BFS (here single seed): minimum hop distance
+    from ``seed`` to every node within ``max_hops`` over the undirected
+    edge list. Returns (node BIGINT, dist INT).
+
+    Plan shape: classic frontier expansion — each round joins ONLY the
+    current frontier (previous round's newly discovered nodes) against
+    the edge list, then anti-joins the visited set, so round cost is
+    |frontier|·avg_degree, never |V|·|E|. Frontier and visited relations
+    are localCheckpoint'd per round (the pagerank/label-propagation
+    pattern): without it round N replays rounds 1..N-1's lineage. At
+    100 TB the edge list is the staged relation (cached_edges /
+    a bucketed edges table partitioned by src) and each round is one
+    co-partitioned join + one anti-join — the standard Pregel-style
+    iteration expressed as DataFrame ops. The fixed hop cap bounds both
+    rounds and output; an early-exit `frontier.isEmpty()` check is the
+    documented long-tail variant (costs one action per round)."""
+    spark = edges.sparkSession
+    u = undirect(edges).localCheckpoint(eager=True)
+    dist = spark.range(1).select(
+        F.lit(seed).cast("long").alias("node"),
+        F.lit(0).cast("int").alias("dist"),
+    ).localCheckpoint(eager=True)
+    frontier = dist.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(u, frontier["node"] == u["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return dist

@@ -34,4 +34,5 @@ def load() -> None:
         graph_wave10,
         ops_wave11,
         sql_surface_wave12,
+        wave13_round4,
     )

@@ -89,3 +89,128 @@ def test_sq8_topk_external_query_id_collision(spark):
         queries, corpus, "vec_id", "embedding", 1
     ).collect()
     assert [r["neighbor_id"] for r in without] == [1]  # true NN excluded
+
+
+def test_bfs_distances_hand_graph(spark):
+    """Path graph 1-2-3-4-5 plus an unreachable node 9: distances from 1
+    capped at 3 hops; node 5 (4 hops) and node 9 excluded."""
+    from orchestrated_etl_spark.functions.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)],
+        "part_a long, part_b long",
+    )
+    out = {r["node"]: r["dist"] for r in bfs_distances(edges, 1, 3).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_cep_pattern_counts_episodes(spark, tmp_path):
+    """view click purchase | view purchase -> 2 episodes; a purchase-free
+    user and a purchase-before-view user -> no row."""
+    import datetime
+
+    from orchestrated_etl_spark.queries.wave13_round4 import _cep_conversion
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def row(eid, uid, typ, minute):
+        return (
+            eid,
+            t0 + datetime.timedelta(minutes=minute),
+            uid,
+            typ,
+            1.0,
+            "{}",
+        )
+
+    rows = [
+        # user 1: view click purchase view purchase -> 2 conversions
+        row(1, 1, "view", 0),
+        row(2, 1, "click", 1),
+        row(3, 1, "purchase", 2),
+        row(4, 1, "view", 3),
+        row(5, 1, "purchase", 4),
+        # user 2: view click click -> none
+        row(6, 2, "view", 0),
+        row(7, 2, "click", 1),
+        row(8, 2, "click", 2),
+        # user 3: purchase view -> none
+        row(9, 3, "purchase", 0),
+        row(10, 3, "view", 1),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf_dir = str(tmp_path)
+    df.write.parquet(f"{sf_dir}/events.parquet")
+    out = {
+        r["user_id"]: r["n_conversions"]
+        for r in _cep_conversion(spark, sf_dir).collect()
+    }
+    assert out == {1: 2}
+
+
+def test_bloom_prefilter_prunes_but_never_drops(spark, sf_dir):
+    """The Bloom pre-filtered join must equal the plain exact join (the
+    oracle relation) — false positives are filtered by the exact join;
+    false negatives must not exist by construction (same hash exprs on
+    build and probe)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from orchestrated_etl_spark.queries.wave13_round4 import (
+        bloom_prefilter_core,
+    )
+
+    sup = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .where(F.col("s_suppkey") % 3 == 0)  # sf0.001 has no acctbal>9000
+        .select("s_suppkey")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    got = {
+        r["s_suppkey"]: (r["n_items"], r["revenue"])
+        for r in bloom_prefilter_core(sup, li).collect()
+    }
+    exact = {
+        r["s_suppkey"]: (r["n_items"], r["revenue"])
+        for r in (
+            li.join(sup, li.l_suppkey == sup.s_suppkey)
+            .groupBy("s_suppkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (
+                        F.lit(1).cast("decimal(18,2)")
+                        - F.col("l_discount").cast("decimal(18,2)")
+                    )
+                )
+                .cast("double")
+                .alias("revenue"),
+            )
+        ).collect()
+    }
+    assert got == exact and len(got) > 0
+
+
+def test_snapshot_diff_classifies(spark, sf_dir):
+    """Spot-check the three change classes against the mutation rules."""
+    from orchestrated_etl_spark.queries.wave13_round4 import _snapshot_diff
+
+    rows = _snapshot_diff(spark, sf_dir).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["change_type"], []).append(r)
+    assert all(r["o_orderkey"] % 50 == 0 for r in by_type["delete"])
+    assert all(
+        r["o_orderkey"] % 7 == 0 and r["new_price"] == r["old_price"] + 100.0
+        for r in by_type["update"]
+    )
+    assert all(
+        r["o_orderkey"] >= 10_000_000 and r["old_price"] is None
+        for r in by_type["insert"]
+    )

@@ -64,6 +64,10 @@ SCALAR_BROADCAST_OK = {
     # and three 4-scalar cutoff rows — scoring is map-side against 12
     # broadcast scalars; no data x data cartesian exists in the plan.
     "events_rfm_quantile_cutoffs",
+    # broadcast ONE-row Bloom bit-set (<=64-entry map built by the dim-key
+    # aggregate) onto the fact scan — the runtime-filter pattern itself;
+    # the exact join downstream is an equi-join.
+    "join_bloom_prefilter",
 }
 
 # Streaming queries materialise through a memory sink; their batch plan is
