@@ -322,3 +322,47 @@ def bfs_distances(
         dist = dist.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return dist
+
+
+def shortest_path_bf(
+    edges: DataFrame, seed: int, rounds: int
+) -> DataFrame:
+    """Bellman-Ford relaxation over the undirected weighted edge list:
+    min total weight from ``seed`` using <= ``rounds`` edges. Returns
+    (node BIGINT, c BIGINT) — exact integer costs. Each round unions
+    the distance relation with every one-edge relaxation and takes
+    min(cost) per node; per-round localCheckpoint prevents lineage
+    replay (same shape as bfs_distances/pagerank). Round cost: one
+    |dist| x edge-list join + one min-aggregate — the Pregel SSSP
+    iteration as DataFrame ops."""
+    u = (
+        edges.select(
+            F.col("part_a").alias("src"),
+            F.col("part_b").alias("dst"),
+            F.col("weight").cast("long").alias("w"),
+        )
+        .unionAll(
+            edges.select(
+                F.col("part_b").alias("src"),
+                F.col("part_a").alias("dst"),
+                F.col("weight").cast("long").alias("w"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    dist = spark.range(1).select(
+        F.lit(seed).cast("long").alias("node"),
+        F.lit(0).cast("long").alias("c"),
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        relaxed = dist.join(u, dist["node"] == u["src"]).select(
+            F.col("dst").alias("node"), (F.col("c") + F.col("w")).alias("c")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("c").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from orchestrated_etl_spark.functions.graph import bfs_distances
+from orchestrated_etl_spark.functions.graph import bfs_distances, shortest_path_bf
 from orchestrated_etl_spark.queries.graph_wave10 import cached_edges
 from orchestrated_etl_spark.registry import register
 from orchestrated_etl_spark.sources.catalog import read_events
@@ -483,5 +483,266 @@ register(
                AS n_conversions
     FROM seqs
     WHERE len(regexp_extract_all(seq, '{_CEP_PATTERN}')) > 0
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# distributed skyline (Pareto frontier)
+# ---------------------------------------------------------------------------
+
+
+def _skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier of the part catalog under (minimize
+    p_retailprice, minimize p_size), strict dominance: a part survives
+    iff no part is <= on both dimensions and < on at least one.
+
+    Distributed two-phase plan (the textbook divide-and-conquer skyline,
+    NOT the naive |R|^2 self-join the oracle runs):
+    - partition the price axis into bands (floor(price/5) — a value
+      rule, so band(q) < band(p) implies q.price < p.price);
+    - CROSS-BAND pruning needs only each band's min size: a point is
+      dominated by SOME strictly-cheaper band iff the prefix-min of
+      band min-sizes at its band is <= its size (strict dominance free
+      via the strictly-lower price). The prefix-min runs over the
+      #bands-row relation, then broadcasts back — no global sort of
+      the data relation anywhere;
+    - WITHIN-BAND dominance is exact pairwise inside the band (the ER
+      blocking bound: Sigma band_size^2, tunable via band width).
+    At 100 TB the bands are the partitioning; every data-sized op is
+    a hash shuffle on band or a broadcast of the #bands-row stats."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey",
+        "p_retailprice",
+        "p_size",
+        F.floor(F.col("p_retailprice") / 5).cast("long").alias("_band"),
+    )
+    from pyspark.sql import Window
+
+    band_stats = part.groupBy("_band").agg(
+        F.min("p_size").alias("_band_min_size")
+    )
+    wb = Window.orderBy("_band").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # ordered window over the ~20-row band relation only
+    prev_min = band_stats.select(
+        "_band", F.min("_band_min_size").over(wb).alias("_prev_min_size")
+    )
+    # Checkpoint the pruned candidates ONCE: three consumers below
+    # (pair side a, pair side b, final anti-join) would otherwise each
+    # replay the part scan + band join — 6 scans for a relation that is
+    # skyline-small after cross-band pruning.
+    cand = (
+        part.join(F.broadcast(prev_min), "_band", "left")
+        .where(
+            F.col("_prev_min_size").isNull()
+            | (F.col("p_size") < F.col("_prev_min_size"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    # within-band exact dominance on the pruned candidates
+    a = cand.alias("a")
+    b = cand.alias("b")
+    dominated = a.join(
+        b,
+        (F.col("a._band") == F.col("b._band"))
+        & (F.col("b.p_retailprice") <= F.col("a.p_retailprice"))
+        & (F.col("b.p_size") <= F.col("a.p_size"))
+        & (
+            (F.col("b.p_retailprice") < F.col("a.p_retailprice"))
+            | (F.col("b.p_size") < F.col("a.p_size"))
+        ),
+        "left_semi",
+    )
+    return (
+        cand.join(dominated.select("a.p_partkey"), "p_partkey", "left_anti")
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+
+
+register(
+    "skyline_price_size",
+    _skyline,
+    """
+    SELECT a.p_partkey, a.p_retailprice, a.p_size
+    FROM part a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part b
+        WHERE b.p_retailprice <= a.p_retailprice
+          AND b.p_size <= a.p_size
+          AND (b.p_retailprice < a.p_retailprice OR b.p_size < a.p_size)
+    )
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# weighted shortest path: Bellman-Ford relaxation rounds
+# ---------------------------------------------------------------------------
+
+_BF_SEED = 0
+_BF_ROUNDS = 3
+
+
+def _shortest_path_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum total edge weight from part 0 using <= 3 edges, on the
+    weight>=2 co-purchase graph (weights as integer costs — exact
+    BIGINT arithmetic end to end, no float drift). Bellman-Ford
+    expressed relationally: each round unions the current distance
+    relation with every one-edge relaxation and takes min(cost) per
+    node; k rounds give exact <=k-edge shortest costs. Per-round
+    localCheckpoint (the pagerank/BFS pattern) keeps round N's plan
+    from replaying rounds 1..N-1. Round cost: one join of the
+    distance relation (<=|V| rows) against the edge list + one
+    min-aggregate — the Pregel SSSP shape. The oracle unrolls the
+    same three rounds as CTEs (DuckDB's recursive CTE cannot
+    aggregate per iteration)."""
+    return shortest_path_bf(
+        cached_edges(spark, sf_dir, min_weight=2), _BF_SEED, _BF_ROUNDS
+    )
+
+
+register(
+    "graph_shortest_path_weighted",
+    _shortest_path_bf,
+    f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS w
+        FROM li a
+        JOIN li b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    u AS (SELECT pa AS s, pb AS d, w FROM e
+          UNION ALL SELECT pb AS s, pa AS d, w FROM e),
+    d0 AS (SELECT CAST({_BF_SEED} AS BIGINT) AS node, CAST(0 AS BIGINT) AS c),
+    d1 AS (SELECT node, min(c) AS c FROM (
+        SELECT node, c FROM d0 UNION ALL
+        SELECT u.d AS node, d0.c + u.w AS c FROM d0 JOIN u ON u.s = d0.node
+    ) GROUP BY node),
+    d2 AS (SELECT node, min(c) AS c FROM (
+        SELECT node, c FROM d1 UNION ALL
+        SELECT u.d AS node, d1.c + u.w AS c FROM d1 JOIN u ON u.s = d1.node
+    ) GROUP BY node),
+    d3 AS (SELECT node, min(c) AS c FROM (
+        SELECT node, c FROM d2 UNION ALL
+        SELECT u.d AS node, d2.c + u.w AS c FROM d2 JOIN u ON u.s = d2.node
+    ) GROUP BY node)
+    SELECT node, c FROM d3
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# interval-union coverage per user
+# ---------------------------------------------------------------------------
+
+
+def _interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity coverage: each event opens a 10-minute
+    attention interval [ts, ts+10m); overlapping intervals merge, and
+    the output is each user's merged-span count and total covered
+    seconds — the interval-union aggregate behind ad-exposure,
+    uptime, and watch-time metrics.
+
+    Classic sweep, one user_id shuffle: running max of interval END
+    over prior rows (ties broken by event_id) marks a new span
+    whenever the next start exceeds it; cumulative-sum of the marks
+    numbers the spans; two stacked aggregates ride the same
+    partitioning. Interval arithmetic only (no cast-to-double on
+    timestamps — NTZ-safe). Span lengths are summed in exact elapsed
+    MICROSECONDS then integer-divided to seconds: DuckDB's
+    date_diff('second') counts second-BOUNDARY crossings while Spark's
+    timestampdiff(SECOND) floors elapsed time — off by one whenever a
+    span's end has a smaller sub-second fraction than its start. At µs
+    granularity (the storage resolution) both measures coincide
+    exactly."""
+    ev = (
+        read_events(spark, sf_dir)
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts").alias("s"),
+            (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("e"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("s", "e", "event_id")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ev.withColumn(
+        "new_span",
+        F.when(
+            prev_max_e.isNull() | (F.col("s") > prev_max_e), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    spans = flagged.withColumn(
+        "span_id",
+        F.sum("new_span").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    merged = spans.groupBy("user_id", "span_id").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.expr("timestampdiff(MICROSECOND, ms, me)"))
+            .cast("long")
+            .alias("_us"),
+        )
+        .select(
+            "user_id",
+            "n_spans",
+            F.expr("_us DIV 1000000").alias("covered_seconds"),
+        )
+    )
+
+
+register(
+    "events_interval_coverage",
+    _interval_coverage,
+    """
+    WITH iv AS (
+        SELECT user_id, event_id, ts AS s,
+               ts + INTERVAL '10 minutes' AS e
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    m AS (
+        SELECT user_id, s, e,
+               CASE WHEN max(e) OVER (PARTITION BY user_id
+                        ORDER BY s, e, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        IS NULL
+                      OR s > max(e) OVER (PARTITION BY user_id
+                        ORDER BY s, e, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_span,
+               event_id
+        FROM iv
+    ),
+    g AS (
+        SELECT user_id, s, e,
+               CAST(sum(new_span) OVER (PARTITION BY user_id
+                    ORDER BY s, e, event_id ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS span_id
+        FROM m
+    ),
+    merged AS (
+        SELECT user_id, span_id, min(s) AS ms, max(e) AS me
+        FROM g GROUP BY user_id, span_id
+    )
+    SELECT user_id, count(*) AS n_spans,
+           CAST(sum(date_diff('microsecond', ms, me)) AS BIGINT) // 1000000
+               AS covered_seconds
+    FROM merged GROUP BY user_id
     """,
 )

@@ -214,3 +214,73 @@ def test_snapshot_diff_classifies(spark, sf_dir):
         r["o_orderkey"] >= 10_000_000 and r["old_price"] is None
         for r in by_type["insert"]
     )
+
+
+def test_shortest_path_bf_hand_graph(spark):
+    """Triangle with a heavy direct edge: 0-2 direct costs 10, but
+    0-1-2 costs 2+3=5; 3 rounds must find the cheaper 2-edge path."""
+    from orchestrated_etl_spark.functions.graph import shortest_path_bf
+
+    edges = spark.createDataFrame(
+        [(0, 1, 2), (1, 2, 3), (0, 2, 10)],
+        "part_a long, part_b long, weight long",
+    )
+    out = {
+        r["node"]: r["c"] for r in shortest_path_bf(edges, 0, 3).collect()
+    }
+    assert out == {0: 0, 1: 2, 2: 5}
+
+
+def test_skyline_hand_points(spark, tmp_path):
+    """Planted catalog: (1,1) dominates everything except the duplicate
+    pair — exact duplicates are NOT strictly dominated and both
+    survive alongside the unique minimum."""
+    from orchestrated_etl_spark.queries.wave13_round4 import _skyline
+
+    rows = [
+        (1, 910.0, 5),   # skyline
+        (2, 905.0, 9),   # skyline (cheaper, bigger)
+        (3, 910.0, 6),   # dominated by 1
+        (4, 990.0, 5),   # dominated by 1 (same size, pricier)
+        (5, 902.0, 30),  # skyline (cheapest)
+        (6, 902.0, 30),  # exact duplicate of 5: both survive
+    ]
+    df = spark.createDataFrame(
+        rows, "p_partkey long, p_retailprice double, p_size int"
+    )
+    sf_dir = str(tmp_path)
+    df.write.parquet(f"{sf_dir}/part.parquet")
+    keys = sorted(
+        r["p_partkey"] for r in _skyline(spark, sf_dir).collect()
+    )
+    assert keys == [1, 2, 5, 6]
+
+
+def test_interval_coverage_merges_overlaps(spark, tmp_path):
+    """User 1: events at t0 and t0+5m overlap -> ONE 15-minute span;
+    user 2: events 20m apart -> TWO 10-minute spans."""
+    import datetime
+
+    from orchestrated_etl_spark.queries.wave13_round4 import (
+        _interval_coverage,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + datetime.timedelta(minutes=5), 1, "view", 1.0, "{}"),
+        (3, t0, 2, "view", 1.0, "{}"),
+        (4, t0 + datetime.timedelta(minutes=20), 2, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf_dir = str(tmp_path)
+    df.write.parquet(f"{sf_dir}/events.parquet")
+    out = {
+        r["user_id"]: (r["n_spans"], r["covered_seconds"])
+        for r in _interval_coverage(spark, sf_dir).collect()
+    }
+    assert out == {1: (1, 15 * 60), 2: (2, 2 * 10 * 60)}
