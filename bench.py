@@ -49,6 +49,10 @@ HEADLINE = [
     # round 3: scale-path RFM + no-broadcast triangle layout
     "events_rfm_quantile_cutoffs",
     "graph_triangle_orient",
+    # round 4: iterative traversal, runtime bloom filter, CEP sequences
+    "graph_bfs_frontier",
+    "join_bloom_prefilter",
+    "events_cep_conversion",
 ]
 
 
