@@ -304,7 +304,18 @@ def bfs_distances(
     rounds and output; an early-exit `frontier.isEmpty()` check is the
     documented long-tail variant (costs one action per round)."""
     spark = edges.sparkSession
-    u = undirect(edges).localCheckpoint(eager=True)
+    # Hash-partition the edge list by src ONCE and pin that layout with
+    # the checkpoint: each round's join then reuses it (only the tiny
+    # frontier moves), and the frontier side carries an explicit
+    # shuffle_hash hint so Spark never elects to BROADCAST THE EDGE
+    # LIST — data-sized, exactly the side that must never be built on
+    # the driver (a 1.7M-edge graph at sf0.1 under a 64 MB threshold
+    # did exactly that and OOM'd a default-heap driver).
+    u = (
+        undirect(edges)
+        .repartition(spark.sparkContext.defaultParallelism, F.col("src"))
+        .localCheckpoint(eager=True)
+    )
     dist = spark.range(1).select(
         F.lit(seed).cast("long").alias("node"),
         F.lit(0).cast("int").alias("dist"),
@@ -312,7 +323,9 @@ def bfs_distances(
     frontier = dist.select("node")
     for hop in range(1, max_hops + 1):
         nxt = (
-            frontier.join(u, frontier["node"] == u["src"])
+            frontier.hint("shuffle_hash").join(
+                u, frontier["node"] == u["src"]
+            )
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(dist.select("node"), "node", "left_anti")
@@ -335,6 +348,10 @@ def shortest_path_bf(
     replay (same shape as bfs_distances/pagerank). Round cost: one
     |dist| x edge-list join + one min-aggregate — the Pregel SSSP
     iteration as DataFrame ops."""
+    spark = edges.sparkSession
+    # Same layout contract as bfs_distances: edges partitioned by src
+    # once, distance relation shuffle-hash-joined against it per round
+    # (never broadcast the edge list).
     u = (
         edges.select(
             F.col("part_a").alias("src"),
@@ -348,15 +365,17 @@ def shortest_path_bf(
                 F.col("weight").cast("long").alias("w"),
             )
         )
+        .repartition(spark.sparkContext.defaultParallelism, F.col("src"))
         .localCheckpoint(eager=True)
     )
-    spark = edges.sparkSession
     dist = spark.range(1).select(
         F.lit(seed).cast("long").alias("node"),
         F.lit(0).cast("long").alias("c"),
     ).localCheckpoint(eager=True)
     for _ in range(rounds):
-        relaxed = dist.join(u, dist["node"] == u["src"]).select(
+        relaxed = dist.hint("shuffle_hash").join(
+            u, dist["node"] == u["src"]
+        ).select(
             F.col("dst").alias("node"), (F.col("c") + F.col("w")).alias("c")
         )
         dist = (

@@ -44,22 +44,29 @@ from orchestrated_etl_spark.sources.catalog import read_events
 # BFS frontier expansion over the co-purchase graph
 # ---------------------------------------------------------------------------
 
-_BFS_SEED = 0
 _BFS_HOPS = 4
 
 
 def _bfs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Minimum hop distance from part 0 to every part within 4 hops of
-    the weight>=2 co-purchase graph (the sparsified graph the other
-    graph_* queries share via cached_edges). Spark has no recursive SQL,
-    so the traversal is iterative frontier expansion — see
-    functions/graph.bfs_distances for the per-round plan shape. The
-    oracle is DuckDB's WITH RECURSIVE with set-dedup on (node, hop):
-    its fixpoint relation is exactly the hop-labelled reachability set,
-    and min(hop) per node is the BFS distance."""
-    return bfs_distances(
-        cached_edges(spark, sf_dir, min_weight=2), _BFS_SEED, _BFS_HOPS
-    )
+    """Minimum hop distance to every part within 4 hops of the seed on
+    the FULL (weight>=1) co-purchase graph — unlike the other graph_*
+    queries, BFS runs on the dense graph: the weight>=2 forest is
+    near-edgeless at sf0.1 (max component ~12 nodes), which would make
+    the traversal vacuous, while the full graph exercises genuine
+    frontier growth (hop sizes grow geometrically, then saturate by
+    hop 3 — exactly the behavior distributed BFS exists for). The seed
+    is the SMALLEST node id present in the edge set — deterministic and
+    fixture-scale-independent; fetching it is a 1-scalar driver fetch,
+    the same class as an iterative algorithm's hyperparameter, not a
+    data collect. Spark has no recursive SQL, so the traversal is
+    iterative frontier expansion — see functions/graph.bfs_distances
+    for the per-round plan shape. The oracle is DuckDB's WITH RECURSIVE
+    with set-dedup on (node, hop): its fixpoint relation is exactly the
+    hop-labelled reachability set, and min(hop) per node is the BFS
+    distance."""
+    edges = cached_edges(spark, sf_dir, min_weight=1)
+    seed = edges.agg(F.min("part_a")).collect()[0][0]
+    return bfs_distances(edges, seed, _BFS_HOPS)
 
 
 register(
@@ -74,7 +81,6 @@ register(
         JOIN li b ON a.l_orderkey = b.l_orderkey
                  AND a.l_partkey < b.l_partkey
         GROUP BY 1, 2
-        HAVING count(*) >= 2
     ),
     u AS (
         SELECT part_a AS src, part_b AS dst FROM e
@@ -82,7 +88,7 @@ register(
         SELECT part_b, part_a FROM e
     ),
     bfs(node, hop) AS (
-        SELECT CAST({_BFS_SEED} AS BIGINT), 0
+        SELECT (SELECT min(part_a) FROM e), 0
         UNION
         SELECT u.dst, bfs.hop + 1
         FROM bfs JOIN u ON u.src = bfs.node
@@ -580,7 +586,6 @@ register(
 # weighted shortest path: Bellman-Ford relaxation rounds
 # ---------------------------------------------------------------------------
 
-_BF_SEED = 0
 _BF_ROUNDS = 3
 
 
@@ -596,10 +601,11 @@ def _shortest_path_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance relation (<=|V| rows) against the edge list + one
     min-aggregate — the Pregel SSSP shape. The oracle unrolls the
     same three rounds as CTEs (DuckDB's recursive CTE cannot
-    aggregate per iteration)."""
-    return shortest_path_bf(
-        cached_edges(spark, sf_dir, min_weight=2), _BF_SEED, _BF_ROUNDS
-    )
+    aggregate per iteration). Seed = smallest node in the edge set
+    (see _bfs_frontier: a fixed literal is isolated at sf0.1)."""
+    edges = cached_edges(spark, sf_dir, min_weight=2)
+    seed = edges.agg(F.min("part_a")).collect()[0][0]
+    return shortest_path_bf(edges, seed, _BF_ROUNDS)
 
 
 register(
@@ -616,7 +622,7 @@ register(
     ),
     u AS (SELECT pa AS s, pb AS d, w FROM e
           UNION ALL SELECT pb AS s, pa AS d, w FROM e),
-    d0 AS (SELECT CAST({_BF_SEED} AS BIGINT) AS node, CAST(0 AS BIGINT) AS c),
+    d0 AS (SELECT (SELECT min(pa) FROM e) AS node, CAST(0 AS BIGINT) AS c),
     d1 AS (SELECT node, min(c) AS c FROM (
         SELECT node, c FROM d0 UNION ALL
         SELECT u.d AS node, d0.c + u.w AS c FROM d0 JOIN u ON u.s = d0.node
