@@ -752,3 +752,189 @@ register(
     FROM merged GROUP BY user_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# SQL pipe syntax (Spark 4 |> operators)
+# ---------------------------------------------------------------------------
+
+
+def _pipe_syntax_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's SQL pipe syntax (|> operators — the linear FROM-first
+    query form): filter -> aggregate -> order as a pipeline. Parses to
+    exactly the same logical plan as the nested SELECT the oracle runs
+    (one scan, one partial+final aggregate), so this is an API-surface
+    query: the engine accepts BOTH spellings of the same plan. DECIMAL
+    accumulation cast to double per the registry float policy."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "v_orders_pipe"
+    )
+    return spark.sql(
+        """
+        FROM v_orders_pipe
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE count(*) AS n_orders,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE) AS total_price
+           GROUP BY o_orderpriority
+        """
+    )
+
+
+register(
+    "sql_pipe_syntax_rollup",
+    _pipe_syntax_rollup,
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# correlated LATERAL subquery (top-k per key without a window)
+# ---------------------------------------------------------------------------
+
+
+def _lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation top-2 suppliers by account balance via a correlated
+    LATERAL subquery — the SQL-standard alternative to the row_number()
+    window (window_topk_per_group). Catalyst rewrites the correlated
+    LATERAL LIMIT into a partitioned window internally, so the physical
+    plan is one shuffle on the correlation key, same as the window twin
+    — LATERAL is surface, not a nested-loop execution. Deterministic
+    tie-break on s_suppkey; DuckDB runs the IDENTICAL statement."""
+    spark.read.parquet(f"{sf_dir}/supplier.parquet").createOrReplaceTempView(
+        "v_supplier_lat"
+    )
+    return spark.sql(
+        """
+        SELECT n.s_nationkey, t.s_suppkey, t.s_acctbal
+        FROM (SELECT DISTINCT s_nationkey FROM v_supplier_lat) n,
+        LATERAL (SELECT s_suppkey, s_acctbal FROM v_supplier_lat s
+                 WHERE s.s_nationkey = n.s_nationkey
+                 ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) t
+        """
+    )
+
+
+register(
+    "sql_lateral_correlated_topk",
+    _lateral_topk,
+    """
+    SELECT n.s_nationkey, t.s_suppkey, t.s_acctbal
+    FROM (SELECT DISTINCT s_nationkey FROM supplier) n,
+    LATERAL (SELECT s_suppkey, s_acctbal FROM supplier s
+             WHERE s.s_nationkey = n.s_nationkey
+             ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) t
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# grid-blocked spatial radius join
+# ---------------------------------------------------------------------------
+
+_SPATIAL_R = 25  # radius; also the grid cell size
+
+
+def _spatial_points(df: DataFrame, id_col: str, a: int, b: int, c: int, d: int):
+    """Deterministic synthetic coordinates on a 1000x1000 integer grid:
+    multiplicative-hash of the id (portable SQL arithmetic — identical
+    on any engine, unlike engine-specific hash functions). Integer
+    coordinates keep every distance computation exact."""
+    return df.select(
+        F.col(id_col),
+        ((F.col(id_col) * a + b) % 1000).alias("x"),
+        ((F.col(id_col) * c + d) % 1000).alias("y"),
+    )
+
+
+def _spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join: every (user, store) pair within Euclidean
+    distance 25 on a synthetic 1000x1000 grid (coordinates are
+    multiplicative hashes of the ids — deterministic, uniform, and
+    reproducible in plain SQL on any engine). The classic grid-blocked
+    plan: bucket both sides into r x r cells, replicate the SMALL side
+    (stores) into its 3x3 neighborhood map-side (x9 on the small
+    relation only), equi-join on the cell key, then the exact integer
+    distance^2 filter. Candidate pairs are bounded by cell density —
+    never the |A| x |B| cross join the oracle runs. At 100 TB this is
+    the standard geospatial join: cell key = geohash prefix, hash
+    shuffle on cells, skew handled by splitting hot cells (same salting
+    slot as the ER blocker). Output columns exact integers."""
+    ev = read_events(spark, sf_dir)
+    users = _spatial_points(
+        ev.where(F.col("user_id").isNotNull()).select("user_id").distinct(),
+        "user_id", 2654435761, 0, 40503, 7,
+    ).withColumn("_ux", F.col("x")).withColumn("_uy", F.col("y"))
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    stores = _spatial_points(
+        part.where(F.col("p_partkey") < 200).select(
+            F.col("p_partkey").alias("store_id")
+        ),
+        "store_id", 48271, 11, 69621, 3,
+    )
+    r = _SPATIAL_R
+    # replicate stores into their 3x3 cell neighborhood (small side only)
+    neigh = stores.select(
+        "store_id",
+        F.col("x").alias("_sx"),
+        F.col("y").alias("_sy"),
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(-1, 1), dx -> "
+                f"transform(sequence(-1, 1), dy -> "
+                f"struct((x DIV {r}) + dx AS cx, (y DIV {r}) + dy AS cy))))"
+            )
+        ).alias("_cell"),
+    ).select("store_id", "_sx", "_sy", "_cell.cx", "_cell.cy")
+    cand = users.select(
+        "user_id",
+        "_ux",
+        "_uy",
+        (F.col("_ux") / r).cast("long").alias("cx"),
+        (F.col("_uy") / r).cast("long").alias("cy"),
+    ).join(F.broadcast(neigh), ["cx", "cy"])
+    d2 = (F.col("_ux") - F.col("_sx")) * (F.col("_ux") - F.col("_sx")) + (
+        F.col("_uy") - F.col("_sy")
+    ) * (F.col("_uy") - F.col("_sy"))
+    return cand.where(d2 <= r * r).select(
+        "user_id",
+        "store_id",
+        d2.cast("long").alias("dist_sq"),
+    )
+
+
+register(
+    "spatial_radius_join",
+    _spatial_radius_join,
+    f"""
+    WITH u AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+    ),
+    up AS (
+        SELECT user_id,
+               (user_id * 2654435761) % 1000 AS x,
+               (user_id * 40503 + 7) % 1000 AS y
+        FROM u
+    ),
+    st AS (
+        SELECT p_partkey AS store_id,
+               (p_partkey * 48271 + 11) % 1000 AS x,
+               (p_partkey * 69621 + 3) % 1000 AS y
+        FROM part WHERE p_partkey < 200
+    )
+    SELECT up.user_id, st.store_id,
+           (up.x - st.x)*(up.x - st.x) + (up.y - st.y)*(up.y - st.y)
+               AS dist_sq
+    FROM up, st
+    WHERE (up.x - st.x)*(up.x - st.x) + (up.y - st.y)*(up.y - st.y)
+          <= {_SPATIAL_R * _SPATIAL_R}
+    """,
+)

@@ -284,3 +284,52 @@ def test_interval_coverage_merges_overlaps(spark, tmp_path):
         for r in _interval_coverage(spark, sf_dir).collect()
     }
     assert out == {1: (1, 15 * 60), 2: (2, 2 * 10 * 60)}
+
+
+def test_spatial_join_grid_blocking_exactness(spark, sf_dir):
+    """The grid-blocked spatial join must equal the naive all-pairs
+    distance filter — cell blocking with a 3x3 neighborhood at cell
+    size == radius can never miss a qualifying pair (any pair within
+    r spans at most one cell boundary per axis)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from orchestrated_etl_spark.queries.wave13_round4 import (
+        _SPATIAL_R,
+        _spatial_points,
+        _spatial_radius_join,
+    )
+    from orchestrated_etl_spark.sources.catalog import read_events
+
+    got = {
+        (r["user_id"], r["store_id"], r["dist_sq"])
+        for r in _spatial_radius_join(spark, sf_dir).collect()
+    }
+    ev = read_events(spark, sf_dir)
+    users = _spatial_points(
+        ev.where(F.col("user_id").isNotNull()).select("user_id").distinct(),
+        "user_id", 2654435761, 0, 40503, 7,
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    stores = _spatial_points(
+        part.where(F.col("p_partkey") < 200).select(
+            F.col("p_partkey").alias("store_id")
+        ),
+        "store_id", 48271, 11, 69621, 3,
+    )
+    naive = {
+        (r["user_id"], r["store_id"], r["dist_sq"])
+        for r in users.alias("u")
+        .crossJoin(stores.alias("s"))
+        .select(
+            "u.user_id",
+            "s.store_id",
+            (
+                (F.col("u.x") - F.col("s.x")) * (F.col("u.x") - F.col("s.x"))
+                + (F.col("u.y") - F.col("s.y"))
+                * (F.col("u.y") - F.col("s.y"))
+            ).alias("dist_sq"),
+        )
+        .where(F.col("dist_sq") <= _SPATIAL_R * _SPATIAL_R)
+        .collect()
+    }
+    assert got == naive and len(got) > 0
