@@ -59,8 +59,13 @@ def _load_all() -> None:
 # the driver has never sampled, in registration order across the
 # remaining families: set ops, text, dedup variants, similarity/UDF
 # surface, multimodal, streaming, sampling, sketches, sources/sinks, and
-# the training-pipeline head. The ~41 still-unsampled queries lead round
-# 5's front. Remaining queries follow in registration order.
+# the training-pipeline head. ROUND-5 FRONT: the ~41 still-unsampled
+# older queries PLUS the 11 wave-13/14 round-4 additions (graph_bfs_
+# frontier, table_snapshot_diff, join_bloom_prefilter, er_match_blocked_
+# parts, events_cep_conversion, skyline_price_size, graph_shortest_path_
+# weighted, events_interval_coverage, sql_pipe_syntax_rollup,
+# sql_lateral_correlated_topk, spatial_radius_join) = 52 candidates for
+# the 50 slots. Remaining queries follow in registration order.
 _FRONT = [
     # reworked this round (null-safe path now exercised) — needs its green
     "join_null_safe_eq",
