@@ -436,11 +436,11 @@ def _cep_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     this one counts EVERY conversion episode.
 
     At 100 TB: one shuffle, sequences bounded by per-user activity;
-    monster users (bots) are the known skew — production caps the
-    per-user sequence (slice after sort) or sessionizes first
-    (sessionize_events_30m) so the regex runs per session. The regex
-    is RE2-compatible (no lookahead) so the DuckDB oracle runs the
-    SAME pattern."""
+    monster users (bots) are the known skew — the REGISTERED scale twin
+    events_cep_sessionized bounds the regex input by 30-minute session
+    instead of whole-user history (same pattern, same shuffle). The
+    regex is RE2-compatible (no lookahead) so the DuckDB oracle runs
+    the SAME pattern."""
     ev = read_events(spark, sf_dir).where(F.col("user_id").isNotNull())
     seqs = (
         ev.select("user_id", "ts", "event_id", "event_type")
@@ -936,5 +936,102 @@ register(
     FROM up, st
     WHERE (up.x - st.x)*(up.x - st.x) + (up.y - st.y)*(up.y - st.y)
           <= {_SPATIAL_R * _SPATIAL_R}
+    """,
+)
+
+
+def _cep_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALE TWIN of events_cep_conversion (the asof_join_salted /
+    events_rfm_quantile_cutoffs pattern: the documented mitigation is
+    REGISTERED, not a comment): the pattern machine runs per 30-minute
+    SESSION instead of per whole-user history, so the regex input is
+    bounded by session length no matter how monstrous a user's total
+    event count — a bot with 10^8 events becomes 10^5 bounded sessions
+    that parallelize, instead of one 10^8-char string on one task.
+    Conversions cannot span a >30-min idle gap under this contract
+    (usually the BETTER semantics for conversion analysis). Same single
+    user_id shuffle; the lag/cum-sum sessionizer and the sequence
+    aggregate ride one partitioning. Output: per-user conversion count
+    and session count."""
+    ev = read_events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    seqs = sess.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            " ",
+        ).alias("seq")
+    )
+    per_session = seqs.select(
+        "user_id",
+        F.regexp_count(F.col("seq"), F.lit(_CEP_PATTERN)).alias("_n"),
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.sum("_n").alias("n_conversions"),
+            F.count(F.lit(1)).alias("n_sessions"),
+        )
+        .where(F.col("n_conversions") > 0)
+    )
+
+
+register(
+    "events_cep_sessionized",
+    _cep_sessionized,
+    f"""
+    WITH x AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WHERE user_id IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, event_id, ts, event_type,
+               CAST(sum(new_s) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS session_id
+        FROM x
+    ),
+    seqs AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq
+        FROM s GROUP BY user_id, session_id
+    ),
+    per_session AS (
+        SELECT user_id,
+               len(regexp_extract_all(seq, '{_CEP_PATTERN}')) AS n
+        FROM seqs
+    )
+    SELECT user_id,
+           CAST(sum(n) AS BIGINT) AS n_conversions,
+           count(*) AS n_sessions
+    FROM per_session GROUP BY user_id
+    HAVING sum(n) > 0
     """,
 )
