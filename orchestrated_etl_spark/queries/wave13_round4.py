@@ -34,7 +34,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from orchestrated_etl_spark.functions.graph import bfs_distances, shortest_path_bf
+from orchestrated_etl_spark.functions.graph import (
+    bfs_distances,
+    shortest_path_bf,
+    undirect,
+)
 from orchestrated_etl_spark.queries.graph_wave10 import cached_edges
 from orchestrated_etl_spark.registry import register
 from orchestrated_etl_spark.sources.catalog import read_events
@@ -1033,5 +1037,162 @@ register(
            count(*) AS n_sessions
     FROM per_session GROUP BY user_id
     HAVING sum(n) > 0
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# multi-distinct aggregate (Expand operator)
+# ---------------------------------------------------------------------------
+
+
+def _multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several DISTINCT aggregates over different columns in ONE
+    statement: Catalyst plans an Expand (one replicated row per
+    distinct-group) + two-stage aggregate — the row multiplication is
+    x(#distinct groups) MAP-SIDE, the partial aggregate collapses each
+    group before the shuffle, so the exchange carries near-aggregate-
+    sized data, not the expanded fact. The scale caveat the plan
+    encodes: every extra DISTINCT column widens the Expand, so at
+    100 TB wide multi-distincts either split into joined single-
+    distinct passes or drop to approx_count_distinct
+    (agg_approx_sketches is that registered path)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count_distinct(F.date_trunc("month", F.col("o_orderdate"))).alias(
+            "n_months"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+register(
+    "agg_multi_distinct",
+    _multi_distinct,
+    """
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(count(DISTINCT date_trunc('month', o_orderdate)) AS BIGINT)
+               AS n_months,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# parameterized SQL (named parameter markers)
+# ---------------------------------------------------------------------------
+
+
+def _parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (spark.sql(query, args=...) with :marker
+    binding) — the injection-safe query API: parameters bind as typed
+    literals in the parser, never string-spliced, and Catalyst
+    constant-folds them so pushdown/pruning see real literals (the
+    filter reaches the parquet scan exactly as if written inline).
+    The oracle inlines the same values."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "v_orders_param"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM v_orders_param
+        WHERE o_orderstatus = :status AND o_totalprice > :floor
+        GROUP BY o_orderpriority
+        """,
+        args={"status": "F", "floor": 50000.0},
+    )
+
+
+register(
+    "sql_parameterized_args",
+    _parameterized_sql,
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 50000.0
+    GROUP BY o_orderpriority
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (iterative peeling)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def _kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling on the weight>=2 co-purchase graph: repeatedly
+    drop nodes whose degree within the SURVIVING subgraph is < k
+    (community-core extraction — the standard preprocessing cut before
+    expensive per-node analytics). Three peeling rounds registered
+    (1880 -> 1245 -> 1078 -> 1019 nodes at sf0.01 — each round does
+    real work); a fixpoint loop is the same code with an emptiness
+    check per round. Each round: semi-join the edge list to surviving
+    nodes on BOTH endpoints, recount degrees, filter — edge-list-sized
+    joins and aggregates, per-round localCheckpoint (the established
+    iteration pattern). Output: surviving nodes with their final-round
+    in-core degree, exact BIGINTs; the oracle unrolls the same three
+    rounds."""
+    edges = cached_edges(spark, sf_dir, min_weight=2)
+    u = undirect(edges).localCheckpoint(eager=True)
+    alive = u.select(F.col("src").alias("node")).distinct()
+    deg = None
+    for _ in range(_KCORE_ROUNDS):
+        a = alive.select(F.col("node").alias("_na"))
+        b = alive.select(F.col("node").alias("_nb"))
+        deg = (
+            u.join(a, u["src"] == F.col("_na"), "left_semi")
+            .join(b, u["dst"] == F.col("_nb"), "left_semi")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        alive = (
+            deg.where(F.col("degree") >= _KCORE_K)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+    return deg.join(alive, "node", "left_semi").select("node", "degree")
+
+
+register(
+    "graph_kcore",
+    _kcore,
+    f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM li a
+        JOIN li b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    u AS (SELECT pa AS s, pb AS d FROM e
+          UNION ALL SELECT pb AS s, pa AS d FROM e),
+    n0 AS (SELECT DISTINCT s AS node FROM u),
+    d1 AS (SELECT u.s AS node, count(*) AS dg FROM u
+           JOIN n0 a ON u.s = a.node JOIN n0 b ON u.d = b.node GROUP BY 1),
+    n1 AS (SELECT node FROM d1 WHERE dg >= {_KCORE_K}),
+    d2 AS (SELECT u.s AS node, count(*) AS dg FROM u
+           JOIN n1 a ON u.s = a.node JOIN n1 b ON u.d = b.node GROUP BY 1),
+    n2 AS (SELECT node FROM d2 WHERE dg >= {_KCORE_K}),
+    d3 AS (SELECT u.s AS node, count(*) AS dg FROM u
+           JOIN n2 a ON u.s = a.node JOIN n2 b ON u.d = b.node GROUP BY 1),
+    n3 AS (SELECT node FROM d3 WHERE dg >= {_KCORE_K})
+    SELECT d3.node, d3.dg AS degree
+    FROM d3 JOIN n3 ON d3.node = n3.node
     """,
 )

@@ -333,3 +333,20 @@ def test_spatial_join_grid_blocking_exactness(spark, sf_dir):
         .collect()
     }
     assert got == naive and len(got) > 0
+
+
+def test_kcore_peels_tail_nodes(spark, tmp_path, monkeypatch):
+    """Hand graph: a 4-clique (every node degree 3) plus a pendant chain;
+    3-core peeling must keep exactly the clique with degree 3 each."""
+    from orchestrated_etl_spark.queries import wave13_round4 as W
+
+    edges = spark.createDataFrame(
+        # 4-clique 1-2-3-4 + chain 4-5-6
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)],
+        "part_a long, part_b long",
+    )
+    monkeypatch.setattr(
+        W, "cached_edges", lambda spark, sf_dir, min_weight=2: edges
+    )
+    out = {r["node"]: r["degree"] for r in W._kcore(spark, "ignored").collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
