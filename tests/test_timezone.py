@@ -73,6 +73,12 @@ _TZ_SENSITIVE = [
     "agg_hll_sketch_merge",
     "datetime_interval_math",
     "window_locf_ignore_nulls",
+    # round 4: interval-union sweep, CEP sequence ordering (+ sessionized
+    # twin) — all pure interval/ordering arithmetic over NTZ, must not
+    # move with the session zone
+    "events_interval_coverage",
+    "events_cep_conversion",
+    "events_cep_sessionized",
 ]
 
 
