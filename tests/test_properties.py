@@ -382,3 +382,92 @@ def test_binned_range_join_matches_plain_model(spark, events):
             if t2 == "click" and u2 == u and s2 <= s and s2 > s - 3600
         )
     assert got == want
+
+
+# random undirected graphs: 0-12 edges over nodes 0-7 (disconnected
+# components, self-free, multi-edge collapsed by the strategy's set)
+_edges_strategy = st.sets(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)).map(
+        lambda p: (min(p), max(p))
+    ).filter(lambda p: p[0] != p[1]),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(**_SETTINGS)
+@given(_edges_strategy)
+def test_bfs_matches_python_bfs(spark, edges):
+    from collections import deque
+
+    from orchestrated_etl_spark.functions.graph import bfs_distances
+
+    seed, hops = 0, 3
+    if not edges:
+        edges = {(0, 1)}
+    df = spark.createDataFrame(
+        [(a, b) for a, b in sorted(edges)], "part_a long, part_b long"
+    )
+    got = {r["node"]: r["dist"] for r in bfs_distances(df, seed, hops).collect()}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want, q = {seed: 0}, deque([seed])
+    while q:
+        n = q.popleft()
+        if want[n] >= hops:
+            continue
+        for m in adj.get(n, ()):  # noqa: B905
+            if m not in want:
+                want[m] = want[n] + 1
+                q.append(m)
+    assert got == want
+
+
+# random interval starts (minutes) for 1-2 users
+_starts_strategy = st.lists(
+    st.tuples(st.integers(1, 2), st.integers(0, 120)),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(**_SETTINGS)
+@given(_starts_strategy)
+def test_interval_coverage_matches_python_union(spark, tmp_path_factory, starts):
+    import datetime
+
+    from orchestrated_etl_spark.queries.wave13_round4 import (
+        _interval_coverage,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(minutes=m), uid, "view", 1.0, "{}")
+        for i, (uid, m) in enumerate(starts)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf_dir = str(tmp_path_factory.mktemp("iv"))
+    df.write.parquet(f"{sf_dir}/events.parquet")
+    got = {
+        r["user_id"]: (r["n_spans"], r["covered_seconds"])
+        for r in _interval_coverage(spark, sf_dir).collect()
+    }
+    want = {}
+    for uid in {u for u, _ in starts}:
+        ivs = sorted(
+            (m * 60, m * 60 + 600) for u, m in starts if u == uid
+        )
+        spans = []
+        for s, e in ivs:
+            if spans and s <= spans[-1][1]:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], e))
+            else:
+                spans.append((s, e))
+        want[uid] = (len(spans), sum(e - s for s, e in spans))
+    assert got == want
