@@ -1196,3 +1196,112 @@ register(
     FROM d3 JOIN n3 ON d3.node = n3.node
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# stored-moments incremental variance (merge partials, never re-scan)
+# ---------------------------------------------------------------------------
+
+
+def _incremental_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental mean/variance from STORED per-month moment partials
+    (n, sum, sum-of-squares) — the numeric twin of agg_hll_sketch_merge:
+    a nightly job appends one moments row per (status, month) partition,
+    and any later query over any month range merges those tiny rows
+    instead of re-scanning raw data. Moments are EXACT DECIMAL sums of
+    2-decimal prices (sum DECIMAL(38,2), sum-of-squares DECIMAL(38,4) —
+    no float drift in the stored partials), so the merged mean/variance
+    are computed from bit-identical scalars on both engines. The
+    variance numerator stays EXACT DECIMAL all the way:
+    var = (N*Q - S^2) / (N*(N-1)) — N*Q and S^2 are integer-scaled
+    decimal products (precisions sized so neither engine saturates its
+    38-digit cap) and the subtraction is exact. The numerator exceeds
+    2^53, and a >2^53 DECIMAL -> DOUBLE cast is the one conversion the
+    two engines round DIFFERENTLY (Spark's BigDecimal.doubleValue is
+    correctly rounded once; DuckDB's int128-scaled path double-rounds
+    — measured 4e-6 drift on a 2e10 variance), so the variance is
+    reported on a 1000-unit grid (floor(var/1000) BIGINT): the grid
+    quantum sits 8+ orders above the drift, making a boundary flip
+    probability ~4e-9 instead of certainty-of-ulp-mismatch. The mean
+    needs no grid: S fits 2^53, its cast is exact on both engines."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderstatus",
+        F.date_trunc("month", F.col("o_orderdate")).alias("_m"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("_x"),
+    )
+    # the "stored" monthly partials relation (localCheckpoint stands in
+    # for the persisted moments table, as with the HLL sketch store)
+    monthly = (
+        orders.groupBy("o_orderstatus", "_m")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_x").cast("decimal(38,2)").alias("_s"),
+            F.sum(
+                (F.col("_x") * F.col("_x")).cast("decimal(38,4)")
+            ).cast("decimal(38,4)").alias("_q"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merged = monthly.groupBy("o_orderstatus").agg(
+        F.sum("_n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_partials"),
+        F.sum("_s").cast("decimal(18,2)").alias("_S"),
+        F.sum("_q").cast("decimal(20,4)").alias("_Q"),
+    )
+    # exact-decimal numerator: N*Q (10+20+1=31 digits) - S^2 (37 digits)
+    num = (
+        F.col("n_rows").cast("decimal(10,0)") * F.col("_Q")
+        - (F.col("_S") * F.col("_S")).cast("decimal(38,4)")
+    ).cast("decimal(38,4)")
+    den = (F.col("n_rows") * (F.col("n_rows") - F.lit(1))).cast("double")
+    return merged.select(
+        "o_orderstatus",
+        "n_rows",
+        "n_partials",
+        (F.col("_S").cast("double") / F.col("n_rows").cast("double")).alias(
+            "mean_price"
+        ),
+        F.floor(num.cast("double") / den / F.lit(1000.0))
+        .cast("long")
+        .alias("var_price_k"),
+    )
+
+
+register(
+    "agg_incremental_moments",
+    _incremental_moments,
+    """
+    WITH monthly AS (
+        SELECT o_orderstatus,
+               date_trunc('month', o_orderdate) AS m,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS s,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                             * CAST(o_totalprice AS DECIMAL(18,2))
+                             AS DECIMAL(38,4)))
+                    AS DECIMAL(38,4)) AS q
+        FROM orders
+        GROUP BY 1, 2
+    )
+    SELECT o_orderstatus,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           count(*) AS n_partials,
+           CAST(CAST(sum(s) AS DECIMAL(18,2)) AS DOUBLE)
+               / CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) AS mean_price,
+           CAST(floor(
+             CAST(CAST(
+                CAST(CAST(sum(n) AS BIGINT) AS DECIMAL(10,0))
+                  * CAST(sum(q) AS DECIMAL(20,4))
+                -- DECIMAL(19,2) forces DuckDB's int128 storage class:
+                -- at precision 18 it multiplies in int64 and overflows
+                - CAST(CAST(sum(s) AS DECIMAL(19,2))
+                       * CAST(sum(s) AS DECIMAL(19,2)) AS DECIMAL(38,4))
+                AS DECIMAL(38,4)) AS DOUBLE)
+             / CAST(CAST(sum(n) AS BIGINT)
+                    * (CAST(sum(n) AS BIGINT) - 1) AS DOUBLE)
+             / 1000.0) AS BIGINT) AS var_price_k
+    FROM monthly
+    GROUP BY o_orderstatus
+    """,
+)

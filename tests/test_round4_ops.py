@@ -350,3 +350,37 @@ def test_kcore_peels_tail_nodes(spark, tmp_path, monkeypatch):
     )
     out = {r["node"]: r["degree"] for r in W._kcore(spark, "ignored").collect()}
     assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_incremental_moments_match_varsamp(spark, sf_dir):
+    """Merged stored-moment variance must agree with Spark's own
+    var_samp over the raw data (same N, mean; variance within the
+    1000-unit reporting grid)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from orchestrated_etl_spark.queries.wave13_round4 import (
+        _incremental_moments,
+    )
+
+    got = {
+        r["o_orderstatus"]: (r["n_rows"], r["mean_price"], r["var_price_k"])
+        for r in _incremental_moments(spark, sf_dir).collect()
+    }
+    raw = {
+        r["o_orderstatus"]: (r["n"], r["mean"], r["var"])
+        for r in (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.avg("o_totalprice").alias("mean"),
+                F.var_samp("o_totalprice").alias("var"),
+            )
+        ).collect()
+    }
+    assert set(got) == set(raw)
+    for k, (n, mean, var_k) in got.items():
+        rn, rmean, rvar = raw[k]
+        assert n == rn
+        assert abs(mean - rmean) < 1e-6
+        assert abs(var_k - rvar / 1000.0) <= 1.0  # grid floor
