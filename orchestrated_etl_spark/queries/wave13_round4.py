@@ -1305,3 +1305,69 @@ register(
     GROUP BY o_orderstatus
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# exact rolling median over the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+def _rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling EXACT median of daily order revenue. Spark has no
+    median window aggregate, so the frame's values are collected and
+    sorted per row (array_sort over collect_list) and the middle
+    element(s) picked — exact, not approximate, and O(w log w) per row
+    for the fixed w=7 frame. Even-count frames average the two middle
+    values with the same (a+b)/2 double op DuckDB's windowed median
+    interpolates with, on identical exact-DECIMAL-derived inputs.
+
+    Scale shape: the fact-sized work is the one day-grouped aggregate;
+    the window then runs over the DATE-RANGE-sized daily relation
+    (years x 365 rows — the RFM-histogram argument: the only ordered
+    window in the plan sees O(domain) rows, never O(fact)). A rolling
+    median over a per-key fact-sized series would partition the window
+    by key; the frame logic is unchanged."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    sorted_frame = F.array_sort(F.collect_list("rev").over(w))
+    n = F.size(sorted_frame)
+    mid_hi = ((n + 1) / F.lit(2)).cast("int")  # element_at wants INT
+    mid_lo = (n / F.lit(2)).cast("int")
+    med = F.when(
+        n % 2 == 1,
+        F.element_at(sorted_frame, mid_hi),
+    ).otherwise(
+        (
+            F.element_at(sorted_frame, mid_lo)
+            + F.element_at(sorted_frame, mid_lo + 1)
+        )
+        / F.lit(2.0)
+    )
+    return daily.select("day", "rev", med.alias("med7"))
+
+
+register(
+    "window_rolling_median",
+    _rolling_median,
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT day, rev,
+           median(rev) OVER (ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+    FROM daily
+    """,
+)
