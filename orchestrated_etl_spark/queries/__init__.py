@@ -35,4 +35,5 @@ def load() -> None:
         ops_wave11,
         sql_surface_wave12,
         wave13_round4,
+        wave15_round4,
     )

@@ -1,0 +1,394 @@
+"""Wave-15 (round 4, continued): per-node graph structure, drift
+detection on time series, and frequency sketches.
+
+Four operator families extending the engine's analytics surface past
+what rounds 1-4 registered (reference dags/dag.py never leaves flat
+tabular aggregation — these are north-star additions):
+
+- Local clustering coefficient (`graph_clustering_coefficient`): the
+  per-node community-density measure (2·T(v) / deg(v)·(deg(v)-1)) —
+  recommendation-quality and spam-node signal. Integer triangle counts
+  and degrees make the quotient a raw IEEE division of identical
+  integers on both engines: bit-exact, no rounding policy.
+- HITS hubs/authorities (`graph_hits_2iter`): two synchronous
+  unnormalized HITS iterations over the canonically-directed
+  co-purchase graph. Unnormalized keeps every score a pure BIGINT
+  (auth¹ = in-degree, hub¹ = Σ auth¹ over out-edges, auth² = Σ hub¹
+  over in-edges) — the iterative power-iteration shape with an exact
+  oracle, complementing graph_pagerank's ε-guarded rational ranks.
+- CUSUM changepoint scan (`events_cusum_changepoint`): cumulative-sum
+  drift detection over the daily event-volume series. The classic
+  statistic cumsum(c_d - mean) is scaled by N (the day count) so every
+  compared value is a BIGINT: cusum_t = Σ_{d≤t} (N·c_d - S). Exact on
+  both engines; the argmax |cusum| day is the changepoint estimate.
+- Autocorrelation function (`events_acf_lags`): Pearson ACF of the
+  daily revenue series at lags 1..7 — the periodicity detector that
+  justifies seasonal models (events_seasonal_decompose's day-of-week
+  term). Correlations are genuinely irrational, so round(,6) acts as a
+  tolerance (registry float-policy exception c).
+
+Scale posture: the graph queries run over the thresholded co-purchase
+edge relation (orders of magnitude smaller than the fact table; see
+functions/graph.py for the no-self-join derivation) and use the same
+broadcast-at-bench-scale / orient-and-sort-merge-past-it layout as
+graph_triangle_orient. The time-series queries aggregate the fact table
+to the O(date-domain) daily relation FIRST; the only ordered windows in
+their plans see O(domain) rows, never O(fact) — the rolling-median
+argument (wave13_round4.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from orchestrated_etl_spark.functions.graph import degrees
+from orchestrated_etl_spark.queries.graph_wave10 import _EDGE_CTE, cached_edges
+from orchestrated_etl_spark.registry import register
+from orchestrated_etl_spark.sources.catalog import read_events
+
+# ---------------------------------------------------------------------------
+# local clustering coefficient
+# ---------------------------------------------------------------------------
+
+
+def _clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the weight>=2
+    co-purchase graph: cc(v) = 2·T(v) / (deg(v)·(deg(v)-1)), cc = 0 for
+    degree-1 nodes. T(v) comes from the canonical a<b<c wedge join
+    (functions/graph.py triangle_count) with each closed triangle
+    exploded to its three corners; degrees from the undirected
+    expansion. Both factors are exact BIGINTs, so the quotient is one
+    IEEE division of identical operands on both engines — bit-exact.
+
+    Scale: the edge relation is the thresholded co-purchase graph
+    (broadcastable at bench scale; past the broadcast threshold,
+    re-orient by degree and sort-merge exactly as
+    graph_triangle_orient does — T(v) per corner falls out of the same
+    oriented closure by exploding [u,v,w] instead of counting)."""
+    edges = cached_edges(spark, sf_dir, min_weight=2)
+    e1 = edges.select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
+    e2 = edges.select(F.col("part_a").alias("b2"), F.col("part_b").alias("c"))
+    e3 = edges.select(F.col("part_a").alias("a3"), F.col("part_b").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    per_node_t = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("tri_count"))
+    )
+    deg = degrees(edges)
+    joined = deg.join(per_node_t, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("tri_count", F.lit(0)).alias("tri_count"),
+    )
+    cc = F.when(F.col("degree") < 2, F.lit(0.0)).otherwise(
+        (F.lit(2) * F.col("tri_count")).cast("double")
+        / (F.col("degree") * (F.col("degree") - 1)).cast("double")
+    )
+    return joined.select("node", "degree", "tri_count", cc.alias("cc"))
+
+
+register(
+    "graph_clustering_coefficient",
+    _clustering_coefficient,
+    f"""
+    WITH {_EDGE_CTE},
+    ew AS (SELECT part_a, part_b FROM e WHERE weight >= 2),
+    tri AS (
+        SELECT e1.part_a AS a, e1.part_b AS b, e2.part_b AS c
+        FROM ew e1
+        JOIN ew e2 ON e1.part_b = e2.part_a
+        JOIN ew e3 ON e3.part_a = e1.part_a AND e3.part_b = e2.part_b
+    ),
+    corners AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    ),
+    per_node_t AS (
+        SELECT node, count(*) AS tri_count FROM corners GROUP BY node
+    ),
+    deg AS (
+        SELECT node, count(*) AS degree FROM (
+            SELECT part_a AS node FROM ew
+            UNION ALL SELECT part_b FROM ew
+        ) GROUP BY node
+    )
+    SELECT d.node,
+           CAST(d.degree AS BIGINT) AS degree,
+           CAST(COALESCE(t.tri_count, 0) AS BIGINT) AS tri_count,
+           CASE WHEN d.degree < 2 THEN 0.0
+                ELSE CAST(2 * COALESCE(t.tri_count, 0) AS DOUBLE)
+                     / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+           END AS cc
+    FROM deg d LEFT JOIN per_node_t t ON d.node = t.node
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities, two unnormalized iterations
+# ---------------------------------------------------------------------------
+
+
+def _hits_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two synchronous HITS iterations over the co-purchase graph
+    directed by its canonical (low id → high id) orientation. h⁰ ≡ 1,
+    then auth¹(v) = Σ_{u→v} h⁰(u) = in-degree, hub¹(u) = Σ_{u→v}
+    auth¹(v), auth²(v) = Σ_{u→v} hub¹(u). Skipping the usual L2
+    normalization keeps every score a BIGINT — the ranking (the thing
+    HITS is used for) is normalization-invariant, and the oracle is
+    exact instead of ε-guarded like graph_pagerank's.
+
+    Scale: each iteration is one equi-join of the edge list against the
+    previous O(V) score vector plus one aggregate — the score side
+    broadcasts (it is node-sized, not edge-sized); the edge list is
+    never broadcast and never re-derived (cached_edges materializes it
+    once per session)."""
+    edges = cached_edges(spark, sf_dir, min_weight=2).select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    )
+    auth1 = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("auth_1"))
+    hub1 = (
+        edges.join(F.broadcast(auth1), "dst")
+        .groupBy("src")
+        .agg(F.sum("auth_1").alias("hub_1"))
+    )
+    auth2 = (
+        edges.join(F.broadcast(hub1), "src")
+        .groupBy("dst")
+        .agg(F.sum("hub_1").alias("auth_2"))
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select("dst"))
+        .distinct()
+    )
+    return (
+        nodes.join(auth1.withColumnRenamed("dst", "node"), "node", "left")
+        .join(hub1.withColumnRenamed("src", "node"), "node", "left")
+        .join(auth2.withColumnRenamed("dst", "node"), "node", "left")
+        .select(
+            "node",
+            F.coalesce("auth_1", F.lit(0)).cast("long").alias("auth_1"),
+            F.coalesce("hub_1", F.lit(0)).cast("long").alias("hub_1"),
+            F.coalesce("auth_2", F.lit(0)).cast("long").alias("auth_2"),
+        )
+    )
+
+
+register(
+    "graph_hits_2iter",
+    _hits_2iter,
+    f"""
+    WITH {_EDGE_CTE},
+    d AS (SELECT part_a AS src, part_b AS dst FROM e WHERE weight >= 2),
+    auth1 AS (SELECT dst, count(*) AS auth_1 FROM d GROUP BY dst),
+    hub1 AS (
+        SELECT d.src, sum(a.auth_1) AS hub_1
+        FROM d JOIN auth1 a ON d.dst = a.dst GROUP BY d.src
+    ),
+    auth2 AS (
+        SELECT d.dst, sum(h.hub_1) AS auth_2
+        FROM d JOIN hub1 h ON d.src = h.src GROUP BY d.dst
+    ),
+    nodes AS (
+        SELECT DISTINCT src AS node FROM d
+        UNION SELECT DISTINCT dst FROM d
+    )
+    SELECT n.node,
+           CAST(COALESCE(a1.auth_1, 0) AS BIGINT) AS auth_1,
+           CAST(COALESCE(h1.hub_1, 0) AS BIGINT) AS hub_1,
+           CAST(COALESCE(a2.auth_2, 0) AS BIGINT) AS auth_2
+    FROM nodes n
+    LEFT JOIN auth1 a1 ON n.node = a1.dst
+    LEFT JOIN hub1 h1 ON n.node = h1.src
+    LEFT JOIN auth2 a2 ON n.node = a2.dst
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint scan (integer-exact)
+# ---------------------------------------------------------------------------
+
+
+def _cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift scan over daily event volume. The textbook statistic
+    cumsum_t(c_d - c̄) is rescaled by N = #days so every compared value
+    stays a BIGINT: cusum_scaled_t = Σ_{d≤t} (N·c_d - S) = N·cusum_t.
+    The day maximizing |cusum_scaled| is the level-shift changepoint
+    estimate (flagged is_peak; scaling by N>0 preserves the argmax).
+
+    Exactness: integer counts, integer window sums — no float anywhere,
+    both engines bit-agree with no rounding policy. The one-row global
+    (N, S, max|cusum|) relation is broadcast back onto the O(domain)
+    daily series (plan_audit SCALAR_BROADCAST_OK); the ordered window
+    runs over that same O(domain) relation, never the fact table."""
+    ev = read_events(spark, sf_dir)
+    # Materialized once: the O(domain) daily series feeds the totals
+    # aggregate, the window, and the peak scan — without this each
+    # consumer replays the fact-table aggregate (4 fact scans).
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .localCheckpoint(eager=True)
+    )
+    totals = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").alias("total_events"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_cusum = daily.crossJoin(F.broadcast(totals)).select(
+        "day",
+        "n_events",
+        F.sum(
+            F.col("n_days") * F.col("n_events") - F.col("total_events")
+        )
+        .over(w)
+        .alias("cusum_scaled"),
+    )
+    peak = with_cusum.agg(
+        F.max(F.abs(F.col("cusum_scaled"))).alias("max_abs")
+    )
+    return with_cusum.crossJoin(F.broadcast(peak)).select(
+        "day",
+        "n_events",
+        "cusum_scaled",
+        (F.abs(F.col("cusum_scaled")) == F.col("max_abs")).alias("is_peak"),
+    )
+
+
+register(
+    "events_cusum_changepoint",
+    _cusum_changepoint,
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+        FROM events GROUP BY 1
+    ),
+    totals AS (
+        SELECT count(*) AS n_days, sum(n_events) AS total_events
+        FROM daily
+    ),
+    cus AS (
+        SELECT day, n_events,
+               CAST(sum(n_days * n_events - total_events) OVER (
+                   ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cusum_scaled
+        FROM daily, totals
+    )
+    SELECT day, CAST(n_events AS BIGINT) AS n_events, cusum_scaled,
+           abs(cusum_scaled) = (SELECT max(abs(cusum_scaled)) FROM cus)
+               AS is_peak
+    FROM cus
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# autocorrelation of the daily revenue series, lags 1..7
+# ---------------------------------------------------------------------------
+
+
+def _acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson autocorrelation of daily purchase revenue at lags 1..7
+    — the periodicity detector behind seasonal modeling choices. The
+    series is the exact-DECIMAL daily revenue over the OBSERVED date
+    spine (sequence(min_day, max_day), zero-filled) so a lag of L days
+    is L positions. Lagged pairs come from ONE equi-self-join of the
+    spine against (day + L) fanned across the 7 lags — no per-lag
+    window pass. corr() is computed by both engines from co-moment
+    sums whose accumulation order differs, and the value is genuinely
+    irrational — round(,6) is the float-policy tolerance exception (c),
+    same as graph_assortativity.
+
+    Scale: the fact table collapses to the O(domain) daily relation
+    first; the lag fan-out is 7×O(domain) rows into one equi-join and
+    one 7-group aggregate. Nothing ordered ever sees O(fact)."""
+    ev = read_events(spark, sf_dir)
+    purch = ev.where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    # Materialized once: bounds, the spine join, and the lag fan-out
+    # all consume the O(domain) daily series — checkpointing caps the
+    # plan at ONE fact-table aggregate pass.
+    daily = (
+        purch.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+        .localCheckpoint(eager=True)
+    )
+    bounds = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    series = spine.join(daily, "day", "left").select(
+        "day", F.coalesce("rev", F.lit(0.0)).alias("rev")
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    fanned = series.crossJoin(F.broadcast(lags)).select(
+        F.date_add(F.col("day"), F.col("lag")).alias("join_day"),
+        "lag",
+        F.col("rev").alias("rev_lagged"),
+    )
+    pairs = series.join(
+        fanned, series.day == fanned.join_day
+    ).select("lag", "rev", "rev_lagged")
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.corr("rev", "rev_lagged"), 6).alias("acf_r"),
+        )
+        .orderBy("lag")
+    )
+
+
+register(
+    "events_acf_lags",
+    _acf_lags,
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+        GROUP BY 1
+    ),
+    bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+    spine AS (
+        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+                   AS day
+        FROM bounds
+    ),
+    series AS (
+        SELECT s.day, COALESCE(d.rev, 0.0) AS rev
+        FROM spine s LEFT JOIN daily d ON s.day = d.day
+    ),
+    lags AS (SELECT CAST(unnest(range(1, 8)) AS INTEGER) AS lag),
+    fanned AS (
+        SELECT s.day + CAST(l.lag AS INTEGER) AS join_day, l.lag,
+               s.rev AS rev_lagged
+        FROM series s, lags l
+    )
+    SELECT f.lag,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(corr(s.rev, f.rev_lagged), 6) AS acf_r
+    FROM series s JOIN fanned f ON s.day = f.join_day
+    GROUP BY f.lag
+    """,
+)

@@ -68,6 +68,13 @@ SCALAR_BROADCAST_OK = {
     # aggregate) onto the fact scan — the runtime-filter pattern itself;
     # the exact join downstream is an equi-join.
     "join_bloom_prefilter",
+    # broadcast 1-row (n_days, total) and 1-row max|cusum| onto the
+    # O(date-domain) daily series — constant build side at any scale.
+    "events_cusum_changepoint",
+    # broadcast the 7-row literal lag relation onto the O(date-domain)
+    # daily spine — constant build side; the pair join itself is an
+    # equi-join on (day + lag).
+    "events_acf_lags",
 }
 
 # Streaming queries materialise through a memory sink; their batch plan is
