@@ -392,3 +392,308 @@ register(
     GROUP BY f.lag
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch frequency estimation (exact cross-engine replica)
+# ---------------------------------------------------------------------------
+
+_CM_P = 2147483647  # Mersenne prime 2^31-1
+_CM_W = 256  # sketch width (buckets per hash row)
+_CM_HASHES = [(131071, 8191), (524287, 2047), (6700417, 97), (999983, 523)]
+
+
+def _cm_bucket(k, a: int, b: int):
+    """Universal-family bucket h_{a,b}(k) = ((a·(k mod p) + b) mod p)
+    mod w, p = 2^31-1. The inner mod keeps a·k inside BIGINT for any
+    key; constants < 2^31 make every intermediate < 2^62."""
+    return (
+        (F.lit(a) * (k % F.lit(_CM_P)) + F.lit(b)) % F.lit(_CM_P)
+    ) % F.lit(_CM_W)
+
+
+def _countmin_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over part frequencies in ``lineitem``, probed
+    for the top-10 exact heavy hitters: per key the sketch's min-over-
+    rows estimate, the exact count, and the (always >= 0) overcount.
+
+    The sketch is hand-rolled from JVM integer expressions instead of
+    Spark's ``count_min_sketch`` aggregate because (a) the binary
+    sketch Spark produces cannot be PROBED from SQL, and (b) an
+    explicit polynomial hash is computable identically in DuckDB, so
+    the estimates themselves are oracle-checked exactly — stronger
+    than a bounds-contract oracle. depth=4, width=256: the classic
+    eps = e/w, delta = e^-4 point estimate.
+
+    Scale shape: the build is ONE pass — each fact row expands to 4
+    (row, bucket) pairs map-side and partial-aggregates into a <= 1024
+    -row sketch (the whole point: frequency state is O(w·d), not
+    O(keys); the stored-sketch pattern of agg_hll_sketch_merge applied
+    to frequencies). The probe side is a top-k (TakeOrdered, no global
+    sort) fanned x4 and hash-joined against the tiny sketch."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_partkey").alias("k")
+    )
+    rb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    _cm_bucket(F.col("k"), a, b).alias("bucket"),
+                )
+                for r, (a, b) in enumerate(_CM_HASHES)
+            ]
+        )
+    ).alias("rb")
+    sketch = (
+        li.select(rb)
+        .select("rb.r", "rb.bucket")
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = li.groupBy("k").agg(F.count(F.lit(1)).alias("true_count"))
+    cand = exact.orderBy(F.desc("true_count"), F.asc("k")).limit(10)
+    probes = cand.select(
+        "k",
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cm_bucket(F.col("k"), a, b).alias("bucket"),
+                    )
+                    for r, (a, b) in enumerate(_CM_HASHES)
+                ]
+            )
+        ).alias("rb"),
+    ).select("k", "true_count", "rb.r", "rb.bucket")
+    est = (
+        probes.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("k", "true_count")
+        .agg(F.min("cnt").alias("cm_estimate"))
+    )
+    return est.select(
+        F.col("k").alias("part_key"),
+        "true_count",
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("true_count")).alias("overcount"),
+        (F.col("cm_estimate") >= F.col("true_count")).alias("est_ge_true"),
+    )
+
+
+register(
+    "agg_countmin_sketch_estimate",
+    _countmin_estimate,
+    """
+    WITH li AS (SELECT l_partkey AS k FROM lineitem),
+    hp AS (
+        SELECT * FROM (VALUES (0, 131071, 8191), (1, 524287, 2047),
+                              (2, 6700417, 97), (3, 999983, 523))
+            AS t(r, a, b)
+    ),
+    sketch AS (
+        SELECT hp.r,
+               ((hp.a * (li.k % 2147483647) + hp.b) % 2147483647) % 256
+                   AS bucket,
+               count(*) AS cnt
+        FROM li, hp GROUP BY 1, 2
+    ),
+    exact AS (SELECT k, count(*) AS true_count FROM li GROUP BY k),
+    cand AS (
+        SELECT k, true_count FROM exact
+        ORDER BY true_count DESC, k LIMIT 10
+    ),
+    probes AS (
+        SELECT c.k, c.true_count, hp.r,
+               ((hp.a * (c.k % 2147483647) + hp.b) % 2147483647) % 256
+                   AS bucket
+        FROM cand c, hp
+    ),
+    est AS (
+        SELECT p.k, p.true_count, min(s.cnt) AS cm_estimate
+        FROM probes p JOIN sketch s ON p.r = s.r AND p.bucket = s.bucket
+        GROUP BY 1, 2
+    )
+    SELECT k AS part_key,
+           CAST(true_count AS BIGINT) AS true_count,
+           CAST(cm_estimate AS BIGINT) AS cm_estimate,
+           CAST(cm_estimate - true_count AS BIGINT) AS overcount,
+           cm_estimate >= true_count AS est_ge_true
+    FROM est
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking dedup (FastCDC-style, exact substring level)
+# ---------------------------------------------------------------------------
+
+_CDC_POWS = [31**e for e in range(7, -1, -1)]  # 31^7 .. 31^0
+_CDC_MOD = 32  # expected chunk length ~= 32 chars
+
+
+def _cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup via content-defined chunking — the
+    rsync / dedup-storage / incremental-sync primitive, and the exact
+    complement to MinHash's document-level near-dup: it finds SHARED
+    PASSAGES between otherwise-different documents.
+
+    Each document is cut where the 8-gram polynomial hash
+    Σ ord(c_{i+j})·31^(7-j) satisfies H % 32 == 0 — boundaries are
+    CONTENT-defined, so a shared passage chunks identically regardless
+    of its offset in either document (the property fixed-size blocking
+    lacks; cf. FastCDC, USENIX ATC'16). Chunks are md5'd; a chunk seen
+    in >= 2 DISTINCT documents is shared content. Per doc: chunk count,
+    shared-chunk count, shared chars, total chars — all exact integers.
+
+    The hashing kernel is a vectorized-numpy ``mapInPandas`` stage, a
+    DELIBERATE exception to the JVM-first rule: Spark evaluates
+    higher-order-function lambdas interpreted (never whole-stage
+    codegen), and the multiply-referenced cut array gets inlined by
+    CollapseProject into one hash re-scan PER CHUNK — the pure-
+    expression form measured 150x slower than this Arrow-batched
+    kernel at sf0.01. The per-row kernel is one O(n) sliding-window
+    dot product (utf-32 codepoints ⊗ the power vector), so parity with
+    the DuckDB oracle's integer arithmetic is exact.
+
+    Production variants enforce min/max chunk sizes inside the same
+    kernel; the unclamped cut rule keeps the oracle expressible as
+    DuckDB list comprehensions.
+
+    Scale shape: hashing/chunking is MAP-ONLY inside the scan stage,
+    and the emitted stream carries (doc_id, md5, chunk_len) — 40-ish
+    bytes per chunk, never text. It is checkpointed ONCE (two
+    consumers; re-running the kernel would re-hash the corpus), then
+    one groupBy(md5) + one broadcast-eligible join back + one
+    groupBy(doc_id): two narrow shuffles over chunk-count rows
+    regardless of corpus size."""
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def chunker(batches):
+        import hashlib
+
+        import numpy as np
+
+        pows = np.array(_CDC_POWS, dtype=np.int64)
+        for pdf in batches:
+            recs = {"doc_id": [], "n": [], "h": [], "len": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = text or ""
+                nn = len(t)
+                starts = [1]
+                if nn >= 9:
+                    codes = np.frombuffer(
+                        t.encode("utf-32-le"), dtype=np.uint32
+                    ).astype(np.int64)
+                    win = np.lib.stride_tricks.sliding_window_view(codes, 8)
+                    hashes = win @ pows  # H at 0-based start index
+                    cut_pos = np.nonzero(hashes % _CDC_MOD == 0)[0] + 1
+                    starts += [int(i) for i in cut_pos if i >= 2]
+                for ki, s in enumerate(starts):
+                    e = starts[ki + 1] if ki + 1 < len(starts) else nn + 1
+                    chunk = t[s - 1 : e - 1]
+                    recs["doc_id"].append(doc_id)
+                    recs["n"].append(nn)
+                    recs["h"].append(
+                        hashlib.md5(chunk.encode("utf-8")).hexdigest()
+                    )
+                    recs["len"].append(e - s)
+            yield pd.DataFrame(recs)
+
+    chunk_stream = docs.mapInPandas(
+        chunker, "doc_id long, n long, h string, len long"
+    ).localCheckpoint(eager=True)
+    shared = (
+        chunk_stream.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("h")
+    )
+    marked = chunk_stream.join(
+        F.broadcast(shared.withColumn("_s", F.lit(1))), "h", "left"
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("_s").isNotNull(), 1).otherwise(0)).alias(
+            "n_shared_chunks"
+        ),
+        F.sum(
+            F.when(F.col("_s").isNotNull(), F.col("len")).otherwise(0)
+        ).alias("shared_chars"),
+        F.max("n").alias("total_chars"),
+    )
+
+
+register(
+    "dedup_cdc_chunks",
+    _cdc_chunks,
+    """
+    WITH d AS (
+        SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+        FROM documents
+    ),
+    cutl AS (
+        SELECT doc_id, text, n,
+               CASE WHEN n >= 9 THEN list_filter(
+                   range(2, CAST(n - 6 AS BIGINT)),
+                   i ->
+                     (  CAST(ord(text[CAST(i AS INTEGER)]) AS BIGINT)
+                          * 27512614111
+                      + CAST(ord(text[CAST(i + 1 AS INTEGER)]) AS BIGINT)
+                          * 887503681
+                      + CAST(ord(text[CAST(i + 2 AS INTEGER)]) AS BIGINT)
+                          * 28629151
+                      + CAST(ord(text[CAST(i + 3 AS INTEGER)]) AS BIGINT)
+                          * 923521
+                      + CAST(ord(text[CAST(i + 4 AS INTEGER)]) AS BIGINT)
+                          * 29791
+                      + CAST(ord(text[CAST(i + 5 AS INTEGER)]) AS BIGINT)
+                          * 961
+                      + CAST(ord(text[CAST(i + 6 AS INTEGER)]) AS BIGINT)
+                          * 31
+                      + CAST(ord(text[CAST(i + 7 AS INTEGER)]) AS BIGINT)
+                     ) % 32 = 0)
+               ELSE [] END AS cuts
+        FROM d
+    ),
+    st AS (
+        SELECT doc_id, text, n,
+               list_prepend(CAST(1 AS BIGINT), cuts) AS starts
+        FROM cutl
+    ),
+    chunks AS (
+        SELECT doc_id, n,
+               unnest(list_transform(
+                   range(1, CAST(len(starts) + 1 AS BIGINT)),
+                   k -> struct_pack(
+                       h := md5(substr(text,
+                                CAST(starts[CAST(k AS INTEGER)] AS INTEGER),
+                                CAST(COALESCE(
+                                      starts[CAST(k + 1 AS INTEGER)], n + 1)
+                                   - starts[CAST(k AS INTEGER)]
+                                   AS INTEGER))),
+                       l := COALESCE(starts[CAST(k + 1 AS INTEGER)], n + 1)
+                            - starts[CAST(k AS INTEGER)]))) AS c
+        FROM st
+    ),
+    stream AS (SELECT doc_id, n, c.h AS h, c.l AS len FROM chunks),
+    shared AS (
+        SELECT h FROM stream GROUP BY h
+        HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN sh.h IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_shared_chunks,
+           CAST(sum(CASE WHEN sh.h IS NOT NULL THEN s.len ELSE 0 END)
+                AS BIGINT) AS shared_chars,
+           CAST(max(s.n) AS BIGINT) AS total_chars
+    FROM stream s LEFT JOIN shared sh ON s.h = sh.h
+    GROUP BY s.doc_id
+    """,
+)

@@ -133,3 +133,136 @@ def test_acf_planted_period2_series(spark, tmp_path):
     assert out[2] == (6, 1.0)
     assert out[3] == (5, -1.0)
     assert out[7] == (1, None)  # single pair: zero variance -> NULL corr
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch: estimates recomputed by a pure-Python replica
+# ---------------------------------------------------------------------------
+
+
+def test_countmin_estimate_matches_python_replica(spark, tmp_path):
+    """Plant a skewed key distribution, recompute the sketch in pure
+    Python with the same hash family, and require the operator's
+    estimates to equal the replica's EXACTLY (collision-agnostic: if
+    keys collide in a bucket the replica overcounts identically)."""
+    from orchestrated_etl_spark.queries.wave15_round4 import (
+        _CM_HASHES,
+        _CM_P,
+        _CM_W,
+        _countmin_estimate,
+    )
+
+    freqs = {1: 40, 2: 30, 3: 30, 4: 5, 5: 4, 6: 3, 7: 3, 8: 2,
+             9: 2, 10: 2, 11: 1, 12: 1}
+    rows = []
+    oid = 0
+    for k, c in freqs.items():
+        for _ in range(c):
+            oid += 1
+            rows.append((oid, k))
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+
+    def bucket(k, a, b):
+        return ((a * (k % _CM_P) + b) % _CM_P) % _CM_W
+
+    sketch = {}
+    for k, c in freqs.items():
+        for r, (a, b) in enumerate(_CM_HASHES):
+            key = (r, bucket(k, a, b))
+            sketch[key] = sketch.get(key, 0) + c
+
+    # top-10 by (count desc, key asc): ties at count 2 and 3 resolved
+    # by key — keys 11,12 (count 1) fall out.
+    expect_keys = sorted(freqs, key=lambda k: (-freqs[k], k))[:10]
+
+    out = {
+        r["part_key"]: (
+            r["true_count"], r["cm_estimate"],
+            r["overcount"], r["est_ge_true"],
+        )
+        for r in _countmin_estimate(spark, str(tmp_path)).collect()
+    }
+    assert sorted(out) == sorted(expect_keys)
+    for k in expect_keys:
+        est = min(
+            sketch[(r, bucket(k, a, b))]
+            for r, (a, b) in enumerate(_CM_HASHES)
+        )
+        assert out[k] == (freqs[k], est, est - freqs[k], True)
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking: full pure-Python mini-oracle
+# ---------------------------------------------------------------------------
+
+_POWS = [31 ** e for e in range(7, -1, -1)]
+
+
+def _py_chunks(text: str) -> list[str]:
+    n = len(text)
+    cuts = []
+    if n >= 9:
+        for i in range(2, n - 6):  # 1-based start positions 2..n-7
+            h = sum(
+                ord(text[i - 1 + j]) * p for j, p in enumerate(_POWS)
+            )
+            if h % 32 == 0:
+                cuts.append(i)
+    starts = [1] + cuts
+    out = []
+    for idx, s in enumerate(starts):
+        end = starts[idx + 1] if idx + 1 < len(starts) else n + 1
+        out.append(text[s - 1:end - 1])
+    return out
+
+
+def test_cdc_chunks_matches_python_replica(spark, tmp_path):
+    """Two documents embed the SAME 240-char passage at different
+    offsets; a third is disjoint. The mini-oracle recomputes chunking
+    and sharing in Python; the operator must agree exactly, and the
+    content-defined property must surface the shared passage."""
+    from orchestrated_etl_spark.queries.wave15_round4 import _cdc_chunks
+
+    shared = "the quick brown fox jumps over the lazy dog again and " * 5
+    doc_a = "PREFIX-ALPHA " * 4 + shared + " SUFFIX-OMEGA" * 3
+    doc_b = "zz" + shared + "qq"  # different offset, different margins
+    doc_c = "0123456789" * 30  # disjoint content
+    doc_d = "tiny"  # < 9 chars: single chunk, no cuts
+    docs = {1: doc_a, 2: doc_b, 3: doc_c, 4: doc_d}
+
+    # precondition: the planted passage must actually chunk into at
+    # least one interior chunk present in both docs
+    from collections import Counter
+
+    owner = {}
+    for did, t in docs.items():
+        for c in set(_py_chunks(t)):
+            owner.setdefault(c, set()).add(did)
+    shared_chunks = {c for c, o in owner.items() if len(o) >= 2}
+    assert any(
+        docs_ == {1, 2} for c, docs_ in owner.items() if c in shared_chunks
+    )
+
+    spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in docs.items()],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    out = {
+        r["doc_id"]: (
+            r["n_chunks"], r["n_shared_chunks"],
+            r["shared_chars"], r["total_chars"],
+        )
+        for r in _cdc_chunks(spark, str(tmp_path)).collect()
+    }
+    for did, t in docs.items():
+        cs = _py_chunks(t)
+        n_shared = sum(1 for c in cs if c in shared_chunks)
+        sh_chars = sum(len(c) for c in cs if c in shared_chunks)
+        assert out[did] == (len(cs), n_shared, sh_chars, len(t)), did
+    # the shared passage was found, the disjoint docs stayed clean
+    assert out[1][1] >= 1 and out[2][1] >= 1
+    assert out[3][1] == 0 and out[4] == (1, 0, 0, 4)
