@@ -697,3 +697,236 @@ register(
     GROUP BY s.doc_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# bitmap-aggregate exact distinct (Spark 4 bitmap functions)
+# ---------------------------------------------------------------------------
+
+
+def _bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct part count per ship month via Spark 4's bitmap
+    aggregates: keys map to (bucket, bit position), per-(month, bucket)
+    bitmaps OR the bits together map-side, and the month total is the
+    sum of per-bucket popcounts. This is the two-level mergeable-
+    bitmap distinct (the ClickHouse/Iceberg pattern): distinct STATE is
+    compressed fixed-width bitmaps that partial-aggregate on every
+    executor, never a hash set of raw keys — at 100 TB the shuffle
+    carries one <=4 KB bitmap per (month, 32k-key bucket) instead of
+    every distinct key occurrence, and incremental refresh can store
+    the bitmaps and OR tomorrow's in (the HLL-sketch pattern of
+    agg_hll_sketch_merge, but exact).
+
+    The result is EXACT, so the oracle is a plain count(DISTINCT) —
+    the strongest possible cross-engine check of the bitmap path."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.trunc("l_shipdate", "month").alias("ship_month"),
+        F.col("l_partkey").alias("k"),
+    )
+    per_bucket = li.groupBy(
+        "ship_month", F.bitmap_bucket_number("k").alias("bucket")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("k")).alias("bm"))
+    return (
+        per_bucket.groupBy("ship_month")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_distinct_parts"))
+        .orderBy("ship_month")
+    )
+
+
+register(
+    "agg_bitmap_distinct",
+    _bitmap_distinct,
+    """
+    SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE)
+               AS ship_month,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct_parts
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# chi-square independence test (priority x status), integer-derived
+# ---------------------------------------------------------------------------
+
+_CHI2_CELLS_SQL = """
+    obs AS (
+        SELECT o_orderpriority AS pri, o_orderstatus AS st,
+               count(*) AS n FROM orders GROUP BY 1, 2
+    ),
+    rt AS (SELECT pri, sum(n) AS row_tot FROM obs GROUP BY pri),
+    ct AS (SELECT st, sum(n) AS col_tot FROM obs GROUP BY st),
+    tot AS (SELECT sum(n) AS big_n FROM obs),
+    cells AS (
+        SELECT rt.pri, ct.st,
+               CAST(COALESCE(o.n, 0) AS BIGINT) AS obs_n,
+               CAST(rt.row_tot AS BIGINT) AS row_tot,
+               CAST(ct.col_tot AS BIGINT) AS col_tot,
+               CAST(tot.big_n AS BIGINT) AS big_n
+        FROM rt CROSS JOIN ct CROSS JOIN tot
+        LEFT JOIN obs o ON o.pri = rt.pri AND o.st = ct.st
+    ),
+    terms AS (
+        SELECT pri, st, obs_n,
+               CAST(row_tot * col_tot AS DOUBLE)
+                   / CAST(big_n AS DOUBLE) AS expected_n,
+               CAST(obs_n * big_n - row_tot * col_tot AS DOUBLE)
+                 * CAST(obs_n * big_n - row_tot * col_tot AS DOUBLE)
+                 / CAST(big_n AS DOUBLE)
+                 / CAST(row_tot AS DOUBLE)
+                 / CAST(col_tot AS DOUBLE) AS chi2_term
+        FROM cells
+    )
+"""
+
+
+def _chi2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence scan of order priority x order status —
+    the categorical complement to dq_drift_psi's numeric drift: a
+    training-mixture gate asking whether two labelings are associated.
+
+    Exactness: every cell term is derived from exact BIGINT contingency
+    counts — expected = rt·ct/N and term = (obs·N - rt·ct)²/(N·rt·ct)
+    are fixed chains of IEEE ops on identical integers, so both
+    engines agree bit-for-bit with NO rounding policy (the diff
+    obs·N - rt·ct stays < 2^53-exact through sf100). ZERO cells are
+    materialized via the row-total x col-total cross (a 5x3 broadcast
+    of two tiny aggregates): a missing combination contributes its
+    full expected count, which a naive GROUP BY would silently drop.
+
+    Scale: one fact pass builds the contingency table; everything
+    after operates on O(categories²) rows broadcast-side."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    obs = orders.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("st"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    obs = obs.localCheckpoint(eager=True)  # 3 consumers, one fact pass
+    rt = obs.groupBy("pri").agg(F.sum("n").alias("row_tot"))
+    ct = obs.groupBy("st").agg(F.sum("n").alias("col_tot"))
+    tot = obs.agg(F.sum("n").alias("big_n"))
+    cells = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(obs), ["pri", "st"], "left")
+        .select(
+            "pri",
+            "st",
+            F.coalesce("n", F.lit(0)).alias("obs_n"),
+            "row_tot",
+            "col_tot",
+            "big_n",
+        )
+    )
+    d = F.col("obs_n") * F.col("big_n") - F.col("row_tot") * F.col("col_tot")
+    return cells.select(
+        "pri",
+        "st",
+        "obs_n",
+        (
+            (F.col("row_tot") * F.col("col_tot")).cast("double")
+            / F.col("big_n").cast("double")
+        ).alias("expected_n"),
+        (
+            d.cast("double")
+            * d.cast("double")
+            / F.col("big_n").cast("double")
+            / F.col("row_tot").cast("double")
+            / F.col("col_tot").cast("double")
+        ).alias("chi2_term"),
+    )
+
+
+register(
+    "stats_chi2_cells",
+    _chi2_cells,
+    f"""
+    WITH {_CHI2_CELLS_SQL}
+    SELECT pri, st, obs_n, expected_n, chi2_term FROM terms
+    """,
+)
+
+
+def _chi2_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chi-square STATISTIC from the same contingency cells: a sum
+    of 15 doubles, which a plain aggregate would add in partition-
+    nondeterministic order — so the cells are collected into a sorted
+    array and left-folded (the events_ewma_fold trick), making the
+    total bit-reproducible across engines AND across reruns. Degrees
+    of freedom (r-1)(c-1) from exact category counts."""
+    cells = _chi2_cells(spark, sf_dir)
+    arr = F.array_sort(
+        F.collect_list(F.struct("pri", "st", "chi2_term"))
+    )
+    return cells.agg(
+        F.aggregate(
+            arr,
+            F.lit(0.0),
+            lambda acc, x: acc + x["chi2_term"],
+        ).alias("chi2"),
+        (
+            (F.count_distinct("pri") - 1) * (F.count_distinct("st") - 1)
+        ).alias("dof"),
+    )
+
+
+register(
+    "stats_chi2_total",
+    _chi2_total,
+    f"""
+    WITH {_CHI2_CELLS_SQL}
+    SELECT list_reduce(
+               list_prepend(0.0, list(chi2_term ORDER BY pri, st)),
+               (acc, x) -> acc + x) AS chi2,
+           CAST((count(DISTINCT pri) - 1) * (count(DISTINCT st) - 1)
+                AS BIGINT) AS dof
+    FROM terms
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# one-pass correlation matrix over the lineitem measures
+# ---------------------------------------------------------------------------
+
+
+def _corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of every pair of the four lineitem measures
+    in ONE partial-aggregable pass (six corr() aggregates share the
+    same scan and shuffle) — the feature-profiling step before any
+    model-based quality scoring. Correlations are genuinely irrational
+    → round(,6) tolerance (float-policy exception c), as
+    graph_assortativity establishes for cross-engine corr()."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pairs = [
+        ("l_quantity", "l_extendedprice", "qty_price"),
+        ("l_quantity", "l_discount", "qty_disc"),
+        ("l_quantity", "l_tax", "qty_tax"),
+        ("l_extendedprice", "l_discount", "price_disc"),
+        ("l_extendedprice", "l_tax", "price_tax"),
+        ("l_discount", "l_tax", "disc_tax"),
+    ]
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.round(F.corr(a, b), 6).alias(f"corr_{name}")
+            for a, b, name in pairs
+        ],
+    )
+
+
+register(
+    "stats_corr_matrix",
+    _corr_matrix,
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(corr(l_quantity, l_discount), 6) AS corr_qty_disc,
+           round(corr(l_quantity, l_tax), 6) AS corr_qty_tax,
+           round(corr(l_extendedprice, l_discount), 6) AS corr_price_disc,
+           round(corr(l_extendedprice, l_tax), 6) AS corr_price_tax,
+           round(corr(l_discount, l_tax), 6) AS corr_disc_tax
+    FROM lineitem
+    """,
+)

@@ -266,3 +266,39 @@ def test_cdc_chunks_matches_python_replica(spark, tmp_path):
     # the shared passage was found, the disjoint docs stayed clean
     assert out[1][1] >= 1 and out[2][1] >= 1
     assert out[3][1] == 0 and out[4] == (1, 0, 0, 4)
+
+
+def test_chi2_materializes_zero_cells(spark, tmp_path):
+    """2x2 contingency with one EMPTY combination: the zero cell must
+    appear with its full expected count (a naive GROUP BY drops it and
+    understates chi2); the folded total must equal the same IEEE
+    left-fold in Python."""
+    from orchestrated_etl_spark.queries.wave15_round4 import (
+        _chi2_cells,
+        _chi2_total,
+    )
+
+    rows = (
+        [("A", "X")] * 4 + [("B", "X")] * 2 + [("B", "Y")] * 2
+    )
+    spark.createDataFrame(
+        rows, "o_orderpriority string, o_orderstatus string"
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+
+    cells = {
+        (r["pri"], r["st"]): (r["obs_n"], r["expected_n"], r["chi2_term"])
+        for r in _chi2_cells(spark, str(tmp_path)).collect()
+    }
+    # N=8, rt A=4 B=4, ct X=6 Y=2
+    assert cells[("A", "X")] == (4, 3.0, 64.0 / 8.0 / 4.0 / 6.0)
+    assert cells[("A", "Y")] == (0, 1.0, 64.0 / 8.0 / 4.0 / 2.0)  # zero cell
+    assert cells[("B", "X")] == (2, 3.0, 64.0 / 8.0 / 4.0 / 6.0)
+    assert cells[("B", "Y")] == (2, 1.0, 64.0 / 8.0 / 4.0 / 2.0)
+    assert len(cells) == 4
+
+    acc = 0.0
+    for key in sorted(cells):
+        acc = acc + cells[key][2]
+    total = _chi2_total(spark, str(tmp_path)).collect()[0]
+    assert total["chi2"] == acc
+    assert total["dof"] == 1

@@ -75,6 +75,11 @@ SCALAR_BROADCAST_OK = {
     # daily spine — constant build side; the pair join itself is an
     # equi-join on (day + lag).
     "events_acf_lags",
+    # the contingency cross is category-sized (5 priorities x 3
+    # statuses x a 1-row total) — three broadcast relations of
+    # constant cardinality, never data x data.
+    "stats_chi2_cells",
+    "stats_chi2_total",
 }
 
 # Streaming queries materialise through a memory sink; their batch plan is
