@@ -930,3 +930,365 @@ register(
     FROM lineitem
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival (click -> purchase conversion), exact folds
+# ---------------------------------------------------------------------------
+
+
+def _km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Kaplan-Meier estimator of time-to-conversion: for
+    each user with a click, the duration (days) to their first
+    subsequent purchase, right-CENSORED at the corpus horizon for
+    users who never convert — the survival-analysis shape behind
+    retention curves and time-to-event product questions, which naive
+    "average days to convert" gets wrong by silently dropping
+    non-converters.
+
+    Per distinct duration d: events d_i, leavers c_i (events +
+    censored), risk set n_i = Σ_{e>=d} c_e (a DESC-ordered window over
+    the O(duration-domain) relation), factor (n_i - d_i)/n_i — an
+    exact BIGINT quotient. S(d) = Π_{e<=d} factor_e is an ORDERED LEFT
+    FOLD over the duration-sorted factor array (events_ewma_fold
+    trick): a cumulative PRODUCT is not partial-aggregable and
+    exp(sum(log)) is not bit-stable, but the fold is — both engines
+    run the identical IEEE multiply sequence, so S(d) needs NO
+    rounding policy.
+
+    Scale: two user-keyed fact aggregates (clicks, conditional first
+    purchase) + one broadcast 1-row horizon; everything ordered
+    operates on O(distinct durations) rows — date-domain, never
+    fact-sized. The packed-array fold sees one row."""
+    ev = read_events(spark, sf_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("fc"))
+    )
+    horizon = ev.agg(F.max(F.to_date("ts")).alias("hz"))
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.to_date("ts").alias("pd")
+    )
+    firstp = (
+        clicks.join(purch, "user_id")
+        .where(F.col("pd") >= F.col("fc"))
+        .groupBy("user_id")
+        .agg(F.min("pd").alias("fp"))
+    )
+    cohort = (
+        clicks.join(firstp, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("fp").isNotNull(), F.datediff("fp", "fc")
+            )
+            .otherwise(F.datediff("hz", "fc"))
+            .alias("duration"),
+            F.when(F.col("fp").isNotNull(), 1).otherwise(0).alias("event"),
+        )
+    )
+    at_dur = cohort.groupBy("duration").agg(
+        F.sum("event").alias("d_i"), F.count(F.lit(1)).alias("c_i")
+    )
+    w = Window.orderBy(F.desc("duration")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    terms = at_dur.select(
+        "duration",
+        "d_i",
+        "c_i",
+        F.sum("c_i").over(w).alias("n_i"),
+    ).select(
+        "duration",
+        "d_i",
+        "c_i",
+        "n_i",
+        (
+            (F.col("n_i") - F.col("d_i")).cast("double")
+            / F.col("n_i").cast("double")
+        ).alias("term"),
+    )
+    packed = terms.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("duration", "d_i", "c_i", "n_i", "term")
+            )
+        ).alias("arr")
+    )
+    arr = F.col("arr")
+    out = packed.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr)),
+                lambda k: F.struct(
+                    F.try_element_at(arr, k)["duration"].alias("duration"),
+                    F.try_element_at(arr, k)["d_i"].alias("d_i"),
+                    F.try_element_at(arr, k)["c_i"].alias("c_i"),
+                    F.try_element_at(arr, k)["n_i"].alias("n_i"),
+                    F.aggregate(
+                        F.slice(arr, 1, k),
+                        F.lit(1.0),
+                        lambda acc, x: acc * x["term"],
+                    ).alias("km_survival"),
+                ),
+            )
+        ).alias("r")
+    )
+    return out.select("r.*")
+
+
+register(
+    "events_km_survival",
+    _km_survival,
+    """
+    WITH clicks AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS fc
+        FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    hz AS (SELECT max(CAST(ts AS DATE)) AS hz FROM events),
+    firstp AS (
+        SELECT c.user_id, min(CAST(p.ts AS DATE)) AS fp
+        FROM clicks c
+        JOIN events p ON p.user_id = c.user_id
+             AND p.event_type = 'purchase'
+             AND CAST(p.ts AS DATE) >= c.fc
+        GROUP BY c.user_id
+    ),
+    cohort AS (
+        SELECT CAST(CASE WHEN f.fp IS NOT NULL THEN f.fp - c.fc
+                         ELSE h.hz - c.fc END AS INTEGER) AS duration,
+               CASE WHEN f.fp IS NOT NULL THEN 1 ELSE 0 END AS event
+        FROM clicks c LEFT JOIN firstp f USING (user_id), hz h
+    ),
+    at_dur AS (
+        SELECT duration, CAST(sum(event) AS BIGINT) AS d_i,
+               CAST(count(*) AS BIGINT) AS c_i
+        FROM cohort GROUP BY duration
+    ),
+    risk AS (
+        SELECT duration, d_i, c_i,
+               CAST(sum(c_i) OVER (ORDER BY duration DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_i
+        FROM at_dur
+    ),
+    terms AS (
+        SELECT duration, d_i, c_i, n_i,
+               CAST(n_i - d_i AS DOUBLE) / CAST(n_i AS DOUBLE) AS term
+        FROM risk
+    ),
+    packed AS (
+        SELECT list(struct_pack(
+                   duration := duration, d_i := d_i, c_i := c_i,
+                   n_i := n_i, term := term) ORDER BY duration) AS arr
+        FROM terms
+    ),
+    unrolled AS (
+        SELECT unnest(list_transform(
+            range(1, CAST(len(arr) + 1 AS BIGINT)),
+            k -> struct_pack(
+                duration := arr[CAST(k AS INTEGER)]['duration'],
+                d_i := arr[CAST(k AS INTEGER)]['d_i'],
+                c_i := arr[CAST(k AS INTEGER)]['c_i'],
+                n_i := arr[CAST(k AS INTEGER)]['n_i'],
+                km := list_reduce(
+                    list_prepend(CAST(1.0 AS DOUBLE),
+                        list_transform(arr[1:CAST(k AS INTEGER)],
+                                       x -> x['term'])),
+                    (a, b) -> a * b)))) AS r
+        FROM packed
+    )
+    SELECT r['duration'] AS duration, r['d_i'] AS d_i,
+           r['c_i'] AS c_i, r['n_i'] AS n_i,
+           r['km'] AS km_survival
+    FROM unrolled
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Welch two-sample t-test from exact DECIMAL moments
+# ---------------------------------------------------------------------------
+
+
+def _welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B difference-in-means test: users split deterministically by
+    user_id parity (rerun/engine-stable, unlike rand()), Welch t
+    statistic on purchase values. One conditional-aggregate fact pass
+    accumulates BOTH arms' (n, Σx, Σx²) in EXACT DECIMAL (2-decimal
+    values: sums and squares are exact — the agg_incremental_moments
+    recipe, DECIMAL(19,2) squares forcing DuckDB's int128 path), so
+    mean/variance/t/dof are fixed IEEE chains over bit-identical
+    scalars: no rounding policy, no summation-order hazard. The
+    variance numerators n·Q - S² stay below 2^53 through sf0.1
+    (values <= ~500, so Q ~ 1e9·sf·100), keeping the DECIMAL->DOUBLE
+    cast exact on both engines (past that, report on a grid as
+    agg_incremental_moments does).
+
+    Scale: ONE partial-aggregable pass, 1-row result. The classic
+    telemetry experiment readout at any corpus size."""
+    ev = read_events(spark, sf_dir)
+    p = ev.where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    x = F.col("value").cast("decimal(19,2)")
+    arm_a = F.col("user_id") % 2 == 0
+    agg = p.agg(
+        F.sum(F.when(arm_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~arm_a, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(arm_a, x)).cast("decimal(18,2)").alias("s_a"),
+        F.sum(F.when(~arm_a, x)).cast("decimal(18,2)").alias("s_b"),
+        F.sum(F.when(arm_a, (x * x).cast("decimal(38,4)")))
+        .cast("decimal(20,4)")
+        .alias("q_a"),
+        F.sum(F.when(~arm_a, (x * x).cast("decimal(38,4)")))
+        .cast("decimal(20,4)")
+        .alias("q_b"),
+    )
+
+    def var(n, s, q):
+        num = (
+            n.cast("decimal(10,0)") * q
+            - (s * s).cast("decimal(38,4)")
+        ).cast("decimal(38,4)")
+        return num.cast("double") / (n * (n - F.lit(1))).cast("double")
+
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    s_a, s_b = F.col("s_a"), F.col("s_b")
+    q_a, q_b = F.col("q_a"), F.col("q_b")
+    with_stats = agg.select(
+        n_a,
+        n_b,
+        (s_a.cast("double") / n_a.cast("double")).alias("mean_a"),
+        (s_b.cast("double") / n_b.cast("double")).alias("mean_b"),
+        var(n_a, s_a, q_a).alias("var_a"),
+        var(n_b, s_b, q_b).alias("var_b"),
+    )
+    sea = F.col("var_a") / n_a.cast("double")
+    seb = F.col("var_b") / n_b.cast("double")
+    se2 = sea + seb
+    return with_stats.select(
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        "var_a",
+        "var_b",
+        ((F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2)).alias("t_stat"),
+        (
+            se2
+            * se2
+            / (
+                sea * sea / (n_a - F.lit(1)).cast("double")
+                + seb * seb / (n_b - F.lit(1)).cast("double")
+            )
+        ).alias("welch_dof"),
+    )
+
+
+register(
+    "stats_ab_welch_ttest",
+    _welch_ttest,
+    """
+    WITH agg AS (
+        SELECT
+            CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS n_a,
+            CAST(count(*) FILTER (WHERE user_id % 2 <> 0) AS BIGINT) AS n_b,
+            CAST(sum(CAST(value AS DECIMAL(19,2)))
+                 FILTER (WHERE user_id % 2 = 0) AS DECIMAL(18,2)) AS s_a,
+            CAST(sum(CAST(value AS DECIMAL(19,2)))
+                 FILTER (WHERE user_id % 2 <> 0) AS DECIMAL(18,2)) AS s_b,
+            CAST(sum(CAST(CAST(value AS DECIMAL(19,2))
+                          * CAST(value AS DECIMAL(19,2))
+                          AS DECIMAL(38,4)))
+                 FILTER (WHERE user_id % 2 = 0) AS DECIMAL(20,4)) AS q_a,
+            CAST(sum(CAST(CAST(value AS DECIMAL(19,2))
+                          * CAST(value AS DECIMAL(19,2))
+                          AS DECIMAL(38,4)))
+                 FILTER (WHERE user_id % 2 <> 0) AS DECIMAL(20,4)) AS q_b
+        FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    stats AS (
+        SELECT n_a, n_b,
+               CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+               CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+               CAST(CAST(CAST(n_a AS DECIMAL(10,0)) * q_a
+                         - CAST(s_a * s_a AS DECIMAL(38,4))
+                    AS DECIMAL(38,4)) AS DOUBLE)
+                   / CAST(n_a * (n_a - 1) AS DOUBLE) AS var_a,
+               CAST(CAST(CAST(n_b AS DECIMAL(10,0)) * q_b
+                         - CAST(s_b * s_b AS DECIMAL(38,4))
+                    AS DECIMAL(38,4)) AS DOUBLE)
+                   / CAST(n_b * (n_b - 1) AS DOUBLE) AS var_b
+        FROM agg
+    )
+    SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+           (mean_a - mean_b)
+               / sqrt(var_a / CAST(n_a AS DOUBLE)
+                      + var_b / CAST(n_b AS DOUBLE)) AS t_stat,
+           (var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE))
+             * (var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE))
+             / ((var_a / CAST(n_a AS DOUBLE))
+                  * (var_a / CAST(n_a AS DOUBLE))
+                  / CAST(n_a - 1 AS DOUBLE)
+                + (var_b / CAST(n_b AS DOUBLE))
+                  * (var_b / CAST(n_b AS DOUBLE))
+                  / CAST(n_b - 1 AS DOUBLE)) AS welch_dof
+    FROM stats
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# named WINDOW clause + explicit NULLS ordering (shared SQL text)
+# ---------------------------------------------------------------------------
+
+# Values below 25 are nulled to simulate failed price capture: the
+# explicit NULLS LAST is then genuinely load-bearing (Spark's DESC
+# default is NULLS LAST but DuckDB's is NULLS FIRST-configurable — the
+# explicit clause pins both engines to the same total order, with
+# event_id as the unconditional tie-break).
+_NAMED_WINDOW_SQL = """
+    WITH src AS (
+        SELECT user_id, event_id,
+               CASE WHEN value < 25 THEN NULL ELSE value END AS v
+        FROM {events}
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    ),
+    ranked AS (
+        SELECT user_id, event_id, v,
+               row_number() OVER w AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n_purch
+        FROM src
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY v DESC NULLS LAST, event_id)
+    )
+    SELECT user_id, event_id, v AS top_value,
+           CAST(n_purch AS BIGINT) AS n_purch
+    FROM ranked WHERE rn = 1
+"""
+
+
+def _named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI named-WINDOW clause (one definition, many windowed
+    expressions) + explicit NULLS LAST ordering, both engines running
+    the IDENTICAL SQL text. Per user: the top-priced purchase (nulled
+    "failed captures" forced below every real price), plus the user's
+    purchase count from a second window sharing the shuffle. The plan
+    is ONE user-partitioned exchange feeding both window functions —
+    the named clause isn't sugar only: it guarantees frame/partition
+    identity, which is what lets Catalyst compute both in one Window
+    operator."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "v_events_w15"
+    )
+    return spark.sql(_NAMED_WINDOW_SQL.format(events="v_events_w15"))
+
+
+register(
+    "sql_named_window_nulls",
+    _named_window,
+    _NAMED_WINDOW_SQL.format(events="events"),
+)

@@ -302,3 +302,36 @@ def test_chi2_materializes_zero_cells(spark, tmp_path):
     total = _chi2_total(spark, str(tmp_path)).collect()[0]
     assert total["chi2"] == acc
     assert total["dof"] == 1
+
+
+def test_km_survival_planted_censoring(spark, tmp_path):
+    """Four-user cohort covering every KM edge: same-day conversion
+    (duration 0), a delayed conversion, a never-converter censored at
+    the horizon, and a user whose only purchase PRECEDES their click
+    (must count as censored, not converted)."""
+    from orchestrated_etl_spark.queries.wave15_round4 import _km_survival
+
+    rows = [
+        _event(1, 1, "click", user=1),
+        _event(2, 3, "purchase", 10.0, user=1),  # u1: d=2, event
+        _event(3, 1, "click", user=2),
+        _event(4, 1, "purchase", 10.0, user=2),  # u2: d=0, event
+        _event(5, 2, "click", user=3),  # u3: censored at horizon
+        _event(6, 1, "purchase", 10.0, user=4),  # before u4's click
+        _event(7, 2, "click", user=4),  # u4: censored (no post-click buy)
+        _event(8, 6, "view", user=99),  # horizon = day 6; 99 not in cohort
+    ]
+    spark.createDataFrame(rows, _EVENT_SCHEMA).write.parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    out = {
+        r["duration"]: (
+            r["d_i"], r["c_i"], r["n_i"], r["km_survival"]
+        )
+        for r in _km_survival(spark, str(tmp_path)).collect()
+    }
+    # durations: u1=2(event), u2=0(event), u3=4(censored), u4=4(censored)
+    assert out[0] == (1, 1, 4, 3.0 / 4.0)
+    assert out[2] == (1, 1, 3, (3.0 / 4.0) * (2.0 / 3.0))
+    assert out[4] == (0, 2, 2, (3.0 / 4.0) * (2.0 / 3.0) * 1.0)
+    assert len(out) == 3

@@ -80,6 +80,9 @@ SCALAR_BROADCAST_OK = {
     # constant cardinality, never data x data.
     "stats_chi2_cells",
     "stats_chi2_total",
+    # broadcast 1-row censoring-horizon (corpus max date) onto the
+    # user cohort — constant build side at any scale.
+    "events_km_survival",
 }
 
 # Streaming queries materialise through a memory sink; their batch plan is
