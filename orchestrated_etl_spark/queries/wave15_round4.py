@@ -1292,3 +1292,310 @@ register(
     _named_window,
     _NAMED_WINDOW_SQL.format(events="events"),
 )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend smoothing via ordered struct fold (forecasting)
+# ---------------------------------------------------------------------------
+
+
+def _holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + linear trend) over
+    the daily purchase-revenue series, with a 3-day-ahead forecast —
+    the trend-aware upgrade of events_ewma_fold's flat EWMA. The
+    recurrence l' = α·x + (1-α)(l+b), b' = γ(l'-l) + (1-γ)b carries
+    TWO accumulators, so the fold state is a STRUCT: the day-sorted
+    series becomes an array of {l: x_d, b: 0} structs and the left
+    fold starts from its first element — which IS the standard init
+    (l₁=x₁, b₁=0) — making Spark's F.aggregate and DuckDB's
+    list_reduce (no initial-value overload in 1.0) traverse the
+    identical sequence. α=1/2 and γ=1/4 are exact binary fractions,
+    every input is an exact-DECIMAL daily sum, so the whole recurrence
+    is bit-reproducible with NO rounding policy.
+
+    Scale: the fact table collapses to the O(date-domain) daily
+    relation; the fold sees one array on one row. Per-key series would
+    fold per group (the EWMA contract)."""
+    ev = read_events(spark, sf_dir)
+    purch = ev.where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    daily = purch.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    packed = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "rev"))),
+            lambda s: F.struct(
+                s["rev"].alias("l"), F.lit(0.0).alias("b")
+            ),
+        ).alias("arr"),
+    )
+    a, g = F.lit(0.5), F.lit(0.25)
+    one = F.lit(1.0)
+
+    def merge(acc, x):
+        new_l = a * x["l"] + (one - a) * (acc["l"] + acc["b"])
+        return F.struct(
+            new_l.alias("l"),
+            (g * (new_l - acc["l"]) + (one - g) * acc["b"]).alias("b"),
+        )
+
+    state = F.aggregate(
+        F.slice(F.col("arr"), 2, F.greatest(F.size("arr") - 1, F.lit(0))),
+        F.try_element_at(F.col("arr"), F.lit(1)),
+        merge,
+    )
+    return packed.select(
+        "n_days",
+        state["l"].alias("level"),
+        state["b"].alias("trend"),
+        (state["l"] + F.lit(1.0) * state["b"]).alias("forecast_1d"),
+        (state["l"] + F.lit(2.0) * state["b"]).alias("forecast_2d"),
+        (state["l"] + F.lit(3.0) * state["b"]).alias("forecast_3d"),
+    )
+
+
+# Oracle note: the natural DuckDB form — list_reduce with a STRUCT
+# accumulator — is nondeterministic in DuckDB 1.0 (the same fold
+# returned three different states depending on slicing context;
+# double-typed accumulators like events_ewma_fold's are fine). The
+# recurrence is therefore unrolled as a data-dependent recursive CTE,
+# which matches the pure-Python replica bit-for-bit.
+register(
+    "events_holt_linear",
+    _holt_linear,
+    """
+    WITH RECURSIVE daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+        GROUP BY 1
+    ),
+    seq AS (
+        SELECT CAST(row_number() OVER (ORDER BY day) AS INTEGER) AS i,
+               rev
+        FROM daily
+    ),
+    walk(i, l, b) AS (
+        SELECT 1, rev, CAST(0.0 AS DOUBLE) FROM seq WHERE i = 1
+        UNION ALL
+        SELECT s.i,
+               CAST(0.5 AS DOUBLE) * s.rev
+                   + CAST(0.5 AS DOUBLE) * (w.l + w.b),
+               CAST(0.25 AS DOUBLE)
+                   * (CAST(0.5 AS DOUBLE) * s.rev
+                      + CAST(0.5 AS DOUBLE) * (w.l + w.b) - w.l)
+                 + CAST(0.75 AS DOUBLE) * w.b
+        FROM walk w JOIN seq s ON s.i = w.i + 1
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM seq) AS n_days,
+           l AS level,
+           b AS trend,
+           l + CAST(1.0 AS DOUBLE) * b AS forecast_1d,
+           l + CAST(2.0 AS DOUBLE) * b AS forecast_2d,
+           l + CAST(3.0 AS DOUBLE) * b AS forecast_3d
+    FROM walk WHERE i = (SELECT max(i) FROM walk)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# trimmed (winsorized-tail) mean per group via exact order statistics
+# ---------------------------------------------------------------------------
+
+
+def _trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean of order value per order status — the robust
+    location estimate outlier-heavy money columns need (the mean a
+    single fat-finger order can't move). Cutoffs are EXACT
+    percentile_disc order statistics (both engines implement the ANSI
+    smallest-cume_dist>=p rule — agg_median_percentiles probes this),
+    broadcast back onto the scan as a [lo, hi] filter; kept rows
+    re-aggregate in exact DECIMAL. Every compared value is an exact
+    integer, an order statistic, or an exact-DECIMAL-sum quotient —
+    no rounding policy.
+
+    Scale: one pass for cutoffs (exact percentile buffers per group —
+    bounded-cardinality groups; at unbounded cardinality swap in the
+    histogram cutoffs of events_rfm_quantile_cutoffs), one filtered
+    re-aggregate with the 3-row cutoff relation broadcast."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderstatus", F.col("o_totalprice").cast("decimal(18,2)").alias("x")
+    )
+    cuts = orders.groupBy("o_orderstatus").agg(
+        F.expr(
+            "percentile_disc(0.05) WITHIN GROUP (ORDER BY x)"
+        ).alias("lo"),
+        F.expr(
+            "percentile_disc(0.95) WITHIN GROUP (ORDER BY x)"
+        ).alias("hi"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("x").cast("decimal(38,2)").alias("s_all"),
+    )
+    kept = (
+        orders.join(F.broadcast(cuts), "o_orderstatus")
+        .where((F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi")))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("x").cast("decimal(38,2)").alias("s_kept"),
+            F.max("n_total").alias("n_total"),
+            F.max("s_all").cast("decimal(18,2)").alias("s_all"),
+        )
+    )
+    return kept.select(
+        "o_orderstatus",
+        "n_total",
+        "n_kept",
+        (F.col("s_all").cast("double") / F.col("n_total").cast("double"))
+        .alias("mean_all"),
+        (
+            F.col("s_kept").cast("decimal(18,2)").cast("double")
+            / F.col("n_kept").cast("double")
+        ).alias("trimmed_mean"),
+    )
+
+
+register(
+    "agg_trimmed_mean",
+    _trimmed_mean,
+    """
+    WITH src AS (
+        SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS x
+        FROM orders
+    ),
+    cuts AS (
+        SELECT o_orderstatus,
+               percentile_disc(0.05) WITHIN GROUP (ORDER BY x) AS lo,
+               percentile_disc(0.95) WITHIN GROUP (ORDER BY x) AS hi,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(x) AS DECIMAL(18,2)) AS s_all
+        FROM src GROUP BY o_orderstatus
+    )
+    SELECT s.o_orderstatus,
+           max(c.n_total) AS n_total,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(max(c.s_all) AS DOUBLE)
+               / CAST(max(c.n_total) AS DOUBLE) AS mean_all,
+           CAST(CAST(sum(s.x) AS DECIMAL(18,2)) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS trimmed_mean
+    FROM src s
+    JOIN cuts c ON s.o_orderstatus = c.o_orderstatus
+    WHERE s.x >= c.lo AND s.x <= c.hi
+    GROUP BY s.o_orderstatus
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of customer revenue per nation (exact)
+# ---------------------------------------------------------------------------
+
+
+def _gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Gini per nation — the inequality measure
+    behind "is this market whale-dominated?", and for corpora, "is
+    this source dominated by a few documents?". Uses the sorted-rank
+    identity G = Σᵢ(2i - n - 1)·xᵢ / (n·Σx): ranks come from a
+    PARTITIONED window (per-nation, ordered by (revenue, custkey) — a
+    total order, so ties can't flip ranks between engines and the
+    identity is tie-invariant anyway since equal x contribute equal
+    terms under any rank permutation). The numerator Σ(2i-n-1)·xᵢ
+    accumulates in EXACT DECIMAL (integer rank factor x 2-decimal
+    revenue), so the final quotient is one IEEE division of
+    bit-identical operands: no rounding policy.
+
+    Scale: one custkey aggregate (fact-sized shuffle), one broadcast
+    dim join, one nation-partitioned window over the customer-sized
+    relation — no global sort anywhere."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("x")
+    )
+    by_nation = rev.join(
+        F.broadcast(cust), rev.o_custkey == cust.c_custkey
+    ).select("c_nationkey", "c_custkey", "x")
+    w = Window.partitionBy("c_nationkey").orderBy("x", "c_custkey")
+    wn = Window.partitionBy("c_nationkey")
+    ranked = by_nation.select(
+        "c_nationkey",
+        "x",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    terms = ranked.select(
+        "c_nationkey",
+        "x",
+        "n",
+        (
+            (F.lit(2) * F.col("i") - F.col("n") - F.lit(1)).cast(
+                "decimal(10,0)"
+            )
+            * F.col("x")
+        ).cast("decimal(38,2)").alias("term"),
+    )
+    agg = terms.groupBy("c_nationkey").agg(
+        F.max("n").alias("n_customers"),
+        F.sum("x").cast("decimal(18,2)").alias("s"),
+        F.sum("term").cast("decimal(38,2)").alias("num"),
+    )
+    return agg.select(
+        "c_nationkey",
+        "n_customers",
+        F.col("s").cast("double").alias("total_revenue"),
+        (
+            F.col("num").cast("double")
+            / (
+                F.col("n_customers").cast("decimal(10,0)") * F.col("s")
+            ).cast("double")
+        ).alias("gini"),
+    )
+
+
+register(
+    "agg_gini_revenue",
+    _gini_revenue,
+    """
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS x
+        FROM orders GROUP BY o_custkey
+    ),
+    by_nation AS (
+        SELECT c.c_nationkey, c.c_custkey, r.x
+        FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
+    ),
+    ranked AS (
+        SELECT c_nationkey, x,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY x, c_custkey) AS i,
+               count(*) OVER (PARTITION BY c_nationkey) AS n
+        FROM by_nation
+    ),
+    agg AS (
+        SELECT c_nationkey,
+               CAST(max(n) AS BIGINT) AS n_customers,
+               CAST(sum(x) AS DECIMAL(18,2)) AS s,
+               CAST(sum(CAST(CAST(2 * i - n - 1 AS DECIMAL(10,0)) * x
+                             AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS num
+        FROM ranked GROUP BY c_nationkey
+    )
+    SELECT c_nationkey, n_customers,
+           CAST(s AS DOUBLE) AS total_revenue,
+           CAST(num AS DOUBLE)
+               / CAST(CAST(n_customers AS DECIMAL(10,0)) * s AS DOUBLE)
+               AS gini
+    FROM agg
+    """,
+)

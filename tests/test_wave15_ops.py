@@ -335,3 +335,27 @@ def test_km_survival_planted_censoring(spark, tmp_path):
     assert out[2] == (1, 1, 3, (3.0 / 4.0) * (2.0 / 3.0))
     assert out[4] == (0, 2, 2, (3.0 / 4.0) * (2.0 / 3.0) * 1.0)
     assert len(out) == 3
+
+
+def test_holt_linear_matches_python_recurrence(spark, tmp_path):
+    """Spark's struct-accumulator fold must replay the exact Holt
+    recurrence (alpha=1/2, gamma=1/4, init l=x1, b=0) bit-for-bit."""
+    from orchestrated_etl_spark.queries.wave15_round4 import _holt_linear
+
+    xs = [100.0, 110.0, 90.0, 130.0, 120.0]
+    rows = [
+        _event(d, d, "purchase", xs[d - 1]) for d in range(1, len(xs) + 1)
+    ]
+    spark.createDataFrame(rows, _EVENT_SCHEMA).write.parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    l, b = xs[0], 0.0
+    for x in xs[1:]:
+        nl = 0.5 * x + 0.5 * (l + b)
+        b = 0.25 * (nl - l) + 0.75 * b
+        l = nl
+    out = _holt_linear(spark, str(tmp_path)).collect()[0]
+    assert out["n_days"] == len(xs)
+    assert out["level"] == l
+    assert out["trend"] == b
+    assert out["forecast_3d"] == l + 3.0 * b
