@@ -1599,3 +1599,310 @@ register(
     FROM agg
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# top event-path trigrams (funnel discovery)
+# ---------------------------------------------------------------------------
+
+
+def _trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step behavioral paths (event-type trigrams per
+    user, time-ordered) — the funnel-DISCOVERY complement to
+    funnel_view_click_purchase's fixed funnel: it surfaces which
+    3-step sequences actually dominate, ranked by exact counts with a
+    total (count DESC, path ASC) tie-break.
+
+    Scale: one user-partitioned window (two lag()s share the same
+    sort), one path aggregate, and a global top-10 that plans as
+    TakeOrderedAndProject — never a full sort. The (ts, event_id)
+    window order is a total order, so ranks can't flip between
+    engines or reruns."""
+    ev = read_events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = ev.select(
+        F.concat_ws(
+            ">",
+            F.lag("event_type", 2).over(w),
+            F.lag("event_type", 1).over(w),
+            F.col("event_type"),
+        ).alias("path"),
+        F.lag("event_type", 2).over(w).alias("_t2"),
+    ).where(F.col("_t2").isNotNull())
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), F.asc("path"))
+        .limit(10)
+    )
+
+
+register(
+    "events_trigram_paths",
+    _trigram_paths,
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type, 2) OVER w AS t2,
+               lag(event_type, 1) OVER w AS t1
+        FROM events
+        WHERE user_id IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t2 || '>' || t1 || '>' || event_type AS path,
+           CAST(count(*) AS BIGINT) AS n_paths
+    FROM seq WHERE t2 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n_paths DESC, path ASC
+    LIMIT 10
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# maximum drawdown of the daily revenue series (exact)
+# ---------------------------------------------------------------------------
+
+
+def _max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-peak drawdown of daily purchase revenue — the
+    worst-decline-from-peak measure (finance's max drawdown, ops'
+    worst regression-from-best). Peak is a running MAX window (an
+    exact pick, no arithmetic), drawdown = rev/peak - 1 is a fixed
+    IEEE chain on exact-DECIMAL-derived doubles, and the deepest day
+    is flagged via a broadcast 1-row minimum — every compared value
+    either exact or an identical-operand IEEE result: no rounding.
+
+    Scale: the fact table collapses to the O(date-domain) daily
+    relation first (the rolling-median argument); the ordered window
+    and the 1-row broadcast both operate on date-domain rows."""
+    ev = read_events(spark, sf_dir)
+    purch = ev.where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    daily = (
+        purch.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+        .localCheckpoint(eager=True)  # window + min consumer, 1 fact pass
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_dd = daily.select(
+        "day",
+        "rev",
+        F.max("rev").over(w).alias("peak"),
+    ).select(
+        "day",
+        "rev",
+        "peak",
+        (F.col("rev") / F.col("peak") - F.lit(1.0)).alias("drawdown"),
+    )
+    worst = with_dd.agg(F.min("drawdown").alias("worst"))
+    return with_dd.crossJoin(F.broadcast(worst)).select(
+        "day",
+        "rev",
+        "peak",
+        "drawdown",
+        (F.col("drawdown") == F.col("worst")).alias("is_max_drawdown"),
+    )
+
+
+register(
+    "events_max_drawdown",
+    _max_drawdown,
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+        GROUP BY 1
+    ),
+    dd AS (
+        SELECT day, rev,
+               max(rev) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS peak
+        FROM daily
+    ),
+    dd2 AS (
+        SELECT day, rev, peak, rev / peak - 1.0 AS drawdown FROM dd
+    )
+    SELECT day, rev, peak, drawdown,
+           drawdown = (SELECT min(drawdown) FROM dd2) AS is_max_drawdown
+    FROM dd2
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# quality-gate quarantine routing (expectations with reasons)
+# ---------------------------------------------------------------------------
+
+
+def _quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations-style quarantine routing (the Delta Live Tables /
+    Great Expectations shape): a declarative rule set evaluates
+    MAP-SIDE over the scan, and rows failing ANY rule are routed to
+    quarantine carrying machine-readable reasons — the complement to
+    dq_constraint_audit's aggregate violation COUNTS: this emits the
+    rows themselves, ready to write to a quarantine sink while clean
+    rows continue down the pipeline (one pass, two filtered sinks —
+    never two scans).
+
+    Reasons are a deterministically-ordered (rule-declaration order)
+    joined string, so the relation is engine- and partitioning-
+    stable. Business rules chosen to genuinely fire on real data:
+    purchase price cap, a props range contract, and an ingest-SLA
+    hour window."""
+    ev = read_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    rules = [
+        (
+            "purchase_over_cap",
+            (F.col("event_type") == "purchase") & (F.col("value") > 400.0),
+        ),
+        ("props_k_out_of_range", k >= 95),
+        (
+            "outside_sla_hours",
+            (F.hour("ts") < 2) | (F.hour("ts") >= 23),
+        ),
+    ]
+    reasons = F.concat_ws(
+        ",",
+        F.filter(
+            F.array(
+                *[
+                    F.when(cond, F.lit(name)).otherwise(F.lit(None))
+                    for name, cond in rules
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        ),
+    )
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            "user_id",
+            reasons.alias("reasons"),
+        )
+        .where(F.col("reasons") != "")
+    )
+
+
+register(
+    "dq_quarantine_split",
+    _quarantine_split,
+    """
+    SELECT event_id, event_type, user_id,
+           concat_ws(',',
+               CASE WHEN event_type = 'purchase' AND value > 400.0
+                    THEN 'purchase_over_cap' END,
+               CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+                         >= 95
+                    THEN 'props_k_out_of_range' END,
+               CASE WHEN hour(ts) < 2 OR hour(ts) >= 23
+                    THEN 'outside_sla_hours' END) AS reasons
+    FROM events
+    WHERE (event_type = 'purchase' AND value > 400.0)
+       OR CAST(json_extract_string(props, '$.k') AS INTEGER) >= 95
+       OR hour(ts) < 2 OR hour(ts) >= 23
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# label-centroid cosine similarity matrix
+# ---------------------------------------------------------------------------
+
+
+def _label_centroid_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding
+    centroids — the class-confusability / cluster-quality readout
+    (labels whose centroids nearly coincide are candidates for
+    merging; for corpora, sources whose centroid similarity is high
+    carry redundant content). Centroids are per-(label, dim) means
+    from ONE posexplode pass; the pair join is dim-keyed over the
+    K·d-sized centroid relation, never the corpus. Mean/dot/norm
+    summation order differs between engines, and cosines are
+    genuinely irrational → round(,6) tolerance (float-policy
+    exception c).
+
+    Scale: corpus-sized work is the single explode+aggregate; the
+    K²·d pair stage is centroid-sized (K labels, d dims). The exact
+    same shape serves source-vs-source redundancy at any corpus
+    size."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.avg("v").alias("c"))
+        .localCheckpoint(eager=True)  # feeds norms AND the pair join
+    )
+    norms = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "dim", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "dim", F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, "dim")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = norms.select(
+        F.col("label").alias("label_a"), F.col("nrm").alias("na")
+    )
+    nb = norms.select(
+        F.col("label").alias("label_b"), F.col("nrm").alias("nb")
+    )
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("dot") / (F.col("na") * F.col("nb")), 6
+            ).alias("cos_sim"),
+        )
+    )
+
+
+register(
+    "sim_label_centroid_matrix",
+    _label_centroid_matrix,
+    """
+    WITH cent AS (
+        SELECT label, CAST(t.i - 1 AS INTEGER) AS dim,
+               avg(embedding[CAST(t.i AS INTEGER)]) AS c
+        FROM embeddings, range(1, 4097) AS t(i)
+        WHERE t.i <= len(embedding)
+        GROUP BY 1, 2
+    ),
+    norms AS (
+        SELECT label, sqrt(sum(c * c)) AS nrm FROM cent GROUP BY label
+    ),
+    dots AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               sum(a.c * b.c) AS dot
+        FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY 1, 2
+    )
+    SELECT d.label_a, d.label_b,
+           round(d.dot / (na.nrm * nb.nrm), 6) AS cos_sim
+    FROM dots d
+    JOIN norms na ON d.label_a = na.label
+    JOIN norms nb ON d.label_b = nb.label
+    """,
+)

@@ -83,6 +83,9 @@ SCALAR_BROADCAST_OK = {
     # broadcast 1-row censoring-horizon (corpus max date) onto the
     # user cohort — constant build side at any scale.
     "events_km_survival",
+    # broadcast 1-row worst-drawdown scalar onto the O(date-domain)
+    # daily series — constant build side at any scale.
+    "events_max_drawdown",
 }
 
 # Streaming queries materialise through a memory sink; their batch plan is
