@@ -53,6 +53,9 @@ HEADLINE = [
     "graph_bfs_frontier",
     "join_bloom_prefilter",
     "events_cep_conversion",
+    # round 4b: chunk-level dedup kernel + mergeable-bitmap distinct
+    "dedup_cdc_chunks",
+    "agg_bitmap_distinct",
 ]
 
 

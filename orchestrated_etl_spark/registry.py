@@ -59,13 +59,23 @@ def _load_all() -> None:
 # the driver has never sampled, in registration order across the
 # remaining families: set ops, text, dedup variants, similarity/UDF
 # surface, multimodal, streaming, sampling, sketches, sources/sinks, and
-# the training-pipeline head. ROUND-5 FRONT: the ~41 still-unsampled
-# older queries PLUS the 11 wave-13/14 round-4 additions (graph_bfs_
-# frontier, table_snapshot_diff, join_bloom_prefilter, er_match_blocked_
-# parts, events_cep_conversion, skyline_price_size, graph_shortest_path_
-# weighted, events_interval_coverage, sql_pipe_syntax_rollup,
-# sql_lateral_correlated_topk, spatial_radius_join) = 52 candidates for
-# the 50 slots. Remaining queries follow in registration order.
+# the training-pipeline head. ROUND-5 FRONT: never-sampled queries now
+# number ~75 — the ~41 still-unsampled older queries, the 11 wave-13/14
+# round-4 additions (graph_bfs_frontier, table_snapshot_diff,
+# join_bloom_prefilter, er_match_blocked_parts, events_cep_conversion,
+# skyline_price_size, graph_shortest_path_weighted,
+# events_interval_coverage, sql_pipe_syntax_rollup,
+# sql_lateral_correlated_topk, spatial_radius_join), and the 20 wave-15
+# round-4b additions (graph_clustering_coefficient, graph_hits_2iter,
+# events_cusum_changepoint, events_acf_lags,
+# agg_countmin_sketch_estimate, dedup_cdc_chunks, agg_bitmap_distinct,
+# stats_chi2_cells, stats_chi2_total, stats_corr_matrix,
+# events_km_survival, stats_ab_welch_ttest, sql_named_window_nulls,
+# events_holt_linear, agg_trimmed_mean, agg_gini_revenue,
+# events_trigram_paths, events_max_drawdown, dq_quarantine_split,
+# sim_label_centroid_matrix). Prioritize the wave-13/14/15 round-4
+# operators for round 5's 50 slots (their outputs are new); the
+# remainder roll to round 6.
 _FRONT = [
     # reworked this round (null-safe path now exercised) — needs its green
     "join_null_safe_eq",
