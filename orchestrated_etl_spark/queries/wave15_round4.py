@@ -1906,3 +1906,167 @@ register(
     JOIN norms nb ON d.label_b = nb.label
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time join (as-of dimension attribution)
+# ---------------------------------------------------------------------------
+
+
+def _scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against a versioned (SCD2) dimension: each
+    order joins the customer-segment version VALID AT ITS ORDER DATE —
+    the consumption side of sink_scd2_history (scale_ops.py), and the
+    correctness difference between "revenue by segment today" and
+    "revenue by the segment the customer was in when they ordered"
+    (the error class behind most dashboard restatements).
+
+    The history is the same deterministic two-version construction as
+    sink_scd2_history (every 10th customer moves to MACHINERY on
+    1996-06-01). The join is an EQUI-join on custkey with the validity
+    predicate as a post-filter — at most #versions rows per key (2
+    here), so there is no range-join blow-up and no binning needed;
+    per-key version counts are what keep SCD2 joins tractable at any
+    scale. Revenue accumulates in exact DECIMAL.
+
+    Scale: dimension versions are dimension-sized (broadcast here,
+    shuffle-hash past the threshold); the fact table shuffles once on
+    the join key at most."""
+    eff = F.to_date(F.lit("1996-06-01"))
+    base = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    changed = base.where(F.col("c_custkey") % 10 == 0) \
+        .where(F.col("c_mktsegment") != "MACHINERY")
+    v1 = base.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.to_date(F.lit("1992-01-01")).alias("valid_from"),
+        F.when(
+            (F.col("c_custkey") % 10 == 0)
+            & (F.col("c_mktsegment") != "MACHINERY"),
+            eff,
+        ).alias("valid_to"),
+    )
+    v2 = changed.select(
+        "c_custkey",
+        F.lit("MACHINERY").alias("c_mktsegment"),
+        eff.alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    joined = orders.join(
+        F.broadcast(dim), orders.o_custkey == dim.c_custkey
+    ).where(
+        (F.col("od") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("od") < F.col("valid_to")))
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price").cast("decimal(18,2)").cast("double").alias("revenue"),
+    )
+
+
+register(
+    "join_scd2_point_in_time",
+    _scd2_point_in_time,
+    """
+    WITH base AS (SELECT c_custkey, c_mktsegment FROM customer),
+    dim AS (
+        SELECT c_custkey, c_mktsegment,
+               DATE '1992-01-01' AS valid_from,
+               CASE WHEN c_custkey % 10 = 0
+                         AND c_mktsegment <> 'MACHINERY'
+                    THEN DATE '1996-06-01' END AS valid_to
+        FROM base
+        UNION ALL
+        SELECT c_custkey, 'MACHINERY', DATE '1996-06-01', NULL
+        FROM base
+        WHERE c_custkey % 10 = 0 AND c_mktsegment <> 'MACHINERY'
+    )
+    SELECT d.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                     AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN dim d ON o.o_custkey = d.c_custkey
+    WHERE CAST(o.o_orderdate AS DATE) >= d.valid_from
+      AND (d.valid_to IS NULL
+           OR CAST(o.o_orderdate AS DATE) < d.valid_to)
+    GROUP BY d.c_mktsegment
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# dataset card (per-source corpus profile for dataset publishing)
+# ---------------------------------------------------------------------------
+
+
+def _dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card — the publish-time summary a dataset
+    release ships (HuggingFace dataset-card statistics section): doc
+    counts, size, language spread, length distribution (exact
+    percentile_disc order statistics), and a whitespace token
+    estimate, all from ONE grouped pass over the corpus. Every value
+    is an exact integer, an order statistic, or an exact-integer-sum
+    quotient — no rounding policy.
+
+    Scale: one partial-aggregable groupBy(source); the exact
+    percentile buffers one source's lengths (bounded by per-source doc
+    counts; swap in histogram cutoffs past that)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source",
+        "lang",
+        F.length("text").alias("n_chars_m"),
+        (F.size(F.split(F.col("text"), r"\s+"))).alias("n_tokens_ws"),
+    )
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum("n_chars_m").alias("total_chars"),
+        F.sum("n_tokens_ws").alias("total_tokens_ws"),
+        F.min("n_chars_m").alias("min_chars"),
+        F.expr(
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars_m)"
+            " AS BIGINT)"
+        ).alias("p50_chars"),
+        F.max("n_chars_m").alias("max_chars"),
+        (
+            F.sum("n_chars_m").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_chars"),
+    )
+
+
+register(
+    "train_dataset_card",
+    _dataset_card,
+    """
+    WITH src AS (
+        SELECT source, lang,
+               CAST(length(text) AS BIGINT) AS n_chars_m,
+               CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)
+                   AS n_tokens_ws
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(n_chars_m) AS BIGINT) AS total_chars,
+           CAST(sum(n_tokens_ws) AS BIGINT) AS total_tokens_ws,
+           CAST(min(n_chars_m) AS BIGINT) AS min_chars,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars_m)
+                AS BIGINT) AS p50_chars,
+           CAST(max(n_chars_m) AS BIGINT) AS max_chars,
+           CAST(sum(n_chars_m) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS avg_chars
+    FROM src
+    GROUP BY source
+    """,
+)
