@@ -471,3 +471,65 @@ def test_interval_coverage_matches_python_union(spark, tmp_path_factory, starts)
                 spans.append((s, e))
         want[uid] = (len(spans), sum(e - s for s, e in spans))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking vs pure-Python replica (wave 15)
+# ---------------------------------------------------------------------------
+
+# adversarial doc set: empty strings, sub-gram-length docs, repeated
+# characters (boundary storms), and shared suffixes across docs
+_cdc_docs_strategy = st.lists(
+    st.one_of(
+        st.just(""),
+        st.text(alphabet="ab .", min_size=0, max_size=7),
+        st.text(alphabet="abcdef .", min_size=8, max_size=120),
+        st.builds(lambda s: s + "the shared tail fragment of text",
+                  st.text(alphabet="xyz ", min_size=0, max_size=40)),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(**_SETTINGS)
+@given(_cdc_docs_strategy)
+def test_cdc_chunks_matches_python_replica_property(spark, docs):
+    from orchestrated_etl_spark.queries.wave15_round4 import _cdc_chunks
+    from tests.test_wave15_ops import _py_chunks
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(docs)]
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).write.parquet(f"{tmp}/documents.parquet")
+
+        owner: dict[str, set] = {}
+        chunks_by_doc = {}
+        for i, t in enumerate(docs):
+            cs = _py_chunks(t)
+            chunks_by_doc[i] = cs
+            for c in set(cs):
+                owner.setdefault(c, set()).add(i)
+        shared = {c for c, o in owner.items() if len(o) >= 2}
+
+        got = {
+            r["doc_id"]: (
+                r["n_chunks"], r["n_shared_chunks"],
+                r["shared_chars"], r["total_chars"],
+            )
+            for r in _cdc_chunks(spark, tmp).collect()
+        }
+        for i, t in enumerate(docs):
+            cs = chunks_by_doc[i]
+            expect = (
+                len(cs),
+                sum(1 for c in cs if c in shared),
+                sum(len(c) for c in cs if c in shared),
+                len(t),
+            )
+            assert got[i] == expect, (i, t, cs)
