@@ -79,6 +79,17 @@ _TZ_SENSITIVE = [
     "events_interval_coverage",
     "events_cep_conversion",
     "events_cep_sessionized",
+    # wave 15: daily-series detectors (to_date day bucketing), the KM
+    # duration domain (datediff over to_date), the hour-window
+    # quarantine rule, and the per-user trigram ordering — all NTZ
+    # wall-clock, must not move with the session zone
+    "events_cusum_changepoint",
+    "events_acf_lags",
+    "events_holt_linear",
+    "events_max_drawdown",
+    "events_km_survival",
+    "events_trigram_paths",
+    "dq_quarantine_split",
 ]
 
 
