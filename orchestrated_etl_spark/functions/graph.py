@@ -285,7 +285,10 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
 
 
 def bfs_distances(
-    edges: DataFrame, seed: int, max_hops: int
+    edges: DataFrame,
+    seed: int,
+    max_hops: int,
+    u_layout: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-source-capable BFS (here single seed): minimum hop distance
     from ``seed`` to every node within ``max_hops`` over the undirected
@@ -311,8 +314,13 @@ def bfs_distances(
     # LIST — data-sized, exactly the side that must never be built on
     # the driver (a 1.7M-edge graph at sf0.1 under a 64 MB threshold
     # did exactly that and OOM'd a default-heap driver).
+    # Callers running many traversals in one session pass the staged
+    # layout (queries/graph_wave10.cached_undirected_layout) so this
+    # edge-sized shuffle happens once per session, not per query.
     u = (
-        undirect(edges)
+        u_layout
+        if u_layout is not None
+        else undirect(edges)
         .repartition(spark.sparkContext.defaultParallelism, F.col("src"))
         .localCheckpoint(eager=True)
     )

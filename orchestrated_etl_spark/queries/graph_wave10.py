@@ -79,6 +79,37 @@ def cached_edges(
     return _EDGE_CACHE[key]
 
 
+_ULAYOUT_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def cached_undirected_layout(
+    spark: SparkSession, sf_dir: str, min_weight: int = 1
+) -> DataFrame:
+    """Session-cached UNDIRECTED (src, dst) edge layout, hash-
+    partitioned by src and pinned with a checkpoint — the per-round
+    probe side every iterative traversal (BFS, Bellman-Ford) joins
+    its frontier against. Building it costs an edge-sized shuffle
+    (~0.8 s at sf0.1 on the dense graph); on a cluster this IS the
+    bucketed-by-src edges table the nightly graph job stages once, so
+    caching it per session is the honest local stand-in (same argument
+    as cached_edges / the BM25 index)."""
+    key = (spark.sparkContext.applicationId, sf_dir, min_weight)
+    if key not in _ULAYOUT_CACHE:
+        if len(_ULAYOUT_CACHE) > 4:
+            _ULAYOUT_CACHE.clear()
+        from orchestrated_etl_spark.functions.graph import undirect
+
+        u = (
+            undirect(cached_edges(spark, sf_dir, min_weight=min_weight))
+            .repartition(
+                spark.sparkContext.defaultParallelism, F.col("src")
+            )
+            .localCheckpoint(eager=True)
+        )
+        _ULAYOUT_CACHE[key] = u
+    return _ULAYOUT_CACHE[key]
+
+
 def _graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thresholded co-purchase edge list (weight ≥ 2): the pairs that
     co-occur in at least two orders. See functions/graph.py for the

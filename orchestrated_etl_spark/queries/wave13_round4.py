@@ -39,7 +39,10 @@ from orchestrated_etl_spark.functions.graph import (
     shortest_path_bf,
     undirect,
 )
-from orchestrated_etl_spark.queries.graph_wave10 import cached_edges
+from orchestrated_etl_spark.queries.graph_wave10 import (
+    cached_edges,
+    cached_undirected_layout,
+)
 from orchestrated_etl_spark.registry import register
 from orchestrated_etl_spark.sources.catalog import read_events
 
@@ -70,7 +73,8 @@ def _bfs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance."""
     edges = cached_edges(spark, sf_dir, min_weight=1)
     seed = edges.agg(F.min("part_a")).collect()[0][0]
-    return bfs_distances(edges, seed, _BFS_HOPS)
+    u = cached_undirected_layout(spark, sf_dir, min_weight=1)
+    return bfs_distances(edges, seed, _BFS_HOPS, u_layout=u)
 
 
 register(
