@@ -1745,22 +1745,29 @@ register(
 # ---------------------------------------------------------------------------
 
 
-def _quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Expectations-style quarantine routing (the Delta Live Tables /
-    Great Expectations shape): a declarative rule set evaluates
-    MAP-SIDE over the scan, and rows failing ANY rule are routed to
-    quarantine carrying machine-readable reasons — the complement to
-    dq_constraint_audit's aggregate violation COUNTS: this emits the
-    rows themselves, ready to write to a quarantine sink while clean
-    rows continue down the pipeline (one pass, two filtered sinks —
-    never two scans).
+_QUARANTINE_SQL = """
+    SELECT event_id, event_type, user_id,
+           concat_ws(',',
+               CASE WHEN event_type = 'purchase' AND value > 400.0
+                    THEN 'purchase_over_cap' END,
+               CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+                         >= 95
+                    THEN 'props_k_out_of_range' END,
+               CASE WHEN hour(ts) < 2 OR hour(ts) >= 23
+                    THEN 'outside_sla_hours' END) AS reasons
+    FROM events
+    WHERE (event_type = 'purchase' AND value > 400.0)
+       OR CAST(json_extract_string(props, '$.k') AS INTEGER) >= 95
+       OR hour(ts) < 2 OR hour(ts) >= 23
+"""
 
-    Reasons are a deterministically-ordered (rule-declaration order)
-    joined string, so the relation is engine- and partitioning-
-    stable. Business rules chosen to genuinely fire on real data:
-    purchase price cap, a props range contract, and an ingest-SLA
-    hour window."""
-    ev = read_events(spark, sf_dir)
+
+def quarantine_route(ev: DataFrame) -> DataFrame:
+    """Apply the declarative quarantine rule set to an events relation
+    (batch OR streaming — the expressions are stateless row maps, so
+    the same code serves both): rows failing ANY rule, with a
+    deterministically-ordered (rule-declaration order) reason
+    string."""
     k = F.get_json_object("props", "$.k").cast("int")
     rules = [
         (
@@ -1796,24 +1803,64 @@ def _quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations-style quarantine routing (the Delta Live Tables /
+    Great Expectations shape): a declarative rule set evaluates
+    MAP-SIDE over the scan, and rows failing ANY rule are routed to
+    quarantine carrying machine-readable reasons — the complement to
+    dq_constraint_audit's aggregate violation COUNTS: this emits the
+    rows themselves, ready to write to a quarantine sink while clean
+    rows continue down the pipeline (one pass, two filtered sinks —
+    never two scans).
+
+    Reasons are a deterministically-ordered (rule-declaration order)
+    joined string, so the relation is engine- and partitioning-
+    stable. Business rules chosen to genuinely fire on real data:
+    purchase price cap, a props range contract, and an ingest-SLA
+    hour window. `stream_quarantine_split` runs the SAME rule
+    expressions over a multi-micro-batch stream."""
+    return quarantine_route(read_events(spark, sf_dir))
+
+
 register(
     "dq_quarantine_split",
     _quarantine_split,
-    """
-    SELECT event_id, event_type, user_id,
-           concat_ws(',',
-               CASE WHEN event_type = 'purchase' AND value > 400.0
-                    THEN 'purchase_over_cap' END,
-               CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER)
-                         >= 95
-                    THEN 'props_k_out_of_range' END,
-               CASE WHEN hour(ts) < 2 OR hour(ts) >= 23
-                    THEN 'outside_sla_hours' END) AS reasons
-    FROM events
-    WHERE (event_type = 'purchase' AND value > 400.0)
-       OR CAST(json_extract_string(props, '$.k') AS INTEGER) >= 95
-       OR hour(ts) < 2 OR hour(ts) >= 23
-    """,
+    _QUARANTINE_SQL,
+)
+
+
+def _stream_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming expectations routing: the SAME quarantine rule set as
+    dq_quarantine_split evaluated over a file stream consumed 2 files
+    per trigger (6 feed files → 3 micro-batches), append mode. The
+    rules are stateless row maps, so the final quarantine table is
+    batch-equal regardless of micro-batch boundaries — which is why
+    this streaming query carries the FULL batch oracle (the
+    stream_binary_files determinism argument). This is the live half
+    of the DLT-expectations pattern: bad rows divert to a quarantine
+    sink as they ARRIVE, instead of being found by tomorrow's audit."""
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="quarantine_stream_")
+    src = f"{work}/feed"
+    ev = read_events(spark, sf_dir)
+    ev.repartition(6).write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    from orchestrated_etl_spark.streaming.events_stream import (
+        run_available_now,
+    )
+
+    return run_available_now(quarantine_route(stream), output_mode="append")
+
+
+register(
+    "stream_quarantine_split",
+    _stream_quarantine_split,
+    _QUARANTINE_SQL,
 )
 
 
