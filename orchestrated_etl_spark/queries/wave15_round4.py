@@ -2117,3 +2117,182 @@ register(
     GROUP BY source
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# one distributed BPE merge step (tokenizer training primitive)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE iteration of byte-pair-encoding tokenizer training,
+    distributed: count every adjacent character pair across the
+    whitespace-pre-tokenized corpus, pick the argmax merge (count
+    DESC, pair ASC — a total order, so the winner is engine- and
+    rerun-stable), and report its blast radius (distinct words
+    containing it). Looping this step IS BPE training; one step keeps
+    the relation oracle-able while exercising the full plan shape:
+    corpus explode → pair explode → count → 1-row argmax broadcast →
+    membership re-probe. Pair occurrences are positional (overlaps
+    count — "aaa" contributes "aa" twice), identical arithmetic on
+    both engines.
+
+    Scale: two map-side explodes feeding one partial-aggregable
+    count; the argmax is a 1-row TakeOrdered broadcast back onto the
+    word relation (plan_audit SCALAR_BROADCAST_OK). Real BPE training
+    runs this loop on the WORD-FREQUENCY table (words pre-aggregated
+    with counts — corpus-sized work once, vocabulary-sized work per
+    merge), which is exactly the staged shape here: `words` is the
+    distinct-word relation with frequencies."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+        )
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=True)  # pair count + re-probe, one pass
+    )
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    counts = pairs.groupBy("pair").agg(
+        F.sum("freq").alias("n_occurrences")
+    )
+    best = counts.orderBy(
+        F.desc("n_occurrences"), F.asc("pair")
+    ).limit(1)
+    probe = words.crossJoin(F.broadcast(best)).where(
+        F.col("w").contains(F.col("pair"))
+    )
+    return probe.agg(
+        F.max("pair").alias("merge_pair"),
+        F.max("n_occurrences").alias("n_occurrences"),
+        F.count(F.lit(1)).alias("n_distinct_words_affected"),
+        F.sum("freq").alias("n_word_instances_affected"),
+    )
+
+
+register(
+    "train_bpe_merge_step",
+    _bpe_merge_step,
+    """
+    WITH words AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq
+        FROM (
+            SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+            FROM documents
+        )
+        WHERE length(w) >= 2
+        GROUP BY w
+    ),
+    pairs AS (
+        SELECT freq, substr(w, CAST(i AS INTEGER), 2) AS pair
+        FROM words, range(1, 4096) AS t(i)
+        WHERE i <= length(w) - 1
+    ),
+    counts AS (
+        SELECT pair, CAST(sum(freq) AS BIGINT) AS n_occurrences
+        FROM pairs GROUP BY pair
+    ),
+    best AS (
+        SELECT pair, n_occurrences FROM counts
+        ORDER BY n_occurrences DESC, pair ASC LIMIT 1
+    )
+    SELECT max(b.pair) AS merge_pair,
+           max(b.n_occurrences) AS n_occurrences,
+           CAST(count(*) AS BIGINT) AS n_distinct_words_affected,
+           CAST(sum(w.freq) AS BIGINT) AS n_word_instances_affected
+    FROM words w, best b
+    WHERE contains(w.w, b.pair)
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# behavioral anomaly heuristics (bot detection from event cadence)
+# ---------------------------------------------------------------------------
+
+
+def _bot_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-cadence anomaly profile — the abuse-filtering /
+    traffic-quality stage of a telemetry pipeline: inter-arrival-time
+    order statistics (exact percentile_disc on BIGINT microseconds)
+    plus the max burst (events inside any trailing 60 s window, an
+    exact RANGE-frame count over a microsecond offset key). The offset
+    key is timestampdiff(MICROSECOND) from a fixed NTZ anchor —
+    wall-clock arithmetic, immune to session timezone, and at
+    microsecond granularity DuckDB's epoch_us difference computes the
+    identical BIGINT. Every output is an exact integer or boolean:
+    no rounding policy.
+
+    Scale: one user-partitioned sort shared by the lag and the RANGE
+    window, one grouped aggregate. The flag threshold (>= 2 events in
+    60 s) is where this fixture's organic traffic thins out; real
+    deployments tune it per surface."""
+    ev = read_events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    us = F.expr(
+        "timestampdiff(MICROSECOND,"
+        " TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+    )
+    w = Window.partitionBy("user_id").orderBy("us")
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-59_999_999, Window.currentRow)
+    )
+    seq = ev.select("user_id", us.alias("us")).select(
+        "user_id",
+        "us",
+        (F.col("us") - F.lag("us").over(w)).alias("iat_us"),
+        F.count(F.lit(1)).over(wr).alias("burst_60s"),
+    )
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("iat_us").alias("min_iat_us"),
+        F.expr(
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY iat_us)"
+            " AS BIGINT)"
+        ).alias("p50_iat_us"),
+        F.max("burst_60s").alias("max_burst_60s"),
+        (F.max("burst_60s") >= F.lit(2)).alias("is_burst_anomaly"),
+    )
+
+
+register(
+    "events_bot_cadence",
+    _bot_cadence,
+    """
+    WITH seq AS (
+        SELECT user_id,
+               epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')
+                   AS us
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    iat AS (
+        SELECT user_id, us,
+               us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                   AS iat_us,
+               CAST(count(*) OVER (PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN 59999999 PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS burst_60s
+        FROM seq
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(iat_us) AS min_iat_us,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY iat_us)
+                AS BIGINT) AS p50_iat_us,
+           max(burst_60s) AS max_burst_60s,
+           max(burst_60s) >= 2 AS is_burst_anomaly
+    FROM iat
+    GROUP BY user_id
+    """,
+)

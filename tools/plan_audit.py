@@ -86,6 +86,9 @@ SCALAR_BROADCAST_OK = {
     # broadcast 1-row worst-drawdown scalar onto the O(date-domain)
     # daily series — constant build side at any scale.
     "events_max_drawdown",
+    # broadcast the 1-row argmax merge pair onto the word-frequency
+    # relation — constant build side at any scale.
+    "train_bpe_merge_step",
 }
 
 # Streaming queries materialise through a memory sink; their batch plan is
