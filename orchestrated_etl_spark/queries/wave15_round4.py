@@ -2296,3 +2296,171 @@ register(
     GROUP BY user_id
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# stored-sketch incremental maintenance: count-min merge, bitmap rollup
+# ---------------------------------------------------------------------------
+
+
+def _countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental count-min maintenance: per-MONTH sketches (the
+    relation a nightly job stores) merged at query time by summing
+    cells — count-min is LINEAR, so the merged sketch is cell-for-cell
+    IDENTICAL to a from-scratch global sketch, and the estimates this
+    query emits are bit-equal to agg_countmin_sketch_estimate's while
+    touching only O(months x 1024) stored rows at query time. The
+    frequency twin of agg_hll_sketch_merge (approximate distinct) and
+    agg_incremental_moments (exact moments): nightly cost O(batch),
+    query cost O(partials), never O(history re-scan).
+
+    The oracle recomputes the same arithmetic globally — equality
+    PROVES the merge identity cross-engine."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.trunc("l_shipdate", "month").alias("m"),
+        F.col("l_partkey").alias("k"),
+    )
+    rb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    _cm_bucket(F.col("k"), a, b).alias("bucket"),
+                )
+                for r, (a, b) in enumerate(_CM_HASHES)
+            ]
+        )
+    ).alias("rb")
+    monthly = (
+        li.select("m", rb)
+        .select("m", "rb.r", "rb.bucket")
+        .groupBy("m", "r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)  # the "stored" per-month partials
+    )
+    merged = monthly.groupBy("r", "bucket").agg(
+        F.sum("cnt").alias("cnt"), F.count(F.lit(1)).alias("n_partials")
+    )
+    exact = li.groupBy("k").agg(F.count(F.lit(1)).alias("true_count"))
+    cand = exact.orderBy(F.desc("true_count"), F.asc("k")).limit(10)
+    probes = cand.select(
+        "k",
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cm_bucket(F.col("k"), a, b).alias("bucket"),
+                    )
+                    for r, (a, b) in enumerate(_CM_HASHES)
+                ]
+            )
+        ).alias("rb"),
+    ).select("k", "true_count", "rb.r", "rb.bucket")
+    est = (
+        probes.join(F.broadcast(merged), ["r", "bucket"])
+        .groupBy("k", "true_count")
+        .agg(
+            F.min("cnt").alias("cm_estimate"),
+            F.max("n_partials").alias("n_partials_merged"),
+        )
+    )
+    return est.select(
+        F.col("k").alias("part_key"),
+        "true_count",
+        "cm_estimate",
+        "n_partials_merged",
+        (F.col("cm_estimate") >= F.col("true_count")).alias("est_ge_true"),
+    )
+
+
+register(
+    "agg_countmin_merge_incremental",
+    _countmin_merge,
+    """
+    WITH li AS (
+        SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE)
+                   AS m,
+               l_partkey AS k
+        FROM lineitem
+    ),
+    hp AS (
+        SELECT * FROM (VALUES (0, 131071, 8191), (1, 524287, 2047),
+                              (2, 6700417, 97), (3, 999983, 523))
+            AS t(r, a, b)
+    ),
+    monthly AS (
+        SELECT li.m, hp.r,
+               ((hp.a * (li.k % 2147483647) + hp.b) % 2147483647) % 256
+                   AS bucket,
+               count(*) AS cnt
+        FROM li, hp GROUP BY 1, 2, 3
+    ),
+    merged AS (
+        SELECT r, bucket, sum(cnt) AS cnt, count(*) AS n_partials
+        FROM monthly GROUP BY r, bucket
+    ),
+    exact AS (SELECT k, count(*) AS true_count FROM li GROUP BY k),
+    cand AS (
+        SELECT k, true_count FROM exact
+        ORDER BY true_count DESC, k LIMIT 10
+    ),
+    probes AS (
+        SELECT c.k, c.true_count, hp.r,
+               ((hp.a * (c.k % 2147483647) + hp.b) % 2147483647) % 256
+                   AS bucket
+        FROM cand c, hp
+    )
+    SELECT p.k AS part_key,
+           CAST(p.true_count AS BIGINT) AS true_count,
+           CAST(min(m.cnt) AS BIGINT) AS cm_estimate,
+           CAST(max(m.n_partials) AS BIGINT) AS n_partials_merged,
+           min(m.cnt) >= p.true_count AS est_ge_true
+    FROM probes p JOIN merged m ON p.r = m.r AND p.bucket = m.bucket
+    GROUP BY p.k, p.true_count
+    """,
+)
+
+
+def _bitmap_rollup_quarters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct-part counts per QUARTER from stored per-MONTH
+    bitmaps OR-merged at query time (``bitmap_or_agg``) — bitmaps are
+    the exact mergeable distinct state (union = bitwise OR), so the
+    quarterly rollup never re-scans raw data AND never approximates:
+    the exact counterpart of agg_hll_sketch_merge's HLL path, and the
+    coarser-grain consumption side of agg_bitmap_distinct's monthly
+    store. Oracle = plain count(DISTINCT) per quarter: equality proves
+    the OR-merge identity."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.trunc("l_shipdate", "month").alias("m"),
+        F.col("l_partkey").alias("k"),
+    )
+    monthly = (
+        li.groupBy(
+            "m", F.bitmap_bucket_number("k").alias("bucket")
+        )
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position("k")).alias("bm"))
+        .localCheckpoint(eager=True)  # the "stored" per-month bitmaps
+    )
+    quarterly = monthly.groupBy(
+        F.trunc("m", "quarter").alias("ship_quarter"), "bucket"
+    ).agg(F.bitmap_or_agg("bm").alias("bm"))
+    return (
+        quarterly.groupBy("ship_quarter")
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_distinct_parts"))
+        .orderBy("ship_quarter")
+    )
+
+
+register(
+    "agg_bitmap_rollup_quarters",
+    _bitmap_rollup_quarters,
+    """
+    SELECT CAST(date_trunc('quarter', CAST(l_shipdate AS DATE)) AS DATE)
+               AS ship_quarter,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct_parts
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
