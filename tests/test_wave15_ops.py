@@ -359,3 +359,53 @@ def test_holt_linear_matches_python_recurrence(spark, tmp_path):
     assert out["level"] == l
     assert out["trend"] == b
     assert out["forecast_3d"] == l + 3.0 * b
+
+
+def test_countmin_merge_identity(spark, tmp_path):
+    """Count-min is linear: per-month partials summed cell-wise must
+    give the SAME estimates as the global sketch (and the quarterly
+    bitmap OR-merge the same counts as direct distinct)."""
+    import datetime as dt
+
+    from orchestrated_etl_spark.queries.wave15_round4 import (
+        _bitmap_distinct,
+        _bitmap_rollup_quarters,
+        _countmin_estimate,
+        _countmin_merge,
+    )
+
+    rows = []
+    oid = 0
+    for month in (1, 2, 4):  # spans two quarters
+        for k in range(1, 15):
+            for _ in range(k):  # skewed: key k appears k times/month
+                oid += 1
+                rows.append(
+                    (oid, k, dt.date(2024, month, 1 + (k % 27)))
+                )
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_shipdate date"
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    sf = str(tmp_path)
+
+    global_est = {
+        r["part_key"]: (r["true_count"], r["cm_estimate"])
+        for r in _countmin_estimate(spark, sf).collect()
+    }
+    merged_est = {
+        r["part_key"]: (r["true_count"], r["cm_estimate"])
+        for r in _countmin_merge(spark, sf).collect()
+    }
+    assert merged_est == global_est and len(merged_est) == 10
+
+    monthly = {
+        r["ship_month"]: r["n_distinct_parts"]
+        for r in _bitmap_distinct(spark, sf).collect()
+    }
+    quarterly = {
+        r["ship_quarter"]: r["n_distinct_parts"]
+        for r in _bitmap_rollup_quarters(spark, sf).collect()
+    }
+    assert monthly[dt.date(2024, 1, 1)] == 14
+    assert quarterly[dt.date(2024, 1, 1)] == 14  # Jan+Feb same keys
+    assert quarterly[dt.date(2024, 4, 1)] == 14
