@@ -147,9 +147,11 @@ def _hits_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each iteration is one equi-join of the edge list against the
     previous O(V) score vector plus one aggregate — the score side
-    broadcasts (it is node-sized, not edge-sized); the edge list is
-    never broadcast and never re-derived (cached_edges materializes it
-    once per session)."""
+    broadcasts at bench scale (node-sized, not edge-sized); past the
+    broadcast threshold (billions of nodes) drop the hint and let the
+    join go shuffle-hash on the edge layout, exactly as bfs_distances
+    does. The edge list is never broadcast and never re-derived
+    (cached_edges materializes it once per session)."""
     edges = cached_edges(spark, sf_dir, min_weight=2).select(
         F.col("part_a").alias("src"), F.col("part_b").alias("dst")
     )
