@@ -2466,3 +2466,124 @@ register(
     GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# whole-document bin packing (next-fit-decreasing, no doc splitting)
+# ---------------------------------------------------------------------------
+
+_NFD_CAP = 512  # context-window token budget per bin
+
+
+def _pack_nfd_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document context-window packing per source via NEXT-FIT-
+    DECREASING: documents sorted by (tokens DESC, doc_id), each either
+    joins the currently-open bin or opens a new one — the packing
+    variant where documents are NEVER split across windows (the
+    complement of train_token_packing's prefix-sum splitter, which is
+    optimal for token throughput but slices documents). Emitted per
+    source: bins used vs the ceil(total/cap) lower bound and the fill
+    efficiency — the packing-quality readout a data-loader build
+    reports.
+
+    The fold carries a (bins, last_load) STRUCT accumulator over the
+    sorted token array — sequential by nature (bin state depends on
+    every prior document), so the exact form is the per-key ordered
+    fold (events_ewma_fold contract; per-source arrays are shard-
+    bounded). Seeded with last_load = cap so the first document
+    provably opens bin 1. All outputs are exact integers or quotients
+    of exact integers; the oracle unrolls the same recurrence as a
+    recursive CTE (the DuckDB struct-fold hazard events_holt_linear
+    documents)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("t"),
+    )
+    packed = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("t").alias("total_tokens"),
+        F.array_sort(
+            F.collect_list(F.struct((-F.col("t")).alias("neg"),
+                                    F.col("doc_id").alias("d"),
+                                    F.col("t").alias("t")))
+        ).alias("arr"),
+    )
+    cap = F.lit(_NFD_CAP).cast("long")
+    state = F.aggregate(
+        F.col("arr"),
+        F.struct(
+            F.lit(0).cast("long").alias("bins"),
+            cap.alias("last"),
+        ),
+        lambda acc, x: F.struct(
+            F.when(acc["last"] + x["t"] <= cap, acc["bins"])
+            .otherwise(acc["bins"] + 1)
+            .alias("bins"),
+            F.when(acc["last"] + x["t"] <= cap, acc["last"] + x["t"])
+            .otherwise(x["t"])
+            .alias("last"),
+        ),
+    )
+    lower = F.ceil(
+        F.col("total_tokens").cast("double") / cap.cast("double")
+    ).cast("long")
+    return packed.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        state["bins"].alias("bins_used"),
+        lower.alias("bins_lower_bound"),
+        (
+            F.col("total_tokens").cast("double")
+            / (state["bins"] * cap).cast("double")
+        ).alias("fill_efficiency"),
+    )
+
+
+register(
+    "train_pack_nfd_bins",
+    _pack_nfd_bins,
+    f"""
+    WITH RECURSIVE toks AS (
+        SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+        FROM documents
+    ),
+    seq AS (
+        SELECT source, t,
+               CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY t DESC, doc_id) AS INTEGER) AS i
+        FROM toks
+    ),
+    walk(source, i, bins, last) AS (
+        SELECT source, 1, CAST(1 AS BIGINT), t FROM seq WHERE i = 1
+        UNION ALL
+        SELECT s.source, s.i,
+               CASE WHEN w.last + s.t <= {_NFD_CAP} THEN w.bins
+                    ELSE w.bins + 1 END,
+               CASE WHEN w.last + s.t <= {_NFD_CAP} THEN w.last + s.t
+                    ELSE s.t END
+        FROM walk w JOIN seq s ON s.source = w.source AND s.i = w.i + 1
+    ),
+    final AS (
+        SELECT source, bins
+        FROM walk w
+        WHERE i = (SELECT max(i) FROM walk x WHERE x.source = w.source)
+    ),
+    totals AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(t) AS BIGINT) AS total_tokens
+        FROM toks GROUP BY source
+    )
+    SELECT t.source, t.n_docs, t.total_tokens,
+           f.bins AS bins_used,
+           CAST(ceil(CAST(t.total_tokens AS DOUBLE)
+                     / CAST({_NFD_CAP} AS DOUBLE)) AS BIGINT)
+               AS bins_lower_bound,
+           CAST(t.total_tokens AS DOUBLE)
+               / CAST(f.bins * {_NFD_CAP} AS DOUBLE) AS fill_efficiency
+    FROM totals t JOIN final f ON t.source = f.source
+    """,
+)

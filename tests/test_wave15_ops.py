@@ -409,3 +409,32 @@ def test_countmin_merge_identity(spark, tmp_path):
     assert monthly[dt.date(2024, 1, 1)] == 14
     assert quarterly[dt.date(2024, 1, 1)] == 14  # Jan+Feb same keys
     assert quarterly[dt.date(2024, 4, 1)] == 14
+
+
+def test_nfd_packing_planted(spark, tmp_path):
+    """Hand-computed next-fit-decreasing: tokens [300,300,200,100,12]
+    into cap-512 bins -> 3 bins (300 | 300+200 | 100+12), lower bound
+    2 (total 912)."""
+    from orchestrated_etl_spark.queries.wave15_round4 import (
+        _NFD_CAP,
+        _pack_nfd_bins,
+    )
+
+    assert _NFD_CAP == 512
+    sizes = [300, 300, 200, 100, 12]
+    rows = [
+        (i, " ".join(["w"] * n), "en", "s1", n)
+        for i, n in enumerate(sizes)
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    out = _pack_nfd_bins(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_docs"], r["total_tokens"]) == (5, 912)
+    assert r["bins_used"] == 3
+    assert r["bins_lower_bound"] == 2
+    assert r["fill_efficiency"] == 912.0 / (3 * 512)
