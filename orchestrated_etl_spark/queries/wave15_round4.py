@@ -2587,3 +2587,205 @@ register(
     FROM totals t JOIN final f ON t.source = f.source
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# market-basket association lift (top pairs)
+# ---------------------------------------------------------------------------
+
+
+def _basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over co-purchased parts: for the
+    weight>=2 co-occurrence pairs, support w/N, directional
+    confidences w/c_a and w/c_b, and lift = w·N / (c_a·c_b) — the
+    related-products recommendation scorer that corrects raw
+    co-occurrence for item popularity (lift > 1 = genuinely
+    associated). Every statistic is a fixed IEEE quotient of exact
+    BIGINTs (pair count w, per-part order counts c_x, order count N):
+    bit-identical cross-engine, no rounding. Top-20 by (lift DESC,
+    pair ASC) — a total order, rank-stable.
+
+    Scale: pair counts come from the once-per-session co-purchase
+    edge store (functions/graph.py derivation — never a self-join);
+    per-part counts are one fact aggregate broadcast onto the
+    edge-sized relation; N is a 1-row broadcast
+    (plan_audit SCALAR_BROADCAST_OK). Output is a TakeOrdered top-k,
+    never a global sort."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    edges = cached_edges(spark, sf_dir, min_weight=2)
+    ca = per_part.select(F.col("p").alias("part_a"), F.col("c").alias("c_a"))
+    cb = per_part.select(F.col("p").alias("part_b"), F.col("c").alias("c_b"))
+    scored = (
+        edges.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("weight").alias("w"),
+            "c_a",
+            "c_b",
+            (
+                (F.col("weight") * F.col("n_orders")).cast("double")
+                / (F.col("c_a") * F.col("c_b")).cast("double")
+            ).alias("lift"),
+            (
+                F.col("weight").cast("double")
+                / F.col("n_orders").cast("double")
+            ).alias("support"),
+            (
+                F.col("weight").cast("double") / F.col("c_a").cast("double")
+            ).alias("conf_a_to_b"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift"), F.asc("part_a"), F.asc("part_b")
+    ).limit(20)
+
+
+register(
+    "orders_basket_lift",
+    _basket_lift,
+    f"""
+    WITH {_EDGE_CTE},
+    ew AS (SELECT part_a, part_b, weight FROM e WHERE weight >= 2),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+    per_part AS (
+        SELECT l_partkey AS p, count(*) AS c
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        GROUP BY 1
+    )
+    SELECT ew.part_a, ew.part_b,
+           CAST(ew.weight AS BIGINT) AS w,
+           CAST(a.c AS BIGINT) AS c_a,
+           CAST(b.c AS BIGINT) AS c_b,
+           CAST(ew.weight * n.n_orders AS DOUBLE)
+               / CAST(a.c * b.c AS DOUBLE) AS lift,
+           CAST(ew.weight AS DOUBLE) / CAST(n.n_orders AS DOUBLE)
+               AS support,
+           CAST(ew.weight AS DOUBLE) / CAST(a.c AS DOUBLE)
+               AS conf_a_to_b
+    FROM ew
+    JOIN per_part a ON ew.part_a = a.p
+    JOIN per_part b ON ew.part_b = b.p, n
+    ORDER BY lift DESC, ew.part_a ASC, ew.part_b ASC
+    LIMIT 20
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# cohort lifetime value (cumulative revenue by cohort age)
+# ---------------------------------------------------------------------------
+
+
+def _cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV: users grouped by first-active month, purchase
+    revenue accumulated by cohort AGE in weeks — the
+    revenue-over-lifetime companion to events_retention_cohorts'
+    activity counts (the curve a growth team reads payback periods
+    off). Week age is pure integer day arithmetic from a fixed anchor
+    (no months_between floats, no timezone exposure);
+    revenue sums in exact DECIMAL; the cumulative curve is an ordered
+    window over the O(cohorts x ages) relation. Everything compared
+    is an exact integer or exact-DECIMAL-derived double.
+
+    Scale: one user aggregate (first activity), one broadcast-back
+    join, one grouped aggregate; the only ordered window runs over
+    the month-domain rollup, never the fact table."""
+    ev = read_events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    # integer WEEK index from a fixed anchor: exact, timezone-free, and
+    # fine-grained enough that a month-long fixture still yields a
+    # cohort x age grid (months would collapse it to one cell)
+    week_idx = F.floor(
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01")))
+        / F.lit(7)
+    ).cast("long")
+    cohorts = ev.groupBy("user_id").agg(
+        F.min(week_idx).alias("cohort_idx")
+    )
+    purch = ev.where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        week_idx.alias("m_idx"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    cells = (
+        purch.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_idx",
+            (F.col("m_idx") - F.col("cohort_idx")).alias("age_weeks"),
+        )
+        .agg(
+            F.sum("v").cast("decimal(18,2)").alias("revenue_d"),
+            F.count_distinct("user_id").alias("n_buyers"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_idx")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cells.select(
+        "cohort_idx",
+        "age_weeks",
+        F.col("revenue_d").cast("double").alias("revenue"),
+        F.sum("revenue_d")
+        .over(w)
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("cum_revenue"),
+        "n_buyers",
+    )
+
+
+register(
+    "events_cohort_ltv",
+    _cohort_ltv,
+    """
+    WITH cohorts AS (
+        SELECT user_id,
+               min(CAST(floor((CAST(ts AS DATE) - DATE '2024-01-01') / 7)
+                   AS BIGINT)) AS cohort_idx
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY user_id
+    ),
+    purch AS (
+        SELECT e.user_id,
+               CAST(floor((CAST(e.ts AS DATE) - DATE '2024-01-01') / 7)
+                   AS BIGINT) AS m_idx,
+               CAST(e.value AS DECIMAL(18,2)) AS v
+        FROM events e
+        WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+              AND e.user_id IS NOT NULL
+    ),
+    cells AS (
+        SELECT c.cohort_idx,
+               p.m_idx - c.cohort_idx AS age_weeks,
+               CAST(sum(p.v) AS DECIMAL(18,2)) AS revenue_d,
+               CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_buyers
+        FROM purch p JOIN cohorts c ON p.user_id = c.user_id
+        GROUP BY 1, 2
+    )
+    SELECT CAST(cohort_idx AS BIGINT) AS cohort_idx,
+           CAST(age_weeks AS BIGINT) AS age_weeks,
+           CAST(revenue_d AS DOUBLE) AS revenue,
+           CAST(CAST(sum(revenue_d) OVER (PARTITION BY cohort_idx
+                   ORDER BY age_weeks
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DECIMAL(18,2)) AS DOUBLE) AS cum_revenue,
+           n_buyers
+    FROM cells
+    """,
+)

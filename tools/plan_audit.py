@@ -89,6 +89,9 @@ SCALAR_BROADCAST_OK = {
     # broadcast the 1-row argmax merge pair onto the word-frequency
     # relation — constant build side at any scale.
     "train_bpe_merge_step",
+    # broadcast 1-row order-count scalar onto the edge-sized pair
+    # relation — constant build side at any scale.
+    "orders_basket_lift",
 }
 
 # Streaming queries materialise through a memory sink; their batch plan is
