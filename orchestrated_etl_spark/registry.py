@@ -73,9 +73,13 @@ def _load_all() -> None:
 # events_km_survival, stats_ab_welch_ttest, sql_named_window_nulls,
 # events_holt_linear, agg_trimmed_mean, agg_gini_revenue,
 # events_trigram_paths, events_max_drawdown, dq_quarantine_split,
-# sim_label_centroid_matrix). Prioritize the wave-13/14/15 round-4
-# operators for round 5's 50 slots (their outputs are new); the
-# remainder roll to round 6.
+# sim_label_centroid_matrix) plus the 10 late wave-15 entries
+# (join_scd2_point_in_time, train_dataset_card,
+# stream_quarantine_split, train_bpe_merge_step, events_bot_cadence,
+# agg_countmin_merge_incremental, agg_bitmap_rollup_quarters,
+# train_pack_nfd_bins, orders_basket_lift, events_cohort_ltv).
+# Prioritize the wave-13/14/15 round-4 operators for round 5's 50
+# slots (their outputs are new); the remainder roll to round 6.
 _FRONT = [
     # reworked this round (null-safe path now exercised) — needs its green
     "join_null_safe_eq",
