@@ -2789,3 +2789,134 @@ register(
     FROM cells
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (corpus co-occurrence statistics)
+# ---------------------------------------------------------------------------
+
+
+def _pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of word pairs at DOCUMENT
+    co-occurrence granularity — collocation/phrase mining for
+    tokenizer vocabularies and topic audits: PMI = ln(n_ab·N /
+    (n_a·n_b)) corrects raw co-occurrence for word frequency (the
+    text twin of orders_basket_lift's lift). Pairs are generated
+    MAP-SIDE from each document's sorted distinct-word array via
+    nested TRANSFORM (the copurchase_edges idiom — no self-join, no
+    second corpus scan); the corpus is repartitioned by doc before
+    the quadratic-per-doc expansion so the kernel parallelizes off
+    the fixture's single row group. Counts are exact BIGINTs; ln is
+    applied to an exact rational, so round(,6) is a pure tolerance
+    (float-policy exception c, the text_unigram_logprob precedent).
+    Top-50 by (n_ab DESC, pair ASC) — total order, rank-stable.
+
+    Scale: one doc-grouped aggregate + one pair aggregate (both
+    partial-aggregable); per-doc fan-out is |vocab_doc|², bounded by
+    document length — the same contract as shingling. N and the
+    unigram doc-frequencies are vocabulary-sized broadcasts."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    words = docs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower("text"), r"\s+"),
+                    lambda w: F.length(w) >= 2,
+                )
+            )
+        ).alias("ws"),
+    ).localCheckpoint(eager=True)  # pair counts + unigram df, one pass
+    n_docs = words.agg(F.count(F.lit(1)).alias("n"))
+    uni = words.select(F.explode("ws").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    pairs = words.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ws",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ws"), i + F.lit(2), F.size("ws")),
+                        lambda y: F.struct(
+                            x.alias("word_a"), y.alias("word_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.word_a", "p.word_b")
+    co = pairs.groupBy("word_a", "word_b").agg(
+        F.count(F.lit(1)).alias("n_ab")
+    )
+    da = uni.select(F.col("w").alias("word_a"), F.col("df").alias("n_a"))
+    db = uni.select(F.col("w").alias("word_b"), F.col("df").alias("n_b"))
+    scored = (
+        co.join(F.broadcast(da), "word_a")
+        .join(F.broadcast(db), "word_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "word_a",
+            "word_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                F.log(
+                    (F.col("n_ab") * F.col("n")).cast("double")
+                    / (F.col("n_a") * F.col("n_b")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("n_ab"), F.asc("word_a"), F.asc("word_b")
+    ).limit(50)
+
+
+register(
+    "text_pmi_collocations",
+    _pmi_collocations,
+    """
+    WITH words AS (
+        SELECT doc_id,
+               list_sort(list_distinct(list_filter(
+                   regexp_split_to_array(lower(text), '\\s+'),
+                   w -> length(w) >= 2))) AS ws
+        FROM documents
+    ),
+    n_docs AS (SELECT count(*) AS n FROM words),
+    uni AS (
+        SELECT unnest(ws) AS w, doc_id FROM words
+    ),
+    df AS (SELECT w, count(*) AS df FROM uni GROUP BY w),
+    pairs AS (
+        SELECT ws[CAST(i AS INTEGER)] AS word_a,
+               ws[CAST(j AS INTEGER)] AS word_b
+        FROM words,
+             range(1, 4096) AS t1(i),
+             range(1, 4096) AS t2(j)
+        WHERE i < j AND j <= len(ws)
+    ),
+    co AS (
+        SELECT word_a, word_b, count(*) AS n_ab
+        FROM pairs GROUP BY 1, 2
+    )
+    SELECT c.word_a, c.word_b,
+           CAST(c.n_ab AS BIGINT) AS n_ab,
+           CAST(a.df AS BIGINT) AS n_a,
+           CAST(b.df AS BIGINT) AS n_b,
+           round(ln(CAST(c.n_ab * n.n AS DOUBLE)
+                    / CAST(a.df * b.df AS DOUBLE)), 6) AS pmi
+    FROM co c
+    JOIN df a ON c.word_a = a.w
+    JOIN df b ON c.word_b = b.w, n_docs n
+    ORDER BY n_ab DESC, c.word_a ASC, c.word_b ASC
+    LIMIT 50
+    """,
+)

@@ -92,6 +92,9 @@ SCALAR_BROADCAST_OK = {
     # broadcast 1-row order-count scalar onto the edge-sized pair
     # relation — constant build side at any scale.
     "orders_basket_lift",
+    # broadcast 1-row doc-count scalar onto the vocabulary-sized
+    # co-occurrence relation — constant build side at any scale.
+    "text_pmi_collocations",
 }
 
 # Streaming queries materialise through a memory sink; their batch plan is
