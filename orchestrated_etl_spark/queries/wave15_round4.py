@@ -2920,3 +2920,195 @@ register(
     LIMIT 50
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Pareto 80/20 concentration readout
+# ---------------------------------------------------------------------------
+
+
+def _pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pareto question answered exactly: how many top-spending
+    users cover 80% of purchase revenue? Users are ranked by exact-
+    DECIMAL revenue (total order: revenue DESC, user_id), the running
+    total accumulates in DECIMAL over the user-domain window, and the
+    answer is the first rank whose cumulative share reaches 0.8 — a
+    comparison of exact decimals (cum·10 >= total·8 in integer-exact
+    DECIMAL arithmetic, so the 0.8 threshold never touches floats).
+    Complements agg_gini_revenue's summary coefficient with the
+    operational cut-off number.
+
+    Scale: one fact aggregate to the user-domain relation; the ordered
+    window runs over users (dimension-sized). Output is one row."""
+    ev = read_events(spark, sf_dir)
+    purch = ev.where(
+        (F.col("event_type") == "purchase")
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    per_user = purch.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    w = Window.orderBy(F.desc("rev"), F.asc("user_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = per_user.select(
+        "user_id",
+        "rev",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rev"), F.asc("user_id")))
+        .alias("rnk"),
+        F.sum("rev").over(w).cast("decimal(28,2)").alias("cum"),
+    )
+    totals = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("rev").cast("decimal(28,2)").alias("total"),
+    )
+    hit = (
+        ranked.crossJoin(F.broadcast(totals))
+        .where(
+            F.col("cum") * F.lit(10) >= F.col("total") * F.lit(8)
+        )
+        .agg(F.min("rnk").alias("users_for_80pct"), F.max("n_users").alias("n_users"))
+    )
+    return hit.select(
+        "users_for_80pct",
+        "n_users",
+        (
+            F.col("users_for_80pct").cast("double")
+            / F.col("n_users").cast("double")
+        ).alias("user_share_for_80pct"),
+    )
+
+
+register(
+    "events_pareto_8020",
+    _pareto_8020,
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                   AS rev
+        FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+              AND user_id IS NOT NULL
+        GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT user_id, rev,
+               row_number() OVER (ORDER BY rev DESC, user_id) AS rnk,
+               CAST(sum(rev) OVER (ORDER BY rev DESC, user_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(28,2)) AS cum
+        FROM per_user
+    ),
+    totals AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(rev) AS DECIMAL(28,2)) AS total
+        FROM per_user
+    )
+    SELECT CAST(min(r.rnk) AS BIGINT) AS users_for_80pct,
+           max(t.n_users) AS n_users,
+           CAST(min(r.rnk) AS DOUBLE) / CAST(max(t.n_users) AS DOUBLE)
+               AS user_share_for_80pct
+    FROM ranked r, totals t
+    WHERE r.cum * 10 >= t.total * 8
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit of the corpus word-frequency distribution
+# ---------------------------------------------------------------------------
+
+
+def _zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law diagnostic of the corpus vocabulary: OLS slope of
+    ln(freq) against ln(rank) — natural language sits near -1;
+    strong deviation flags templated/boilerplate or synthetic text
+    (a corpus-quality gate cousin of text_unigram_logprob). Ranks are
+    a total order (freq DESC, word), the regression runs as ONE
+    regr_slope/regr_intercept/regr_r2 aggregate pass over the
+    vocabulary-sized rank relation (agg_regression_funcs establishes
+    cross-engine regr_* parity), and log/ratio outputs are genuinely
+    irrational → round(,6) tolerance (float-policy exception c).
+
+    Scale: the corpus collapses to the vocabulary relation in one
+    explode+aggregate; the window and regression are vocab-sized."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    freq = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower("text"), r"\s+"),
+                    lambda w: F.length(w) >= 2,
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = freq.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), F.asc("w")))
+        .alias("rnk"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.round(
+            F.expr(
+                "regr_slope(ln(CAST(freq AS DOUBLE)),"
+                " ln(CAST(rnk AS DOUBLE)))"
+            ),
+            6,
+        ).alias("zipf_slope"),
+        F.round(
+            F.expr(
+                "regr_intercept(ln(CAST(freq AS DOUBLE)),"
+                " ln(CAST(rnk AS DOUBLE)))"
+            ),
+            6,
+        ).alias("zipf_intercept"),
+        F.round(
+            F.expr(
+                "regr_r2(ln(CAST(freq AS DOUBLE)),"
+                " ln(CAST(rnk AS DOUBLE)))"
+            ),
+            6,
+        ).alias("fit_r2"),
+    )
+
+
+register(
+    "text_zipf_slope",
+    _zipf_slope,
+    """
+    WITH freq AS (
+        SELECT w, count(*) AS freq
+        FROM (
+            SELECT unnest(list_filter(
+                regexp_split_to_array(lower(text), '\\s+'),
+                x -> length(x) >= 2)) AS w
+            FROM documents
+        )
+        GROUP BY w
+    ),
+    ranked AS (
+        SELECT freq,
+               row_number() OVER (ORDER BY freq DESC, w) AS rnk
+        FROM freq
+    )
+    SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+           round(regr_slope(ln(CAST(freq AS DOUBLE)),
+                            ln(CAST(rnk AS DOUBLE))), 6) AS zipf_slope,
+           round(regr_intercept(ln(CAST(freq AS DOUBLE)),
+                                ln(CAST(rnk AS DOUBLE))), 6)
+               AS zipf_intercept,
+           round(regr_r2(ln(CAST(freq AS DOUBLE)),
+                         ln(CAST(rnk AS DOUBLE))), 6) AS fit_r2
+    FROM ranked
+    """,
+)

@@ -95,6 +95,9 @@ SCALAR_BROADCAST_OK = {
     # broadcast 1-row doc-count scalar onto the vocabulary-sized
     # co-occurrence relation — constant build side at any scale.
     "text_pmi_collocations",
+    # broadcast 1-row (n_users, total-revenue) scalars onto the
+    # user-domain ranked relation — constant build side at any scale.
+    "events_pareto_8020",
 }
 
 # Streaming queries materialise through a memory sink; their batch plan is
