@@ -3112,3 +3112,191 @@ register(
     FROM ranked
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# stored-histogram quantile merge (approximate median from partials)
+# ---------------------------------------------------------------------------
+
+_HQ_BINS = 32
+
+
+def _histogram_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median estimation from STORED per-month equi-width histograms —
+    the quantile member of the stored-partials family (moments:
+    agg_incremental_moments, distinct: agg_hll_sketch_merge /
+    agg_bitmap_rollup_quarters, frequency: agg_countmin_merge_
+    incremental): a nightly job appends 32 bin counts per month, and
+    any later query merges bins instead of re-scanning raw prices.
+    Histograms over a shared fixed grid merge by ADDITION, so the
+    merged estimate is identical to a from-scratch global histogram's.
+
+    The estimate's contract is explicit: the true median provably
+    lies inside the selected bin, so the query emits the bin bounds,
+    the midpoint estimate, the EXACT median (computed by the oracle
+    path too), and the boolean `within_bin` — the error-bound form
+    agg_approx_percentile_bounds established. Bin bounds derive from
+    the exact-DECIMAL global min/max (one 1-row broadcast), so bucket
+    assignment floor((x-lo)/w) is a fixed IEEE chain on identical
+    operands — no boundary drift between engines."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.date_trunc("month", "o_orderdate").alias("m"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+    )
+    bounds = orders.agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    b = F.lit(_HQ_BINS)
+    width = (F.col("hi") - F.col("lo")).cast("double") / b.cast("double")
+    binned = orders.crossJoin(F.broadcast(bounds)).select(
+        "m",
+        F.least(
+            F.floor(
+                (F.col("x") - F.col("lo")).cast("double") / width
+            ).cast("int"),
+            b - F.lit(1),
+        ).alias("bin"),
+        "lo",
+        "hi",
+        "n",
+    )
+    monthly = (
+        binned.groupBy("m", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+            F.max("n").alias("n"),
+        )
+        .localCheckpoint(eager=True)  # the "stored" per-month partials
+    )
+    merged = monthly.groupBy("bin").agg(
+        F.sum("cnt").alias("cnt"),
+        F.max("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).alias("n_partials"),
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = merged.select(
+        "bin",
+        "cnt",
+        "lo",
+        "hi",
+        "n",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("n_partials").over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total_partials"),
+    )
+    med_bin = (
+        cum.where(F.col("cum") * 2 >= F.col("n"))
+        .orderBy("bin")
+        .limit(1)
+    )
+    exact_med = orders.agg(
+        F.expr(
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY x)"
+            " AS DOUBLE)"
+        ).alias("exact_median")
+    )
+    wd = (F.col("hi") - F.col("lo")).cast("double") / b.cast("double")
+    bin_lo = F.col("lo").cast("double") + F.col("bin").cast("double") * wd
+    bin_hi = F.col("lo").cast("double") + (
+        F.col("bin") + F.lit(1)
+    ).cast("double") * wd
+    return med_bin.crossJoin(F.broadcast(exact_med)).select(
+        F.col("bin").alias("median_bin"),
+        "total_partials",
+        bin_lo.alias("bin_lo"),
+        bin_hi.alias("bin_hi"),
+        ((bin_lo + bin_hi) / F.lit(2.0)).alias("median_estimate"),
+        "exact_median",
+        (
+            (F.col("exact_median") >= bin_lo)
+            & (F.col("exact_median") <= bin_hi)
+        ).alias("within_bin"),
+    )
+
+
+register(
+    "agg_histogram_quantile_merge",
+    _histogram_quantile_merge,
+    f"""
+    WITH src AS (
+        SELECT date_trunc('month', o_orderdate) AS m,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS x
+        FROM orders
+    ),
+    bounds AS (
+        SELECT min(x) AS lo, max(x) AS hi,
+               CAST(count(*) AS BIGINT) AS n
+        FROM src
+    ),
+    binned AS (
+        SELECT s.m,
+               least(CAST(floor(CAST(s.x - b.lo AS DOUBLE)
+                   / (CAST(b.hi - b.lo AS DOUBLE)
+                      / CAST({_HQ_BINS} AS DOUBLE))) AS INTEGER),
+                   {_HQ_BINS} - 1) AS bin,
+               b.lo, b.hi, b.n
+        FROM src s, bounds b
+    ),
+    monthly AS (
+        SELECT m, bin, count(*) AS cnt,
+               max(lo) AS lo, max(hi) AS hi, max(n) AS n
+        FROM binned GROUP BY m, bin
+    ),
+    merged AS (
+        SELECT bin, CAST(sum(cnt) AS BIGINT) AS cnt,
+               max(lo) AS lo, max(hi) AS hi, max(n) AS n,
+               CAST(count(*) AS BIGINT) AS n_partials
+        FROM monthly GROUP BY bin
+    ),
+    cum AS (
+        SELECT bin, lo, hi, n,
+               CAST(sum(cnt) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum,
+               CAST(sum(n_partials) OVER () AS BIGINT) AS total_partials
+        FROM merged
+    ),
+    med_bin AS (
+        SELECT * FROM cum WHERE cum * 2 >= n ORDER BY bin LIMIT 1
+    ),
+    exact AS (
+        SELECT CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY x)
+               AS DOUBLE) AS exact_median
+        FROM src
+    )
+    SELECT m.bin AS median_bin,
+           m.total_partials,
+           CAST(m.lo AS DOUBLE) + CAST(m.bin AS DOUBLE)
+               * (CAST(m.hi - m.lo AS DOUBLE)
+                  / CAST({_HQ_BINS} AS DOUBLE)) AS bin_lo,
+           CAST(m.lo AS DOUBLE) + CAST(m.bin + 1 AS DOUBLE)
+               * (CAST(m.hi - m.lo AS DOUBLE)
+                  / CAST({_HQ_BINS} AS DOUBLE)) AS bin_hi,
+           (CAST(m.lo AS DOUBLE) + CAST(m.bin AS DOUBLE)
+               * (CAST(m.hi - m.lo AS DOUBLE)
+                  / CAST({_HQ_BINS} AS DOUBLE))
+            + CAST(m.lo AS DOUBLE) + CAST(m.bin + 1 AS DOUBLE)
+               * (CAST(m.hi - m.lo AS DOUBLE)
+                  / CAST({_HQ_BINS} AS DOUBLE))) / 2.0
+               AS median_estimate,
+           e.exact_median,
+           e.exact_median >= CAST(m.lo AS DOUBLE) + CAST(m.bin AS DOUBLE)
+               * (CAST(m.hi - m.lo AS DOUBLE)
+                  / CAST({_HQ_BINS} AS DOUBLE))
+           AND e.exact_median <= CAST(m.lo AS DOUBLE)
+               + CAST(m.bin + 1 AS DOUBLE)
+               * (CAST(m.hi - m.lo AS DOUBLE)
+                  / CAST({_HQ_BINS} AS DOUBLE)) AS within_bin
+    FROM med_bin m, exact e
+    """,
+)

@@ -98,6 +98,9 @@ SCALAR_BROADCAST_OK = {
     # broadcast 1-row (n_users, total-revenue) scalars onto the
     # user-domain ranked relation — constant build side at any scale.
     "events_pareto_8020",
+    # broadcast 1-row (min, max, n) bounds onto the scan, and 1-row
+    # exact-median onto the 1-row selected bin — constant build sides.
+    "agg_histogram_quantile_merge",
 }
 
 # Streaming queries materialise through a memory sink; their batch plan is
