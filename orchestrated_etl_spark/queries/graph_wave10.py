@@ -363,11 +363,9 @@ def _graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "graph_label_propagation",
-    _graph_label_propagation,
-    f"""
-    WITH {_EDGE_CTE},
+# Shared 3-round synchronous-LPA CTE chain (also consumed by
+# wave15_round4's modularity query).
+_LPA_ROUNDS_CTE = """
     e2 AS (SELECT part_a, part_b FROM e WHERE weight >= 2),
     ed AS (
         SELECT part_a AS src, part_b AS dst FROM e2
@@ -402,6 +400,14 @@ register(
             GROUP BY ed.dst, l.label
         ) WHERE rn = 1
     )
+"""
+
+register(
+    "graph_label_propagation",
+    _graph_label_propagation,
+    f"""
+    WITH {_EDGE_CTE},
+    {_LPA_ROUNDS_CTE}
     SELECT node, CAST(label AS BIGINT) AS community FROM l3
     """,
 )

@@ -3300,3 +3300,228 @@ register(
     FROM med_bin m, exact e
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# modularity of the LPA communities (exact integer identity)
+# ---------------------------------------------------------------------------
+
+
+def _graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the LPA community assignment — the
+    quality score that says whether the detected communities are real
+    structure (Q near 0 = no better than random wiring). Computed via
+    the integer identity Q = (4m·E_in − Σ_c d_c²) / 4m²: every
+    aggregate (intra-community edge count E_in, per-community degree
+    sums squared, edge count m) is a pure BIGINT — community terms are
+    NEVER summed as floats (a per-community float Σ would be
+    partition-order-dependent) — and Q is ONE division of identical
+    integers on both engines. Bit-exact, no rounding policy.
+
+    Scale: labels come from the same deterministic synchronous LPA as
+    graph_label_propagation (node-sized, broadcast onto the edge
+    relation); the rest is three partial-aggregable counts."""
+    from orchestrated_etl_spark.functions.graph import (
+        label_propagation,
+    )
+
+    edges = cached_edges(spark, sf_dir, min_weight=2)
+    labels = label_propagation(edges, iterations=3)
+    la = labels.select(
+        F.col("node").alias("part_a"), F.col("community").alias("ca")
+    )
+    lb = labels.select(
+        F.col("node").alias("part_b"), F.col("community").alias("cb")
+    )
+    intra = (
+        edges.join(F.broadcast(la), "part_a")
+        .join(F.broadcast(lb), "part_b")
+        .where(F.col("ca") == F.col("cb"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    m = edges.agg(F.count(F.lit(1)).alias("m"))
+    d2 = (
+        degrees(edges)
+        .join(
+            F.broadcast(labels.withColumnRenamed("community", "c")), "node"
+        )
+        .groupBy("c")
+        .agg(F.sum("degree").alias("d_c"))
+        .agg(
+            F.sum(F.col("d_c") * F.col("d_c")).alias("sum_d_sq"),
+            F.count(F.lit(1)).alias("n_communities"),
+        )
+    )
+    return (
+        intra.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(d2))
+        .select(
+            "m",
+            "e_in",
+            "n_communities",
+            "sum_d_sq",
+            (
+                (
+                    F.lit(4) * F.col("m") * F.col("e_in")
+                    - F.col("sum_d_sq")
+                ).cast("double")
+                / (F.lit(4) * F.col("m") * F.col("m")).cast("double")
+            ).alias("modularity"),
+        )
+    )
+
+
+def _modularity_oracle() -> str:
+    from orchestrated_etl_spark.queries.graph_wave10 import (
+        _LPA_ROUNDS_CTE,
+    )
+
+    return f"""
+    WITH {_EDGE_CTE},
+    {_LPA_ROUNDS_CTE},
+    ew AS (SELECT part_a, part_b FROM e WHERE weight >= 2),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ew),
+    intra AS (
+        SELECT CAST(count(*) AS BIGINT) AS e_in
+        FROM ew
+        JOIN l3 a ON ew.part_a = a.node
+        JOIN l3 b ON ew.part_b = b.node
+        WHERE a.label = b.label
+    ),
+    deg AS (
+        SELECT node, count(*) AS degree FROM (
+            SELECT part_a AS node FROM ew
+            UNION ALL SELECT part_b FROM ew
+        ) GROUP BY node
+    ),
+    dc AS (
+        SELECT l.label AS c, CAST(sum(d.degree) AS BIGINT) AS d_c
+        FROM deg d JOIN l3 l ON d.node = l.node
+        GROUP BY l.label
+    ),
+    d2 AS (
+        SELECT CAST(sum(d_c * d_c) AS BIGINT) AS sum_d_sq,
+               CAST(count(*) AS BIGINT) AS n_communities
+        FROM dc
+    )
+    SELECT m.m, i.e_in, d2.n_communities, d2.sum_d_sq,
+           CAST(4 * m.m * i.e_in - d2.sum_d_sq AS DOUBLE)
+               / CAST(4 * m.m * m.m AS DOUBLE) AS modularity
+    FROM intra i, m, d2
+    """
+
+
+register("graph_modularity", _graph_modularity, _modularity_oracle())
+
+
+# ---------------------------------------------------------------------------
+# sampling-based approximate query processing with a CI contract
+# ---------------------------------------------------------------------------
+
+
+def _sampled_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate total revenue from a DETERMINISTIC 10% sample with
+    a 95% confidence interval — BlinkDB-style approximate query
+    processing, made auditable: the query emits the estimate, the
+    half-width, the exact total (which the oracle also computes), and
+    the boolean `within_ci`. The sample predicate o_orderkey % 10 = 0
+    evaluates in the scan stage (no shuffle, reproducible across
+    engines/reruns — the train_split_assignment contract); moments
+    accumulate in exact DECIMAL (the stats_ab_welch_ttest recipe), so
+    estimate/se are fixed IEEE chains on bit-identical scalars.
+    Estimator: SRS total N·x̄ with finite-population correction —
+    se = N·sqrt(var_s/n_s·(1−n_s/N)).
+
+    Scale: ONE conditional-aggregate pass computes sample moments AND
+    the exact population total/count together (at 100 TB you would
+    scan only the sample partition and keep the exact total as a
+    stored aggregate — the point of AQP is skipping the full scan;
+    here the single pass keeps the contract checkable)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(19,2)").alias("x")
+    )
+    in_s = F.col("o_orderkey") % 10 == 0
+    agg = orders.agg(
+        F.count(F.lit(1)).alias("n_pop"),
+        F.sum("x").cast("decimal(18,2)").alias("s_pop"),
+        F.sum(F.when(in_s, 1).otherwise(0)).alias("n_s"),
+        F.sum(F.when(in_s, F.col("x"))).cast("decimal(18,2)").alias("s_s"),
+        F.sum(F.when(in_s, (F.col("x") * F.col("x")).cast("decimal(38,4)")))
+        .cast("decimal(20,4)")
+        .alias("q_s"),
+    )
+    n_pop, s_pop = F.col("n_pop"), F.col("s_pop")
+    n_s, s_s, q_s = F.col("n_s"), F.col("s_s"), F.col("q_s")
+    var_num = (
+        n_s.cast("decimal(10,0)") * q_s - (s_s * s_s).cast("decimal(38,4)")
+    ).cast("decimal(38,4)")
+    var_s = var_num.cast("double") / (n_s * (n_s - F.lit(1))).cast("double")
+    mean_s = s_s.cast("double") / n_s.cast("double")
+    est = n_pop.cast("double") * mean_s
+    fpc = F.lit(1.0) - n_s.cast("double") / n_pop.cast("double")
+    se = n_pop.cast("double") * F.sqrt(var_s / n_s.cast("double") * fpc)
+    half = F.lit(1.96) * se
+    true_total = s_pop.cast("double")
+    return agg.select(
+        "n_pop",
+        "n_s",
+        est.alias("est_total"),
+        true_total.alias("true_total"),
+        # the variance numerator exceeds 2^53 past sf0.01, and a
+        # >2^53 DECIMAL->DOUBLE cast is the one conversion the engines
+        # round differently (agg_incremental_moments hazard) — the
+        # half-width is sqrt-derived (genuinely irrational), so
+        # round(,4) is a pure tolerance 8+ orders above the ulp drift
+        F.round(half, 4).alias("ci_half_width"),
+        (F.abs(true_total - est) <= half).alias("within_ci"),
+    )
+
+
+register(
+    "approx_sampled_revenue_ci",
+    _sampled_revenue_ci,
+    """
+    WITH agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_pop,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(19,2)))
+                    AS DECIMAL(18,2)) AS s_pop,
+               CAST(count(*) FILTER (WHERE o_orderkey % 10 = 0)
+                    AS BIGINT) AS n_s,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(19,2)))
+                    FILTER (WHERE o_orderkey % 10 = 0)
+                    AS DECIMAL(18,2)) AS s_s,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(19,2))
+                             * CAST(o_totalprice AS DECIMAL(19,2))
+                             AS DECIMAL(38,4)))
+                    FILTER (WHERE o_orderkey % 10 = 0)
+                    AS DECIMAL(20,4)) AS q_s
+        FROM orders
+    )
+    SELECT n_pop, n_s,
+           CAST(n_pop AS DOUBLE)
+               * (CAST(s_s AS DOUBLE) / CAST(n_s AS DOUBLE)) AS est_total,
+           CAST(s_pop AS DOUBLE) AS true_total,
+           round(1.96 * (CAST(n_pop AS DOUBLE)
+               * sqrt(CAST(CAST(CAST(n_s AS DECIMAL(10,0)) * q_s
+                                - CAST(CAST(s_s AS DECIMAL(19,2)) * CAST(s_s AS DECIMAL(19,2)) AS DECIMAL(38,4))
+                           AS DECIMAL(38,4)) AS DOUBLE)
+                      / CAST(n_s * (n_s - 1) AS DOUBLE)
+                      / CAST(n_s AS DOUBLE)
+                      * (1.0 - CAST(n_s AS DOUBLE)
+                               / CAST(n_pop AS DOUBLE)))), 4)
+               AS ci_half_width,
+           abs(CAST(s_pop AS DOUBLE)
+               - CAST(n_pop AS DOUBLE)
+                 * (CAST(s_s AS DOUBLE) / CAST(n_s AS DOUBLE)))
+           <= 1.96 * (CAST(n_pop AS DOUBLE)
+               * sqrt(CAST(CAST(CAST(n_s AS DECIMAL(10,0)) * q_s
+                                - CAST(CAST(s_s AS DECIMAL(19,2)) * CAST(s_s AS DECIMAL(19,2)) AS DECIMAL(38,4))
+                           AS DECIMAL(38,4)) AS DOUBLE)
+                      / CAST(n_s * (n_s - 1) AS DOUBLE)
+                      / CAST(n_s AS DOUBLE)
+                      * (1.0 - CAST(n_s AS DOUBLE)
+                               / CAST(n_pop AS DOUBLE))))
+               AS within_ci
+    FROM agg
+    """,
+)

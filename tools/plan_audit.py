@@ -101,6 +101,9 @@ SCALAR_BROADCAST_OK = {
     # broadcast 1-row (min, max, n) bounds onto the scan, and 1-row
     # exact-median onto the 1-row selected bin — constant build sides.
     "agg_histogram_quantile_merge",
+    # three 1-row aggregates (edge count, intra-edge count, degree
+    # moments) combined into the single modularity row.
+    "graph_modularity",
 }
 
 # Streaming queries materialise through a memory sink; their batch plan is
