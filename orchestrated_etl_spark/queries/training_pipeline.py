@@ -331,11 +331,14 @@ def _build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    # Top-V FIRST via orderBy().limit() → TakeOrderedAndProject (per-
+    # partition heap, no single-partition sort over the Heaps'-law-
+    # unbounded vocabulary); the id-assigning window then runs over the
+    # V survivors only (round-4 verdict fix).
+    topv = counts.orderBy(F.col("freq").desc(), F.col("word")).limit(_VOCAB_SIZE)
     w = Window.orderBy(F.col("freq").desc(), F.col("word"))
-    return (
-        counts.withColumn("vocab_id", F.row_number().over(w))
-        .where(F.col("vocab_id") <= _VOCAB_SIZE)
-        .select("vocab_id", "word", "freq")
+    return topv.select(
+        F.row_number().over(w).alias("vocab_id"), "word", "freq"
     )
 
 
