@@ -46,6 +46,78 @@ def top_k_per_group(
     )
 
 
+def global_rank_two_phase(
+    df: DataFrame,
+    order_cols: list[Column],
+    num_range_partitions: int = 32,
+    rank_col: str = "rnk",
+    running_sum_expr: Column | None = None,
+    running_sum_col: str = "cum",
+) -> DataFrame:
+    """Global dense ordering (row_number, optional running sum) WITHOUT an
+    unpartitioned window: the scale-safe replacement for
+    ``row_number().over(Window.orderBy(...))``, which WindowExec executes
+    on a single partition.
+
+    Two-phase shape:
+
+    1. ``repartitionByRange`` on the EXACT total-order keys (include a
+       unique tie-breaker in ``order_cols``) so partition i holds a
+       contiguous key range wholly before partition i+1; pin the
+       partitioning with a lazy ``localCheckpoint`` so the range
+       boundaries and ``spark_partition_id`` stay consistent across the
+       two downstream consumers.
+    2. A P-row per-partition aggregate (count + optional sum) feeds an
+       exclusive-preceding cumulative window over ``_pid`` — the ONLY
+       unpartitioned window, bounded at ``num_range_partitions`` rows by
+       construction — producing broadcastable offsets.
+    3. The local window (``partitionBy(_pid)``) computes per-partition
+       row_number / running sum; adding the broadcast offsets yields the
+       exact global rank and running sum.
+
+    Every shuffle is key-balanced (range, then hash by _pid); no stage
+    ever sorts the full relation on one executor. The returned frame
+    keeps all input columns plus ``rank_col`` (long) and, when
+    ``running_sum_expr`` is given, ``running_sum_col`` (its windowed-sum
+    type, e.g. exact DECIMAL for DECIMAL input).
+    """
+    part = (
+        df.repartitionByRange(num_range_partitions, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    aggs = [F.count(F.lit(1)).alias("_pcnt")]
+    if running_sum_expr is not None:
+        aggs.append(F.sum(running_sum_expr).alias("_psum"))
+    per_part = part.groupBy("_pid").agg(*aggs)
+    off_w = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off_cols = [
+        F.col("_pid"),
+        F.coalesce(F.sum("_pcnt").over(off_w), F.lit(0)).alias("_cnt_off"),
+    ]
+    if running_sum_expr is not None:
+        off_cols.append(F.sum("_psum").over(off_w).alias("_sum_off"))
+    offsets = per_part.select(*off_cols)
+    local_w = Window.partitionBy("_pid").orderBy(*order_cols)
+    out = part.join(F.broadcast(offsets), "_pid").withColumn(
+        rank_col,
+        (F.col("_cnt_off") + F.row_number().over(local_w)).cast("long"),
+    )
+    if running_sum_expr is not None:
+        run_w = local_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        local_sum = F.sum(running_sum_expr).over(run_w)
+        out = out.withColumn(
+            running_sum_col,
+            F.when(
+                F.col("_sum_off").isNull(), local_sum
+            ).otherwise(F.col("_sum_off") + local_sum),
+        )
+        out = out.drop("_sum_off")
+    return out.drop("_pid", "_cnt_off")
+
+
 def tumbling_window_agg(
     df: DataFrame,
     ts_col: str,

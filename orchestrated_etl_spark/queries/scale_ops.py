@@ -1331,8 +1331,11 @@ def _sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition heap top-k, no single-partition corpus sort); only the K
     # survivors then get ranked by a window whose domain is bounded at K
     # rows regardless of corpus size (round-4 verdict fix).
-    topk = keyed.orderBy(F.col("ws_key").desc(), F.col("doc_id")).limit(_WS_K)
-    w = Window.orderBy(F.col("ws_key").desc(), F.col("doc_id"))
+    # ONE order-key list feeds both the top-k and the rank window so
+    # membership and rank can never silently diverge (round-5 advice).
+    order = [F.col("ws_key").desc(), F.col("doc_id")]
+    topk = keyed.orderBy(*order).limit(_WS_K)
+    w = Window.orderBy(*order)
     return topk.select(
         "doc_id",
         "n_chars",

@@ -335,8 +335,12 @@ def _build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition heap, no single-partition sort over the Heaps'-law-
     # unbounded vocabulary); the id-assigning window then runs over the
     # V survivors only (round-4 verdict fix).
-    topv = counts.orderBy(F.col("freq").desc(), F.col("word")).limit(_VOCAB_SIZE)
-    w = Window.orderBy(F.col("freq").desc(), F.col("word"))
+    # ONE order-key list feeds both the top-V and the id window so
+    # membership and id assignment can never silently diverge
+    # (round-5 advice).
+    order = [F.col("freq").desc(), F.col("word")]
+    topv = counts.orderBy(*order).limit(_VOCAB_SIZE)
+    w = Window.orderBy(*order)
     return topv.select(
         F.row_number().over(w).alias("vocab_id"), "word", "freq"
     )

@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from orchestrated_etl_spark.functions.graph import degrees
+from orchestrated_etl_spark.operators.relational import global_rank_two_phase
 from orchestrated_etl_spark.queries.graph_wave10 import _EDGE_CTE, cached_edges
 from orchestrated_etl_spark.registry import register
 from orchestrated_etl_spark.sources.catalog import read_events
@@ -2938,8 +2939,15 @@ def _pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
     Complements agg_gini_revenue's summary coefficient with the
     operational cut-off number.
 
-    Scale: one fact aggregate to the user-domain relation; the ordered
-    window runs over users (dimension-sized). Output is one row."""
+    Scale (re-plumbed round 6): one fact aggregate to the user-domain
+    relation, then rank + running sum via the two-phase
+    ``global_rank_two_phase`` operator — range-partition on
+    (rev DESC, user_id), per-partition local window, broadcast P-row
+    cumulative offsets. Users grow with the corpus, so the former
+    unpartitioned ``Window.orderBy(desc(rev))`` (single-executor sort
+    at 100x) is gone; the only unpartitioned window left is the
+    exclusive-preceding offset scan over <=32 per-partition aggregate
+    rows. Output is one row."""
     ev = read_events(spark, sf_dir)
     purch = ev.where(
         (F.col("event_type") == "purchase")
@@ -2951,16 +2959,18 @@ def _pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,2)")
         .alias("rev")
     )
-    w = Window.orderBy(F.desc("rev"), F.asc("user_id")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = per_user.select(
+    order = [F.desc("rev"), F.asc("user_id")]
+    ranked = global_rank_two_phase(
+        per_user,
+        order,
+        rank_col="rnk",
+        running_sum_expr=F.col("rev"),
+        running_sum_col="_cum",
+    ).select(
         "user_id",
         "rev",
-        F.row_number()
-        .over(Window.orderBy(F.desc("rev"), F.asc("user_id")))
-        .alias("rnk"),
-        F.sum("rev").over(w).cast("decimal(28,2)").alias("cum"),
+        "rnk",
+        F.col("_cum").cast("decimal(28,2)").alias("cum"),
     )
     totals = per_user.agg(
         F.count(F.lit(1)).alias("n_users"),
@@ -3035,8 +3045,14 @@ def _zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine regr_* parity), and log/ratio outputs are genuinely
     irrational → round(,6) tolerance (float-policy exception c).
 
-    Scale: the corpus collapses to the vocabulary relation in one
-    explode+aggregate; the window and regression are vocab-sized."""
+    Scale (re-plumbed round 6): the corpus collapses to the vocabulary
+    relation in one explode+aggregate, but the vocabulary itself is
+    UNBOUNDED in corpus size (Heaps' law), so ranking runs through the
+    two-phase ``global_rank_two_phase`` operator — range-partition on
+    (freq DESC, w), per-partition row_number, broadcast P-row count
+    offsets — instead of the former unpartitioned rank window (a
+    single-executor vocabulary sort at 100x). The regression is one
+    distributed regr_* aggregate pass over the ranked relation."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     freq = (
         docs.select(
@@ -3050,12 +3066,9 @@ def _zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    ranked = freq.select(
-        "freq",
-        F.row_number()
-        .over(Window.orderBy(F.desc("freq"), F.asc("w")))
-        .alias("rnk"),
-    )
+    ranked = global_rank_two_phase(
+        freq, [F.desc("freq"), F.asc("w")], rank_col="rnk"
+    ).select("freq", "rnk")
     return ranked.agg(
         F.count(F.lit(1)).alias("vocab_size"),
         F.round(

@@ -52,59 +52,58 @@ def _load_all() -> None:
 
 # The driver's correctness gate samples the FIRST 50 oracle-bearing entries
 # in queries() iteration order (verified against CORRECTNESS_r01.json).
-# Rounds 1-3 issued green rows for 147 distinct queries (r3: 50/50 green).
-# This round-4 front leads with (a) join_null_safe_eq — reworked this
-# round to genuinely exercise the null-safe path (round-3 advice), so its
-# NEW output needs a driver-issued green — and (b) 49 of the 91 queries
-# the driver has never sampled, in registration order across the
-# remaining families: set ops, text, dedup variants, similarity/UDF
-# surface, multimodal, streaming, sampling, sketches, sources/sinks, and
-# the training-pipeline head. ROUND-5 FRONT: never-sampled queries now
-# number ~75 — the ~41 still-unsampled older queries, the 11 wave-13/14
-# round-4 additions (graph_bfs_frontier, table_snapshot_diff,
-# join_bloom_prefilter, er_match_blocked_parts, events_cep_conversion,
-# skyline_price_size, graph_shortest_path_weighted,
-# events_interval_coverage, sql_pipe_syntax_rollup,
-# sql_lateral_correlated_topk, spatial_radius_join), and the 20 wave-15
-# round-4b additions (graph_clustering_coefficient, graph_hits_2iter,
-# events_cusum_changepoint, events_acf_lags,
-# agg_countmin_sketch_estimate, dedup_cdc_chunks, agg_bitmap_distinct,
-# stats_chi2_cells, stats_chi2_total, stats_corr_matrix,
-# events_km_survival, stats_ab_welch_ttest, sql_named_window_nulls,
-# events_holt_linear, agg_trimmed_mean, agg_gini_revenue,
-# events_trigram_paths, events_max_drawdown, dq_quarantine_split,
-# sim_label_centroid_matrix) plus the 10 late wave-15 entries
-# (join_scd2_point_in_time, train_dataset_card,
-# stream_quarantine_split, train_bpe_merge_step, events_bot_cadence,
-# agg_countmin_merge_incremental, agg_bitmap_rollup_quarters,
-# train_pack_nfd_bins, orders_basket_lift, events_cohort_ltv).
-# Prioritize the wave-13/14/15 round-4 operators for round 5's 50
-# slots (their outputs are new); the remainder roll to round 6.
+# Rounds 1-5 issued green rows for 197 distinct queries (r5 duplicated r4's
+# sample because this list was not rotated — the round-5 verdict's #1 task).
+# ROUND-6 FRONT: exactly 50 of the 94 still-never-sampled oracle queries,
+# in the verdict-prescribed priority: the 11 wave-13/14 round-4 additions,
+# the 20 wave-15 round-4b additions, the 10 late wave-15 entries, the 6
+# final wave-15 entries (including events_pareto_8020 and text_zipf_slope,
+# re-plumbed THIS round to partitioned two-phase windows — their new
+# outputs need driver-issued greens), and 3 older stragglers
+# (events_cep_sessionized, graph_kcore, agg_incremental_moments).
+# ROUND-7 CANDIDATES (the 44 remaining never-sampled, registration order):
+# train_mixture_sampling, train_chunk_documents, train_build_vocab,
+# train_dedup_lines, train_dedup_lines_global, train_epoch_shuffle,
+# window_range_7day_spend, agg_filtered_conditional, string_funcs_profile,
+# train_split_assignment, datetime_linear_interpolate,
+# ps_pandas_api_rollup, window_distribution_ranks, cogroup_click_purchase,
+# sql_scalar_udf_revenue, sql_table_udf_spine, events_rfm_segmentation,
+# events_dau_wau, events_anomaly_mad, events_seasonal_decompose,
+# sql_collation_ci, train_e2e_incremental_refresh, search_phrase_match,
+# search_bm25_store_bucketed, src_schema_evolution, agg_incremental_rollup,
+# agg_incremental_join_view, agg_listagg_lines, agg_bitwise_flags,
+# agg_bool_rules, agg_median_percentiles, window_nth_value,
+# agg_approx_topk_exact_regime, array_fold_profile, datetime_interval_math,
+# agg_grouping_id_cube, agg_regression_funcs, agg_width_bucket_histogram,
+# join_shuffle_hash_hint, sql_pagination_offset, sql_regexp_count_instr,
+# agg_multi_distinct, sql_parameterized_args, window_rolling_median.
 _FRONT = [
-    # reworked this round (null-safe path now exercised) — needs its green
-    "join_null_safe_eq",
-    # never-driver-sampled, registration order
-    "setop_intersect_all", "setop_except_all",
-    "text_word_topk", "text_fingerprint", "udtf_chunk_expand",
-    "text_url_parse_profile",
-    "dedup_levenshtein_blocked", "dedup_embedding_cosine",
-    "dedup_minhash_mllib", "train_fuzzy_decontaminate",
-    "sim_bruteforce_topk", "sim_ivf_topk_nprobe2", "sim_vector_norms",
-    "sim_normalize_embeddings", "sim_udaf_mean_norm", "sim_groupmap_zscore",
-    "sim_mapinarrow_norms", "sim_tree_assign_agreement",
-    "sim_brp_lsh_mllib", "sim_kmeans_step_exact",
-    "mm_binary_metadata", "mm_decode_stub", "mm_resize_stub",
-    "stream_sliding_2h", "stream_session_windows", "stream_dedup_users",
-    "stream_foreachbatch_sink", "stream_static_join", "stream_books_pages",
-    "stream_state_inspect", "stream_binary_files",
-    "stream_tumbling_multibatch",
-    "sample_hash_deterministic", "sample_stratified_fixed",
-    "agg_exact_percentiles", "agg_approx_sketches", "range_join_binned",
-    "src_csv_roundtrip", "src_json_roundtrip", "sink_partitioned_parquet",
-    "join_bucketed_colocated", "window_session_builtin",
-    "src_binary_file_source", "agg_salted_twophase", "src_orc_roundtrip",
-    "obs_standardise_metrics", "sample_weighted_deterministic",
-    "train_cap_per_source", "train_token_packing",
+    # wave-13/14 round-4 additions (11)
+    "graph_bfs_frontier", "table_snapshot_diff", "join_bloom_prefilter",
+    "er_match_blocked_parts", "events_cep_conversion", "skyline_price_size",
+    "graph_shortest_path_weighted", "events_interval_coverage",
+    "sql_pipe_syntax_rollup", "sql_lateral_correlated_topk",
+    "spatial_radius_join",
+    # wave-15 round-4b additions (20)
+    "graph_clustering_coefficient", "graph_hits_2iter",
+    "events_cusum_changepoint", "events_acf_lags",
+    "agg_countmin_sketch_estimate", "dedup_cdc_chunks",
+    "agg_bitmap_distinct", "stats_chi2_cells", "stats_chi2_total",
+    "stats_corr_matrix", "events_km_survival", "stats_ab_welch_ttest",
+    "sql_named_window_nulls", "events_holt_linear", "agg_trimmed_mean",
+    "agg_gini_revenue", "events_trigram_paths", "events_max_drawdown",
+    "dq_quarantine_split", "sim_label_centroid_matrix",
+    # late wave-15 entries (10)
+    "join_scd2_point_in_time", "train_dataset_card",
+    "stream_quarantine_split", "train_bpe_merge_step", "events_bot_cadence",
+    "agg_countmin_merge_incremental", "agg_bitmap_rollup_quarters",
+    "train_pack_nfd_bins", "orders_basket_lift", "events_cohort_ltv",
+    # final wave-15 entries (6) — pareto + zipf re-plumbed this round
+    "text_pmi_collocations", "events_pareto_8020", "text_zipf_slope",
+    "agg_histogram_quantile_merge", "graph_modularity",
+    "approx_sampled_revenue_ci",
+    # older stragglers (3)
+    "events_cep_sessionized", "graph_kcore", "agg_incremental_moments",
 ]
 
 

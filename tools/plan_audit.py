@@ -8,6 +8,14 @@ Flags the plan shapes that break at 100 TB:
 - ``BatchEvalPython`` — row-at-a-time Python UDF in the plan (the Arrow
   variants show up as ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas
   and are fine).
+- ``Window`` nodes with an EMPTY partition spec — WindowExec moves the
+  whole input to ONE partition, so an unpartitioned window over a
+  data-sized relation is a single-executor sort at scale. Allowed only
+  where the window's input domain is provably bounded (histogram bins,
+  top-k post-limit survivors, date spine, per-partition offset rows,
+  <=K-row relations) — each allowlisted with the bound and a reason,
+  and with the EXACT expected count so an extra global window sneaking
+  into an allowlisted query still flags.
 - Parquet scans with no pushed filter AND no column pruning (reading every
   column of a table the query then filters/projects driver-side).
 - Exchange count per query (printed, not flagged — context decides).
@@ -106,6 +114,79 @@ SCALAR_BROADCAST_OK = {
     "graph_modularity",
 }
 
+# Queries allowed to carry unpartitioned Window nodes, mapped to the
+# EXACT number expected and the bound that makes each one safe. Any
+# count above the entry (or any global window in an unlisted query)
+# flags — so a regression that reintroduces a data-sized global window
+# into an allowlisted query is still caught.
+GLOBAL_WINDOW_OK: dict[str, tuple[int, str]] = {
+    # date-spine series: the window input is the day-grouped relation,
+    # O(calendar range) rows (years x 365), never O(fact).
+    "events_cusum_changepoint": (2, "running mean + cusum over the daily spine"),
+    "events_max_drawdown": (2, "running peak + drawdown over the daily spine"),
+    "window_rolling_median": (1, "7-day frame over the daily spine"),
+    # duration-domain: risk-set cumulation over O(distinct lifetimes)
+    # rows, bounded by the fixture date range.
+    "events_km_survival": (1, "risk-set window over the duration domain"),
+    # histogram bins: fixed _HQ_BINS=32-bucket relation.
+    "agg_histogram_quantile_merge": (1, "cumulative counts over 32 bins"),
+    # top-k post-limit survivors: the window input is already reduced
+    # by TakeOrderedAndProject to K rows.
+    "sample_weighted_deterministic": (1, "rank over the K=50 heap survivors"),
+    "train_build_vocab": (1, "rank over the V vocab-cap survivors"),
+    "search_hybrid_rrf": (1, "rank over the 20-row BM25 leg"),
+    # two-phase global rank (operators/relational.global_rank_two_phase):
+    # the only global window is the exclusive-preceding offset scan over
+    # <=num_range_partitions per-partition aggregate rows.
+    "events_pareto_8020": (1, "offset window over <=32 _pid rows"),
+    "text_zipf_slope": (1, "offset window over <=32 _pid rows"),
+    # documented small-regime twin: exact ntile(5) x3 over the per-user
+    # relation; the registered scale path is events_rfm_quantile_cutoffs
+    # (broadcast histogram cutoffs, no per-user ordered window).
+    "events_rfm_segmentation": (3, "exact-ntile small-regime twin"),
+}
+
+
+def _window_bracket_groups(line: str) -> list[str]:
+    """Top-level [...] groups on a Window plan line. The node prints
+    ``Window [funcs], [partSpec], [orderSpec]`` when fully specified;
+    either spec is OMITTED (not printed empty) when absent, so a
+    2-group line is EITHER partition-only or order-only."""
+    groups = []
+    depth = 0
+    start = None
+    for i, ch in enumerate(line):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0 and start is not None:
+                groups.append(line[start : i + 1])
+                start = None
+    return groups
+
+
+def count_global_windows(plan: str) -> int:
+    """Unpartitioned Window/WindowInPandas nodes in a physical plan.
+    A 2-group node is global only when its second group is an ORDER
+    spec (sort directions present) — a partition-only window (e.g.
+    ``count(*) over (partition by k)``) also prints 2 groups."""
+    n = 0
+    for line in plan.splitlines():
+        m = re.search(r"\bWindow(InPandas)? \[", line)
+        if not m:
+            continue
+        groups = _window_bracket_groups(line[m.start() :])
+        if len(groups) >= 3:
+            continue  # funcs + partition + order
+        if len(groups) == 2 and not re.search(r" (ASC|DESC) ", groups[1]):
+            continue  # funcs + partition-only
+        n += 1
+    return n
+
+
 # Streaming queries materialise through a memory sink; their batch plan is
 # the memory-table scan, so scan-level checks don't apply.
 SKIP_PREFIX = ("stream_",)
@@ -120,6 +201,12 @@ def audit(spark, name, fn, sf_dir):
             smells.append("cartesian/nested-loop join")
     if "BatchEvalPython" in plan and name not in PYTHON_OK:
         smells.append("row-at-a-time Python UDF")
+    n_global_win = count_global_windows(plan)
+    allowed, _reason = GLOBAL_WINDOW_OK.get(name, (0, ""))
+    if n_global_win > allowed:
+        smells.append(
+            f"unpartitioned window x{n_global_win} (allowed {allowed})"
+        )
     n_exchange = plan.count("Exchange hashpartitioning")
     n_scan = plan.count("Scan parquet")
     return smells, n_exchange, n_scan
