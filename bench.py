@@ -6,6 +6,15 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is timed end-to-end (plan + execute + count-style materialise);
 a warmup query first absorbs JVM/codegen startup so numbers reflect the
 engine, not JIT warmup.
+
+Warm numbers come from $SPARK_GRAFT_BENCH_REPEATS (default 3) INTERLEAVED
+full-suite passes — pass 1 runs every query, then pass 2, then pass 3 —
+so slow environment drift (GC pressure, page cache, CPU contention) lands
+in every query's sample rather than biasing whichever query ran last.
+Per query the JSON reports the MEDIAN ("queries", summed into "value")
+and the max-min SPREAD ("queries_spread"): a cross-round mover whose
+delta sits inside its own spread is session noise, not a regression —
+the attribution protocol the round-4/5 verdicts asked for.
 """
 
 from __future__ import annotations
@@ -97,18 +106,26 @@ def main() -> None:
     # deltas explainable: a driver bench that times first executions
     # should land near the cold column, not the warm one.
     cold: dict[str, float] = {}
-    timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
         df.collect() if name == "flagship" else df.count()
         cold[name] = round(time.perf_counter() - t0, 3)
-    for name in names:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        n = df.count() if name != "flagship" else len(df.collect())
-        timings[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
+
+    # Warm: n interleaved full-suite passes -> per-query median + spread.
+    import statistics
+
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in names}
+    for _ in range(reps):
+        for name in names:
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            n = df.count() if name != "flagship" else len(df.collect())
+            samples[name].append(time.perf_counter() - t0)
+            assert n >= 0
+    timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    spread = {n: round(max(s) - min(s), 3) for n, s in samples.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -117,6 +134,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_spread": spread,
+                "repeats": reps,
                 "cold_value": round(sum(cold.values()), 3),
                 "queries_cold": cold,
                 "sf": sf,

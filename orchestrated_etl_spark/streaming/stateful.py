@@ -141,14 +141,18 @@ def user_totals_tws(events: DataFrame) -> DataFrame:
     one output row per user per micro-batch, state bounded at two scalars
     per key.
 
-    ENVIRONMENT GATE: the transformWithState Python runner imports
-    google.protobuf at stream start; in containers without a working
-    protobuf install the stream fails with
-    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE. The operator is
-    therefore exercised by a skip-if-unavailable test rather than a
-    registered query (the applyInPandasWithState twin
+    RUNTIME REQUIREMENTS (both satisfied here since round 6): the
+    transformWithState Python runner imports google.protobuf at stream
+    start — provided by a real install or the vendored pure-python
+    runtime (orchestrated_etl_spark/_vendor, activated by
+    ``_vendor.ensure_protobuf()`` BEFORE the JVM launches so workers
+    inherit it) — and per-key state lives in multiple column families,
+    which needs ``spark.sql.streaming.stateStore.providerClass`` set to
+    RocksDBStateStoreProvider (rocksdbjni ships with Spark; the default
+    HDFS-backed provider rejects column families). Exercised by a
+    skip-if-unavailable test; the applyInPandasWithState twin
     ``user_running_totals`` covers the registered-query path
-    everywhere)."""
+    everywhere."""
     proc = UserTotalsProcessor()
     return (
         events.select("user_id", "value")
