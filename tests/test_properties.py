@@ -533,3 +533,42 @@ def test_cdc_chunks_matches_python_replica_property(spark, docs):
                 len(t),
             )
             assert got[i] == expect, (i, t, cs)
+
+
+# weighted values with duplicates and negatives; ids are the tie-breaker
+_rank_rows = st.lists(
+    st.integers(min_value=-5, max_value=5),
+    min_size=1,
+    max_size=24,
+)
+
+
+@settings(**_SETTINGS)
+@given(_rank_rows, st.integers(min_value=1, max_value=6))
+def test_global_rank_two_phase_matches_python_sort(spark, vals, nparts):
+    """global_rank_two_phase == enumerate(sorted(...)) + running sum, for
+    any partition count — including nparts > nrows (empty partitions)
+    and heavy ties (values drawn from an 11-wide domain)."""
+    from orchestrated_etl_spark.operators.relational import (
+        global_rank_two_phase,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        r["id"]: (r["rnk"], r["cum"])
+        for r in global_rank_two_phase(
+            df,
+            [F.desc("v"), F.asc("id")],
+            num_range_partitions=nparts,
+            running_sum_expr=F.col("v"),
+        ).collect()
+    }
+    want = {}
+    cum = 0
+    for rnk, (i, v) in enumerate(
+        sorted(rows, key=lambda r: (-r[1], r[0])), start=1
+    ):
+        cum += v
+        want[i] = (rnk, cum)
+    assert got == want
