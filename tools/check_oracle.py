@@ -7,7 +7,16 @@ order-insensitive multiset of normalized values. Stricter than the driver's
 hash compare: on mismatch it prints example differing rows, so oracle
 misalignment is debuggable locally.
 
-Usage: python tools/check_oracle.py [--pandas] [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--pandas] [--vanilla] [--first N]
+       [sf_dir] [query ...]
+
+``--vanilla`` builds a plain ``SparkSession.builder.master("local[8]")``
+session instead of session.py's tuned one — the driver's environment
+(our ANSI/AQE/shuffle-partition defaults absent), so conf-dependent
+behavior differences surface locally. ``--first N`` restricts the run
+to the first N ORACLE-BEARING ``queries()`` entries in iteration order
+— exactly the driver's per-round sample — so a _FRONT rotation can be
+rehearsed end-to-end before the round ships.
 
 ``--pandas`` fetches BOTH sides through pandas (DuckDB ``fetchdf()``,
 Spark ``toPandas()``) — the driver's evident conversion path (round-2
@@ -122,13 +131,31 @@ def main() -> int:
     pandas_mode = "--pandas" in argv
     if pandas_mode:
         argv.remove("--pandas")
+    vanilla = "--vanilla" in argv
+    if vanilla:
+        argv.remove("--vanilla")
+    first_n = None
+    if "--first" in argv:
+        i = argv.index("--first")
+        first_n = int(argv[i + 1])
+        del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
     import __spark_entry__ as entrymod
-    from orchestrated_etl_spark.session import get_spark
 
-    spark = get_spark("oracle_check")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("oracle_check_vanilla")
+            .getOrCreate()
+        )
+    else:
+        from orchestrated_etl_spark.session import get_spark
+
+        spark = get_spark("oracle_check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -137,6 +164,9 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if first_n is not None:
+        sample = [n for n in qs if n in oracles][:first_n]
+        qs = {n: qs[n] for n in sample}
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
