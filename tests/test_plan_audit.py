@@ -100,3 +100,26 @@ def test_two_phase_rank_matches_global_window_semantics(spark):
     exp = {(r.id, r.rnk, r.cum) for r in expected.collect()}
     act = {(r.id, r.rnk, r.cum) for r in got.collect()}
     assert act == exp
+
+
+def test_full_scan_detector(spark, sf_dir):
+    from plan_audit import full_scan_smells
+
+    full_cols = {"events": 6}
+    # unpruned + unfiltered: a select-* pipeline — every column read,
+    # nothing pushed. (Aggregates don't qualify: Catalyst prunes their
+    # scans to the grouped/aggregated columns automatically.)
+    bad = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert full_scan_smells(_plan(bad), full_cols) == ["events"]
+    # pruned: projection reaches the scan -> ReadSchema is narrow
+    pruned = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type"
+    )
+    assert full_scan_smells(_plan(pruned.groupBy("event_type").count()),
+                            full_cols) == []
+    # pushed: a scan-level predicate populates PushedFilters
+    filtered = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id") == 7
+    )
+    assert full_scan_smells(_plan(filtered.groupBy("event_type").count()),
+                            full_cols) == []

@@ -16,8 +16,11 @@ Flags the plan shapes that break at 100 TB:
   <=K-row relations) — each allowlisted with the bound and a reason,
   and with the EXACT expected count so an extra global window sneaking
   into an allowlisted query still flags.
-- Parquet scans with no pushed filter AND no column pruning (reading every
-  column of a table the query then filters/projects driver-side).
+- Fixture-table parquet scans with no pushed filter AND no column
+  pruning (ReadSchema covers every table column while PushedFilters is
+  empty): at 100 TB an accidental select-* pipeline reads the whole
+  table off disk for a narrow answer. Allowed only where the operator
+  semantically consumes the full relation (allowlisted with reasons).
 - Exchange count per query (printed, not flagged — context decides).
 
 Usage: python tools/plan_audit.py [sf_dir] [query ...]
@@ -187,12 +190,64 @@ def count_global_windows(plan: str) -> int:
     return n
 
 
+# Queries that semantically consume EVERY column of a fixture table with
+# no pushable predicate — the full scan IS the operator.
+FULL_SCAN_OK = {
+    # routes each whole record into good/quarantine by validity rules;
+    # both branches keep all columns and no row is dropped, so neither
+    # pruning nor pushdown can apply by definition.
+    "dq_quarantine_split",
+    # per-label grouped-map z-score consumes all 3 embedding columns
+    # (vec_id, embedding, label) over the whole corpus.
+    "sim_groupmap_zscore",
+}
+
+_FIXTURE_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _read_schema_field_count(segment: str) -> int:
+    """Top-level field count of a ``ReadSchema: struct<...`` suffix."""
+    depth = 0
+    n = 1 if segment.strip(" >") else 0
+    for ch in segment:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            n += 1
+    return n
+
+
+def full_scan_smells(plan: str, full_cols: dict[str, int]) -> list[str]:
+    """Fixture-table scans reading every column with no pushed filter."""
+    out = []
+    for line in plan.splitlines():
+        if "Scan parquet" not in line:
+            continue
+        mloc = re.search(r"(\w+)\.parquet", line)
+        if not mloc or mloc.group(1) not in full_cols:
+            continue  # temp/checkpoint relations are not fixture scans
+        table = mloc.group(1)
+        mrs = re.search(r"ReadSchema: struct<(.*)$", line)
+        if not mrs:
+            continue
+        mpf = re.search(r"PushedFilters: \[(.*?)\]", line)
+        pushed = mpf.group(1).strip() if mpf else ""
+        if _read_schema_field_count(mrs.group(1)) >= full_cols[table] and not pushed:
+            out.append(table)
+    return out
+
+
 # Streaming queries materialise through a memory sink; their batch plan is
 # the memory-table scan, so scan-level checks don't apply.
 SKIP_PREFIX = ("stream_",)
 
 
-def audit(spark, name, fn, sf_dir):
+def audit(spark, name, fn, sf_dir, full_cols):
     df = fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     smells = []
@@ -201,6 +256,11 @@ def audit(spark, name, fn, sf_dir):
             smells.append("cartesian/nested-loop join")
     if "BatchEvalPython" in plan and name not in PYTHON_OK:
         smells.append("row-at-a-time Python UDF")
+    full_scans = full_scan_smells(plan, full_cols)
+    if full_scans and name not in FULL_SCAN_OK:
+        smells.append(
+            "unpruned+unfiltered scan of " + ",".join(full_scans)
+        )
     n_global_win = count_global_windows(plan)
     allowed, _reason = GLOBAL_WINDOW_OK.get(name, (0, ""))
     if n_global_win > allowed:
@@ -220,6 +280,10 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     spark = get_spark("plan-audit")
+    full_cols = {
+        t: len(spark.read.parquet(f"{sf_dir}/{t}.parquet").columns)
+        for t in _FIXTURE_TABLES
+    }
     qs = entrymod.queries()
     failures = []
     for name, fn in qs.items():
@@ -228,7 +292,7 @@ def main() -> None:
         if name.startswith(SKIP_PREFIX):
             continue
         try:
-            smells, n_ex, n_scan = audit(spark, name, fn, sf_dir)
+            smells, n_ex, n_scan = audit(spark, name, fn, sf_dir, full_cols)
         except Exception as ex:  # noqa: BLE001
             failures.append(name)
             print(f"ERROR {name}: {str(ex)[:120]}")
