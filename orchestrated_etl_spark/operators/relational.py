@@ -118,6 +118,43 @@ def global_rank_two_phase(
     return out.drop("_pid", "_cnt_off")
 
 
+def exact_ntile_expr(rank_col: Column, n_col: Column, k: int) -> Column:
+    """SQL-standard ``ntile(k)`` computed arithmetically from a global
+    rank and the row count — the scale-safe companion to
+    ``global_rank_two_phase``: rank once without a global window, then
+    bucket map-side instead of running ``ntile().over(Window.orderBy())``
+    (which WindowExec executes on a single partition).
+
+    Standard semantics with n rows and k tiles: m = n div k, r = n mod
+    k; buckets 1..r hold m+1 rows, buckets r+1..k hold m rows. For
+    1-based rank:
+
+        bucket = (rank-1) div (m+1) + 1                  if rank <= r*(m+1)
+               = r + (rank - r*(m+1) - 1) div m + 1      otherwise
+
+    When n < k, m = 0 and every rank takes the first branch (bucket =
+    rank), matching ntile. The else-branch divisor is guarded with
+    greatest(m, 1) so the unevaluated branch can never raise under ANSI
+    mode. Exact for both Spark and DuckDB ntile (property-tested)."""
+    m = F.floor(n_col / F.lit(k)).cast("long")
+    r = (n_col % F.lit(k)).cast("long")
+    head = r * (m + F.lit(1))
+    return (
+        F.when(
+            rank_col <= head,
+            F.floor((rank_col - F.lit(1)) / (m + F.lit(1))) + F.lit(1),
+        )
+        .otherwise(
+            r
+            + F.floor(
+                (rank_col - head - F.lit(1)) / F.greatest(m, F.lit(1))
+            )
+            + F.lit(1)
+        )
+        .cast("int")
+    )
+
+
 def tumbling_window_agg(
     df: DataFrame,
     ts_col: str,

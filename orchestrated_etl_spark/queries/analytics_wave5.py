@@ -703,21 +703,36 @@ def _rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket boundaries are engine-deterministic), emitting per
     (r_score, f_score, m_score) cell the user count and total spend.
 
-    Shape: one user_id aggregate, three ntile windows over the
-    user-level relation, one cell rollup; spend stays in DECIMAL until
-    the final cast. Scale note: ntile is a GLOBAL ordered window —
-    exact quintiles by definition — acceptable while the user relation
-    fits a sort, which is the regime this query targets; past that, use
-    the REGISTERED scale path `events_rfm_quantile_cutoffs` (below):
-    bucketing against broadcast histogram-derived quintile cutoffs —
-    4 scalars per dimension, map-side scoring, no ordered window over
-    the per-user relation. Both forms are oracle-checked; this exact
-    ntile form is the small-regime twin."""
+    Shape: one user_id aggregate (checkpointed once), three two-phase
+    global rankings bucketed map-side into exact ntile(5) quintiles
+    (see rfm_ntile_core — no unpartitioned window anywhere since round
+    6), one cell rollup; spend stays in DECIMAL until the final cast.
+    The REGISTERED companion `events_rfm_quantile_cutoffs` (below)
+    trades exact rank-split quintiles for broadcast histogram-derived
+    VALUE cutoffs — one shuffle, 12 broadcast scalars — when quintile
+    boundaries may be approximated by the value grid. Both forms are
+    oracle-checked."""
     return rfm_ntile_core(read_events(spark, sf_dir))
 
 
 def rfm_ntile_core(ev: DataFrame) -> DataFrame:
-    """Exact-ntile RFM core over an events frame — see _rfm_segmentation."""
+    """Exact-ntile RFM core over an events frame — see _rfm_segmentation.
+
+    Re-plumbed round 6: the former three ``ntile(5).over(Window.orderBy
+    (...))`` global windows (single-partition sorts of the per-user
+    relation) are now three ``global_rank_two_phase`` rankings (range
+    partition + per-partition row_number + broadcast P-row offsets)
+    bucketed map-side with ``exact_ntile_expr`` — bit-identical ntile
+    semantics (property-tested for every n/k split), zero unpartitioned
+    windows over the user domain. The quantile-cutoff twin
+    (`events_rfm_quantile_cutoffs`) remains the registered one-shuffle
+    scale path; this form keeps exact rank-split ntile semantics while
+    no longer being confined to the small regime."""
+    from orchestrated_etl_spark.operators.relational import (
+        exact_ntile_expr,
+        global_rank_two_phase,
+    )
+
     purch = ev.where(F.col("event_type") == "purchase")
     maxts = purch.agg(F.max("ts").alias("_maxts"))
     per_user = (
@@ -733,16 +748,27 @@ def rfm_ntile_core(ev: DataFrame) -> DataFrame:
             "recency_days",
             F.datediff(F.to_date("_mx"), F.to_date("_last")),
         )
+        .localCheckpoint(eager=False)  # 1 events aggregate feeds 3 ranks + n
     )
-    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("user_id"))
-    f_w = Window.orderBy(F.col("frequency").desc(), F.col("user_id"))
-    m_w = Window.orderBy(F.col("_spend").desc(), F.col("user_id"))
-    scored = per_user.select(
+    n_df = per_user.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    dims = [
+        ("r_score", [F.asc("recency_days"), F.asc("user_id")]),
+        ("f_score", [F.desc("frequency"), F.asc("user_id")]),
+        ("m_score", [F.desc("_spend"), F.asc("user_id")]),
+    ]
+    scored = per_user.select("user_id", "_spend")
+    for col, order in dims:
+        ranked = global_rank_two_phase(
+            per_user, order, rank_col=f"_{col}_rnk"
+        ).select("user_id", f"_{col}_rnk")
+        scored = scored.join(ranked, "user_id")
+    scored = scored.crossJoin(F.broadcast(n_df)).select(
         "user_id",
         "_spend",
-        F.ntile(5).over(r_w).alias("r_score"),
-        F.ntile(5).over(f_w).alias("f_score"),
-        F.ntile(5).over(m_w).alias("m_score"),
+        *[
+            exact_ntile_expr(F.col(f"_{col}_rnk"), F.col("_n"), 5).alias(col)
+            for col, _ in dims
+        ],
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_users"),

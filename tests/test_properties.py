@@ -572,3 +572,28 @@ def test_global_rank_two_phase_matches_python_sort(spark, vals, nparts):
         cum += v
         want[i] = (rnk, cum)
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.integers(min_value=1, max_value=37),
+    st.integers(min_value=1, max_value=8),
+)
+def test_exact_ntile_expr_matches_window_ntile(spark, n, k):
+    """exact_ntile_expr(rank, n, k) == ntile(k) OVER (ORDER BY ...) for
+    every (n, k) — including n < k, n % k != 0, and k = 1."""
+    from pyspark.sql import Window
+
+    from orchestrated_etl_spark.operators.relational import exact_ntile_expr
+
+    df = spark.range(n).select(F.col("id"))
+    w = Window.orderBy("id")
+    both = df.select(
+        "id",
+        F.ntile(k).over(w).alias("want"),
+        exact_ntile_expr(
+            F.row_number().over(w).cast("long"), F.lit(n).cast("long"), k
+        ).alias("got"),
+    )
+    bad = both.where(F.col("want") != F.col("got")).count()
+    assert bad == 0

@@ -143,10 +143,10 @@ GLOBAL_WINDOW_OK: dict[str, tuple[int, str]] = {
     # <=num_range_partitions per-partition aggregate rows.
     "events_pareto_8020": (1, "offset window over <=32 _pid rows"),
     "text_zipf_slope": (1, "offset window over <=32 _pid rows"),
-    # documented small-regime twin: exact ntile(5) x3 over the per-user
-    # relation; the registered scale path is events_rfm_quantile_cutoffs
-    # (broadcast histogram cutoffs, no per-user ordered window).
-    "events_rfm_segmentation": (3, "exact-ntile small-regime twin"),
+    # two-phase global rank x3 (r/f/m dimensions, see rfm_ntile_core):
+    # three offset scans over <=32 _pid rows each — the ntile buckets
+    # themselves are computed map-side from the ranks.
+    "events_rfm_segmentation": (3, "3x offset windows over <=32 _pid rows"),
 }
 
 
