@@ -1,7 +1,9 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
+driver-parseable headline as the LAST stdout line (kept ≤1.5 KB so a tail
+capture still round-trips through json.loads): {"metric": ..., "value":
+total_sec, "unit": "sec", "queries": {name: sec}, "repeats": n, "sf": ...}.
+A preceding line carries the detail object (queries_spread, queries_cold).
 
 Each query is timed end-to-end (plan + execute + count-style materialise);
 a warmup query first absorbs JVM/codegen startup so numbers reflect the
@@ -127,21 +129,34 @@ def main() -> None:
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
     spread = {n: round(max(s) - min(s), 3) for n, s in samples.items()}
     total = round(sum(timings.values()), 3)
+    # The consumer captures only a ~2 KB stdout TAIL and json-parses the
+    # last line, so the detail object (spreads + cold timings, ~3 KB at 29
+    # queries) goes on an EARLIER line and the headline object — kept
+    # compact, ≤ ~1.5 KB — is printed LAST. Round 6 had them merged on one
+    # line and the driver recorded "parsed": null.
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
+                "detail": "bench_spread_and_cold",
                 "queries_spread": spread,
-                "repeats": reps,
                 "cold_value": round(sum(cold.values()), 3),
                 "queries_cold": cold,
-                "sf": sf,
             }
         )
     )
+    sys.stdout.flush()
+    headline = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "repeats": reps,
+            "sf": sf,
+        }
+    )
+    assert len(headline) <= 1536, f"headline line too long: {len(headline)}"
+    print(headline)
 
 
 if __name__ == "__main__":

@@ -135,19 +135,35 @@ def exact_ntile_expr(rank_col: Column, n_col: Column, k: int) -> Column:
     When n < k, m = 0 and every rank takes the first branch (bucket =
     rank), matching ntile. The else-branch divisor is guarded with
     greatest(m, 1) so the unevaluated branch can never raise under ANSI
-    mode. Exact for both Spark and DuckDB ntile (property-tested)."""
-    m = F.floor(n_col / F.lit(k)).cast("long")
-    r = (n_col % F.lit(k)).cast("long")
+    mode. All quotients use exact long/DECIMAL integer division, never
+    floor over double division: doubles lose exactness past 2**53, where
+    a rounded quotient can cross an integer boundary and off-by-one the
+    bucket — at odds with this operator's scale-safe contract. Exact for
+    both Spark and DuckDB ntile (property-tested for all n ≤ 37, plus
+    pinned 2**60-scale rank/n pairs vs Python big-int arithmetic)."""
+
+    def idiv(a: Column, b: Column) -> Column:
+        # Exact floor division for non-negative longs: subtract the
+        # remainder, then divide in DECIMAL (exact to 38 digits) — the
+        # numerator is exactly divisible, so no rounding can occur.
+        num = (a - a % b).cast("decimal(38,0)")
+        return (num / b.cast("decimal(38,0)")).cast("long")
+
+    n_long = n_col.cast("long")
+    rank_long = rank_col.cast("long")
+    m = idiv(n_long, F.lit(k).cast("long"))
+    r = (n_long % F.lit(k)).cast("long")
     head = r * (m + F.lit(1))
     return (
         F.when(
-            rank_col <= head,
-            F.floor((rank_col - F.lit(1)) / (m + F.lit(1))) + F.lit(1),
+            rank_long <= head,
+            idiv(rank_long - F.lit(1), m + F.lit(1)) + F.lit(1),
         )
         .otherwise(
             r
-            + F.floor(
-                (rank_col - head - F.lit(1)) / F.greatest(m, F.lit(1))
+            + idiv(
+                rank_long - head - F.lit(1),
+                F.greatest(m, F.lit(1)),
             )
             + F.lit(1)
         )

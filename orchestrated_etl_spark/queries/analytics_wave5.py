@@ -727,13 +727,22 @@ def rfm_ntile_core(ev: DataFrame) -> DataFrame:
     windows over the user domain. The quantile-cutoff twin
     (`events_rfm_quantile_cutoffs`) remains the registered one-shuffle
     scale path; this form keeps exact rank-split ntile semantics while
-    no longer being confined to the small regime."""
+    no longer being confined to the small regime.
+
+    Contract (round 7): NULL user_ids are EXCLUDED up front — RFM is
+    per-identified-user by definition, and the explicit filter keeps the
+    three rank-reassembly inner equi-joins on user_id exact (an inner
+    equi-join silently drops a NULL-keyed group that groupBy would have
+    kept; pre-round-6 window form ranked it). The oracle applies the
+    same predicate, so the contract is symmetric, not fixture luck."""
     from orchestrated_etl_spark.operators.relational import (
         exact_ntile_expr,
         global_rank_two_phase,
     )
 
-    purch = ev.where(F.col("event_type") == "purchase")
+    purch = ev.where(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    )
     maxts = purch.agg(F.max("ts").alias("_maxts"))
     per_user = (
         purch.crossJoin(F.broadcast(maxts))
@@ -782,7 +791,8 @@ register(
     """
     WITH purch AS (
         SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS spend
-        FROM events WHERE event_type = 'purchase'
+        FROM events
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL
     ),
     per_user AS (
         SELECT user_id,

@@ -52,58 +52,39 @@ def _load_all() -> None:
 
 # The driver's correctness gate samples the FIRST 50 oracle-bearing entries
 # in queries() iteration order (verified against CORRECTNESS_r01.json).
-# Rounds 1-5 issued green rows for 197 distinct queries (r5 duplicated r4's
-# sample because this list was not rotated — the round-5 verdict's #1 task).
-# ROUND-6 FRONT: exactly 50 of the 94 still-never-sampled oracle queries,
-# in the verdict-prescribed priority: the 11 wave-13/14 round-4 additions,
-# the 20 wave-15 round-4b additions, the 10 late wave-15 entries, the 6
-# final wave-15 entries (including events_pareto_8020 and text_zipf_slope,
-# re-plumbed THIS round to partitioned two-phase windows — their new
-# outputs need driver-issued greens), and 3 older stragglers
-# (events_cep_sessionized, graph_kcore, agg_incremental_moments).
-# ROUND-7 CANDIDATES (the 44 remaining never-sampled, registration order):
-# train_mixture_sampling, train_chunk_documents, train_build_vocab,
-# train_dedup_lines, train_dedup_lines_global, train_epoch_shuffle,
-# window_range_7day_spend, agg_filtered_conditional, string_funcs_profile,
-# train_split_assignment, datetime_linear_interpolate,
-# ps_pandas_api_rollup, window_distribution_ranks, cogroup_click_purchase,
-# sql_scalar_udf_revenue, sql_table_udf_spine, events_rfm_segmentation,
-# events_dau_wau, events_anomaly_mad, events_seasonal_decompose,
-# sql_collation_ci, train_e2e_incremental_refresh, search_phrase_match,
-# search_bm25_store_bucketed, src_schema_evolution, agg_incremental_rollup,
-# agg_incremental_join_view, agg_listagg_lines, agg_bitwise_flags,
-# agg_bool_rules, agg_median_percentiles, window_nth_value,
-# agg_approx_topk_exact_regime, array_fold_profile, datetime_interval_math,
-# agg_grouping_id_cube, agg_regression_funcs, agg_width_bucket_histogram,
-# join_shuffle_hash_hint, sql_pagination_offset, sql_regexp_count_instr,
-# agg_multi_distinct, sql_parameterized_args, window_rolling_median.
+# Rounds 1-6 issued green rows for 247 distinct queries; ROUND-7 FRONT
+# completes external verification: the 44 never-driver-sampled oracle
+# queries (in registration order — the exact ROUND-7 CANDIDATES list the
+# round-6 comment promised), plus the 6 OLDEST-sampled queries (r1's first
+# six, unsampled since round 1) to fill the 50-slot window. After
+# CORRECTNESS_r07 goes green, every one of the 291 oracle queries has a
+# driver-issued row — registry coverage complete (the terminal state
+# COVERAGE.md records; future rotations only refresh staleness).
 _FRONT = [
-    # wave-13/14 round-4 additions (11)
-    "graph_bfs_frontier", "table_snapshot_diff", "join_bloom_prefilter",
-    "er_match_blocked_parts", "events_cep_conversion", "skyline_price_size",
-    "graph_shortest_path_weighted", "events_interval_coverage",
-    "sql_pipe_syntax_rollup", "sql_lateral_correlated_topk",
-    "spatial_radius_join",
-    # wave-15 round-4b additions (20)
-    "graph_clustering_coefficient", "graph_hits_2iter",
-    "events_cusum_changepoint", "events_acf_lags",
-    "agg_countmin_sketch_estimate", "dedup_cdc_chunks",
-    "agg_bitmap_distinct", "stats_chi2_cells", "stats_chi2_total",
-    "stats_corr_matrix", "events_km_survival", "stats_ab_welch_ttest",
-    "sql_named_window_nulls", "events_holt_linear", "agg_trimmed_mean",
-    "agg_gini_revenue", "events_trigram_paths", "events_max_drawdown",
-    "dq_quarantine_split", "sim_label_centroid_matrix",
-    # late wave-15 entries (10)
-    "join_scd2_point_in_time", "train_dataset_card",
-    "stream_quarantine_split", "train_bpe_merge_step", "events_bot_cadence",
-    "agg_countmin_merge_incremental", "agg_bitmap_rollup_quarters",
-    "train_pack_nfd_bins", "orders_basket_lift", "events_cohort_ltv",
-    # final wave-15 entries (6) — pareto + zipf re-plumbed this round
-    "text_pmi_collocations", "events_pareto_8020", "text_zipf_slope",
-    "agg_histogram_quantile_merge", "graph_modularity",
-    "approx_sampled_revenue_ci",
-    # older stragglers (3)
-    "events_cep_sessionized", "graph_kcore", "agg_incremental_moments",
+    # the 44 never-sampled oracle queries, registration order
+    "train_mixture_sampling", "train_chunk_documents", "train_build_vocab",
+    "train_dedup_lines", "train_dedup_lines_global", "train_epoch_shuffle",
+    "window_range_7day_spend", "agg_filtered_conditional",
+    "string_funcs_profile", "train_split_assignment",
+    "datetime_linear_interpolate", "ps_pandas_api_rollup",
+    "window_distribution_ranks", "cogroup_click_purchase",
+    "sql_scalar_udf_revenue", "sql_table_udf_spine",
+    "events_rfm_segmentation", "events_dau_wau", "events_anomaly_mad",
+    "events_seasonal_decompose", "sql_collation_ci",
+    "train_e2e_incremental_refresh", "search_phrase_match",
+    "search_bm25_store_bucketed", "src_schema_evolution",
+    "agg_incremental_rollup", "agg_incremental_join_view",
+    "agg_listagg_lines", "agg_bitwise_flags", "agg_bool_rules",
+    "agg_median_percentiles", "window_nth_value",
+    "agg_approx_topk_exact_regime", "array_fold_profile",
+    "datetime_interval_math", "agg_grouping_id_cube",
+    "agg_regression_funcs", "agg_width_bucket_histogram",
+    "join_shuffle_hash_hint", "sql_pagination_offset",
+    "sql_regexp_count_instr", "agg_multi_distinct",
+    "sql_parameterized_args", "window_rolling_median",
+    # staleness refresh: the 6 oldest-sampled (r1's first six, CORRECTNESS_r01)
+    "flagship", "books_standardise", "books_enrich",
+    "s3_completeness_filter", "s5_limit", "t2_dedup_by_key",
 ]
 
 

@@ -597,3 +597,34 @@ def test_exact_ntile_expr_matches_window_ntile(spark, n, k):
     )
     bad = both.where(F.col("want") != F.col("got")).count()
     assert bad == 0
+
+
+def test_exact_ntile_expr_exact_past_2_53(spark):
+    """Bucket boundaries stay exact at 2**60-scale n, where floor over
+    DOUBLE division (the pre-round-7 formula) rounds the quotient and
+    can cross an integer boundary. Oracle is Python big-int arithmetic
+    (standard ntile: first n%k buckets hold n//k+1 rows, rest n//k)."""
+    from orchestrated_etl_spark.operators.relational import exact_ntile_expr
+
+    n = 2**60 + 7
+    k = 7
+    m, r = divmod(n, k)
+    head = r * (m + 1)
+
+    def py_ntile(rank: int) -> int:
+        if rank <= head:
+            return (rank - 1) // (m + 1) + 1
+        return r + (rank - head - 1) // m + 1
+
+    # ranks straddling every bucket boundary, plus the extremes
+    ranks = {1, n, head, head + 1}
+    for b in range(1, k):
+        edge = b * (m + 1) if b <= r else head + (b - r) * m
+        ranks.update({edge, edge + 1})
+    rows = [(rank, py_ntile(rank)) for rank in sorted(ranks) if 1 <= rank <= n]
+    df = spark.createDataFrame(rows, "rank long, want int")
+    bad = df.where(
+        exact_ntile_expr(F.col("rank"), F.lit(n).cast("long"), k)
+        != F.col("want")
+    ).count()
+    assert bad == 0

@@ -237,14 +237,102 @@ def full_scan_smells(plan: str, full_cols: dict[str, int]) -> list[str]:
             continue
         mpf = re.search(r"PushedFilters: \[(.*?)\]", line)
         pushed = mpf.group(1).strip() if mpf else ""
-        if _read_schema_field_count(mrs.group(1)) >= full_cols[table] and not pushed:
+        # FileScan metadata is truncated at spark.sql.maxMetadataStringLength
+        # (default 100 chars — main() raises it, but belt-and-braces): a
+        # truncated struct undercounts fields, so treat any "..."-elided
+        # ReadSchema as a full scan rather than letting a wide-table
+        # select-* silently pass the detector.
+        schema = mrs.group(1)
+        truncated = "..." in schema
+        if (
+            truncated or _read_schema_field_count(schema) >= full_cols[table]
+        ) and not pushed:
             out.append(table)
     return out
 
 
-# Streaming queries materialise through a memory sink; their batch plan is
-# the memory-table scan, so scan-level checks don't apply.
-SKIP_PREFIX = ("stream_",)
+# Streaming queries materialise through a memory/parquet sink, so the
+# DataFrame they return plans as a sink-table scan — the interesting plan
+# ran inside the stream. Instead of a blanket skip (the round-6 blind
+# spot), every stream_* query is pinned here to either its BATCH TWIN — a
+# registered batch query with the same scan/agg/join shape, audited by
+# the main loop above — or a written reason why no fixture-scan-level
+# audit applies. A stream_* query with NO entry is flagged: new streaming
+# queries can't silently bypass the audit.
+STREAM_AUDIT: dict[str, str] = {
+    "stream_tumbling_daily": (
+        "twin:datetime_daily_rollup — same events scan + per-day hash agg; "
+        "window() only changes the bucket expression"
+    ),
+    "stream_tumbling_multibatch": (
+        "twin:datetime_daily_rollup — same plan as stream_tumbling_daily, "
+        "split across maxFilesPerTrigger micro-batches (state, not scan)"
+    ),
+    "stream_sliding_2h": (
+        "twin:datetime_daily_rollup — same single events scan + window() "
+        "hash agg; the 2h/1h slide doubles bucket fan-out, adds no scan"
+    ),
+    "stream_session_windows": (
+        "twin:sessionize_events_30m — batch sessionization over the same "
+        "events scan; streaming form replaces lag/cum-sum with "
+        "session_window state"
+    ),
+    "stream_dedup_users": (
+        "twin:t2_dedup_by_key — same keyed dedup shape; streaming form "
+        "holds keys in the state store instead of a shuffle-agg"
+    ),
+    "stream_dedup_within_watermark": (
+        "twin:t2_dedup_by_key — same keyed dedup with watermark-BOUNDED "
+        "state (the scale-safe variant; eviction is state, not scan)"
+    ),
+    "stream_stateful_user_totals": (
+        "exempt — applyInPandasWithState keyed-state plan (FlatMapGroups"
+        "WithState over one events scan, shuffled on user_id); no fixture "
+        "scan beyond the source read; final state pinned to the batch "
+        "groupBy twin in tests/test_streaming.py"
+    ),
+    "stream_foreachbatch_sink": (
+        "twin:sink_partitioned_parquet — foreachBatch invokes the SAME "
+        "batch parquet writer per micro-batch; read-back agg is a "
+        "3-column hash agg"
+    ),
+    "stream_stream_join": (
+        "twin:range_join_clicks_before_purchase — the batch interval "
+        "join this query streams; state partitioning on the same "
+        "user_id equi-key"
+    ),
+    "stream_stream_left_outer": (
+        "twin:range_join_clicks_before_purchase — same interval join "
+        "with outer emit on watermark expiry (state semantics, same scan)"
+    ),
+    "stream_static_join": (
+        "twin:j1_star_join_revenue — stream-static dim equi-join, the "
+        "streaming star-schema shape; static side re-resolved per batch"
+    ),
+    "stream_books_pages": (
+        "twin:src_python_datasource — same custom Python Data Source "
+        "(partition-parallel batch form audited there); no fixture table "
+        "is scanned at all"
+    ),
+    "stream_state_inspect": (
+        "exempt — reads the state-store metadata of a finished query "
+        "(statestore format), not a fixture table; nothing to push down"
+    ),
+    "stream_binary_files": (
+        "twin:src_binary_file_source — identical binaryFile relation "
+        "(same .bin fixture files), batch form audited; maxFilesPerTrigger "
+        "only splits arrival"
+    ),
+    "stream_cdc_upsert": (
+        "twin:sink_merge_upsert — foreachBatch applies the same MERGE-"
+        "emulation upsert per micro-batch against the parquet target"
+    ),
+    "stream_quarantine_split": (
+        "twin:dq_quarantine_split — same one-pass conditional split "
+        "(FULL_SCAN_OK there: the quality audit consumes every column by "
+        "definition)"
+    ),
+}
 
 
 def audit(spark, name, fn, sf_dir, full_cols):
@@ -280,16 +368,41 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     spark = get_spark("plan-audit")
+    # Plan text truncates FileScan metadata at maxMetadataStringLength
+    # (default 100 chars) — lineitem's 16-col struct alone is ~340 chars,
+    # so the full-scan detector would undercount ReadSchema fields and
+    # pass wide-table select-*. Raise it so schemas print whole.
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
     full_cols = {
         t: len(spark.read.parquet(f"{sf_dir}/{t}.parquet").columns)
         for t in _FIXTURE_TABLES
     }
     qs = entrymod.queries()
     failures = []
+    # Streaming coverage first: every stream_* query must carry a batch
+    # twin (which the loop below audits) or a written exemption; named
+    # twins must exist in the registry and not themselves be skipped.
+    for name in qs:
+        if not name.startswith("stream_"):
+            continue
+        if only and name not in only:
+            continue
+        note = STREAM_AUDIT.get(name)
+        if note is None:
+            failures.append(name)
+            print(f"SMELL {name}: streaming query with no STREAM_AUDIT entry")
+            continue
+        if note.startswith("twin:"):
+            twin = note[5:].split(" ", 1)[0].rstrip("—").strip()
+            if twin not in qs or twin.startswith("stream_"):
+                failures.append(name)
+                print(f"SMELL {name}: batch twin {twin!r} not in registry")
+                continue
+        print(f"ok    {name}: {note.split(' — ')[0]}")
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        if name.startswith(SKIP_PREFIX):
+        if name.startswith("stream_"):
             continue
         try:
             smells, n_ex, n_scan = audit(spark, name, fn, sf_dir, full_cols)
