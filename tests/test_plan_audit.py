@@ -123,3 +123,97 @@ def test_full_scan_detector(spark, sf_dir):
     )
     assert full_scan_smells(_plan(filtered.groupBy("event_type").count()),
                             full_cols) == []
+
+
+def test_full_scan_detector_treats_truncated_schema_as_full():
+    """A ReadSchema elided at spark.sql.maxMetadataStringLength (the
+    "..." suffix) undercounts fields — the round-6 blind spot where a
+    wide-table select-* passed the detector. An elided schema with no
+    pushed filters must flag."""
+    from plan_audit import full_scan_smells
+
+    line = (
+        "FileScan parquet [l_orderkey#0L] Batched: true, "
+        "Location: InMemoryFileIndex(1 paths)[file:/x/lineitem.parquet], "
+        "PushedFilters: [], "
+        "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_sup..."
+    )
+    assert full_scan_smells("Scan parquet\n" + line, {"lineitem": 16}) == [
+        "lineitem"
+    ]
+    # same elided schema WITH a pushed filter is fine
+    line_pushed = line.replace(
+        "PushedFilters: []", "PushedFilters: [IsNotNull(l_orderkey)]"
+    )
+    assert (
+        full_scan_smells("Scan parquet\n" + line_pushed, {"lineitem": 16})
+        == []
+    )
+
+
+def test_stream_audit_covers_every_streaming_query():
+    """Every stream_* registry entry must carry a STREAM_AUDIT note, each
+    twin:-note must name a registered NON-streaming query, and the map
+    must hold no stale names — so the audit's streaming coverage can't
+    silently rot as queries are added or renamed."""
+    from plan_audit import STREAM_AUDIT
+
+    import __spark_entry__ as entrymod
+
+    qs = set(entrymod.queries())
+    streaming = {n for n in qs if n.startswith("stream_")}
+    assert streaming <= set(STREAM_AUDIT), (
+        f"unmapped streaming queries: {sorted(streaming - set(STREAM_AUDIT))}"
+    )
+    assert set(STREAM_AUDIT) <= streaming, (
+        f"stale STREAM_AUDIT entries: {sorted(set(STREAM_AUDIT) - streaming)}"
+    )
+    for name, note in STREAM_AUDIT.items():
+        assert note.startswith(("twin:", "exempt")), (name, note)
+        if note.startswith("twin:"):
+            twin = note[5:].split(" ", 1)[0].strip()
+            assert twin in qs and not twin.startswith("stream_"), (name, twin)
+
+
+def test_allowlists_reference_registered_queries():
+    """Allowlist names must all exist in the registry — a renamed query
+    would otherwise leave a stale allowlist entry that silently grants
+    its smell budget to nothing (or worse, to a future query reusing
+    the name with different semantics)."""
+    import plan_audit as pa
+
+    import __spark_entry__ as entrymod
+
+    qs = set(entrymod.queries())
+    for listname in (
+        "PAIRWISE_OK",
+        "PYTHON_OK",
+        "SCALAR_BROADCAST_OK",
+        "FULL_SCAN_OK",
+    ):
+        names = set(getattr(pa, listname))
+        assert names <= qs, (listname, sorted(names - qs))
+    assert set(pa.GLOBAL_WINDOW_OK) <= qs, sorted(
+        set(pa.GLOBAL_WINDOW_OK) - qs
+    )
+
+
+def test_bench_headline_names_registered():
+    """bench.py filters HEADLINE through `if n in qs` — a typo or a
+    renamed query would silently SHRINK the benchmark suite instead of
+    failing. Pin every headline name (and the warmup queries main()
+    calls directly) to the registry."""
+    import bench
+
+    import __spark_entry__ as entrymod
+
+    qs = set(entrymod.queries())
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, f"HEADLINE names not in registry: {missing}"
+    for warmup in (
+        "datetime_daily_rollup",
+        "q1_pricing_summary",
+        "sim_normalize_embeddings",
+        "sim_vector_norms",
+    ):
+        assert warmup in qs, warmup
