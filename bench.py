@@ -125,7 +125,8 @@ def main() -> None:
             df = qs[name](spark, sf_dir)
             n = df.count() if name != "flagship" else len(df.collect())
             samples[name].append(time.perf_counter() - t0)
-            assert n >= 0
+            if n < 0:  # consumes n without assert (compiled out under -O)
+                raise RuntimeError(f"negative row count for {name}")
     timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
     spread = {n: round(max(s) - min(s), 3) for n, s in samples.items()}
     total = round(sum(timings.values()), 3)
@@ -155,7 +156,11 @@ def main() -> None:
             "sf": sf,
         }
     )
-    assert len(headline) <= 1536, f"headline line too long: {len(headline)}"
+    # Explicit raise, NOT assert: the driver contract (last stdout line
+    # must fit its ~2 KB tail capture) has to survive `python -O`, which
+    # compiles asserts out.
+    if len(headline) > 1536:
+        raise RuntimeError(f"headline line too long: {len(headline)} bytes")
     print(headline)
 
 

@@ -873,7 +873,14 @@ def rfm_cutoff_core(ev: DataFrame) -> DataFrame:
     """Quantile-cutoff RFM core over an events frame — see
     _rfm_quantile_cutoffs (split out so scaling measurements drive the
     identical plan on synthetically grown inputs)."""
-    purch = ev.where(F.col("event_type") == "purchase")
+    # Same row contract as the ntile twin (rfm_ntile_core): purchases
+    # with a non-NULL user_id. Without the isNotNull the two "both
+    # forms" RFM queries would define different relations whenever
+    # user_id can be NULL (a NULL key would form its own RFM cell here
+    # but is excluded from the ntile ranking there).
+    purch = ev.where(
+        (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+    )
     maxts = purch.agg(F.max("ts").alias("_maxts"))
     per_user = (
         purch.crossJoin(F.broadcast(maxts))
@@ -978,7 +985,7 @@ register(
     """
     WITH purch AS (
         SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS spend
-        FROM events WHERE event_type = 'purchase'
+        FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
     ),
     per_user AS (
         SELECT user_id,

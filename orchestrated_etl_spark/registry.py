@@ -52,39 +52,36 @@ def _load_all() -> None:
 
 # The driver's correctness gate samples the FIRST 50 oracle-bearing entries
 # in queries() iteration order (verified against CORRECTNESS_r01.json).
-# Rounds 1-6 issued green rows for 247 distinct queries; ROUND-7 FRONT
-# completes external verification: the 44 never-driver-sampled oracle
-# queries (in registration order — the exact ROUND-7 CANDIDATES list the
-# round-6 comment promised), plus the 6 OLDEST-sampled queries (r1's first
-# six, unsampled since round 1) to fill the 50-slot window. After
-# CORRECTNESS_r07 goes green, every one of the 291 oracle queries has a
-# driver-issued row — registry coverage complete (the terminal state
-# COVERAGE.md records; future rotations only refresh staleness).
+# Coverage is COMPLETE as of round 7: all 291 oracle queries carry a
+# driver-issued green row (CORRECTNESS_r01..r07; terminal state recorded
+# in COVERAGE.md). From round 8 on, the rotation only refreshes
+# STALENESS: each round fronts the 50 queries whose last driver sample
+# is oldest (ties broken by registration order). ROUND-8 FRONT = the 43
+# remaining r1-sampled queries (r1's first six were refreshed in r7)
+# plus the 7 oldest r2-sampled queries. Recompute per round from the
+# CORRECTNESS_r*.json files:
+#   sorted(oracle_names, key=lambda n: (last_sampled_round[n], reg_order[n]))[:50]
 _FRONT = [
-    # the 44 never-sampled oracle queries, registration order
-    "train_mixture_sampling", "train_chunk_documents", "train_build_vocab",
-    "train_dedup_lines", "train_dedup_lines_global", "train_epoch_shuffle",
-    "window_range_7day_spend", "agg_filtered_conditional",
-    "string_funcs_profile", "train_split_assignment",
-    "datetime_linear_interpolate", "ps_pandas_api_rollup",
-    "window_distribution_ranks", "cogroup_click_purchase",
-    "sql_scalar_udf_revenue", "sql_table_udf_spine",
-    "events_rfm_segmentation", "events_dau_wau", "events_anomaly_mad",
-    "events_seasonal_decompose", "sql_collation_ci",
-    "train_e2e_incremental_refresh", "search_phrase_match",
-    "search_bm25_store_bucketed", "src_schema_evolution",
-    "agg_incremental_rollup", "agg_incremental_join_view",
-    "agg_listagg_lines", "agg_bitwise_flags", "agg_bool_rules",
-    "agg_median_percentiles", "window_nth_value",
-    "agg_approx_topk_exact_regime", "array_fold_profile",
-    "datetime_interval_math", "agg_grouping_id_cube",
-    "agg_regression_funcs", "agg_width_bucket_histogram",
-    "join_shuffle_hash_hint", "sql_pagination_offset",
-    "sql_regexp_count_instr", "agg_multi_distinct",
-    "sql_parameterized_args", "window_rolling_median",
-    # staleness refresh: the 6 oldest-sampled (r1's first six, CORRECTNESS_r01)
-    "flagship", "books_standardise", "books_enrich",
-    "s3_completeness_filter", "s5_limit", "t2_dedup_by_key",
+    # 43 stalest: last sampled round 1 (registration order)
+    "t3_cast_roundtrip", "t4_regex_extract", "t5_strip_separators",
+    "t6_project_drop", "a1_a5_enrich_family", "q1_pricing_summary",
+    "j1_star_join_revenue", "j_left_join", "j_semi_join", "j_anti_join",
+    "topk_orders_by_price", "setop_union", "setop_intersect",
+    "setop_except", "setop_except_orders", "window_topk_per_group",
+    "window_rank_lag_lead", "rollup_flag_status", "cube_flag_status",
+    "grouping_sets_orders", "pivot_status_qty", "distinct_aggregates",
+    "datetime_daily_rollup", "datetime_parts", "window_tumbling_hourly",
+    "window_sliding_2h_batch", "json_extract_props", "json_field_agg",
+    "sql_q3_shipping_priority", "window_ntile_deciles", "agg_stats_corr",
+    "unpivot_lineitem_measures", "json_map_entries", "json_variant_props",
+    "sql_pipe_syntax", "sql_q4_priority_exists", "sql_q17_below_avg_qty",
+    "sql_cte_above_avg_balance", "array_hof_profile",
+    "sql_q10_returned_revenue", "sql_q14_promo_share",
+    "sql_q18_large_orders", "sql_q19_disjunctive",
+    # next-stalest 7: last sampled round 2 (registration order)
+    "window_running_sum", "sql_q8_market_share", "sql_q9_product_profit",
+    "sql_q21_waiting_supplier", "text_lang_id_confusion",
+    "train_pii_scrub", "dedup_exact",
 ]
 
 

@@ -217,3 +217,27 @@ def test_bench_headline_names_registered():
         "sim_vector_norms",
     ):
         assert warmup in qs, warmup
+
+
+def test_front_rotation_names_registered():
+    """registry._ordered() filters _FRONT through `if n in d` — a typo
+    or a future rename would silently DROP the name and an
+    already-verified query would fill the driver's 50-slot sample,
+    defeating the rotation's staleness-refresh goal. Pin every _FRONT
+    name to BOTH queries() and oracle_sql() (the driver samples the
+    first 50 oracle-BEARING entries, so a _FRONT name without an oracle
+    also wastes a slot), the list length to the driver's window size,
+    and no duplicates (a duplicate shrinks the effective window)."""
+    from orchestrated_etl_spark import registry
+
+    import __spark_entry__ as entrymod
+
+    qs = set(entrymod.queries())
+    oracles = set(entrymod.oracle_sql())
+    front = registry._FRONT
+    assert len(front) == 50, len(front)
+    assert len(set(front)) == len(front), "duplicate names in _FRONT"
+    not_queries = [n for n in front if n not in qs]
+    assert not not_queries, f"_FRONT names not in queries(): {not_queries}"
+    no_oracle = [n for n in front if n not in oracles]
+    assert not no_oracle, f"_FRONT names without an oracle: {no_oracle}"
