@@ -241,3 +241,64 @@ def test_front_rotation_names_registered():
     assert not not_queries, f"_FRONT names not in queries(): {not_queries}"
     no_oracle = [n for n in front if n not in oracles]
     assert not no_oracle, f"_FRONT names without an oracle: {no_oracle}"
+
+
+def test_driver_side_materialization_allowlist():
+    """Pin the package's driver-side materialization call sites. The
+    scale contract ("no collect() in any operator path") has been
+    verified by hand each round — this makes it a gate. The four
+    allowed `.collect()` sites are each a bounded driver fetch, never
+    corpus data:
+
+    - wave13_round4.py ×2: 1-scalar BFS / shortest-path seed fetches
+      (an iterative algorithm's hyperparameter, not data).
+    - scale_ops.py ×1: 25-row fixture-prep loop for the binaryFile
+      source (dimension-sized, test-data setup).
+    - streaming_queries.py ×1: streaming memory-sink result poll (the
+      sink IS driver-side by definition).
+
+    `toPandas`/`toLocalIterator` are banned outright. Tokenized scan,
+    so docstrings/comments mentioning collect() don't count; _vendor/
+    (third-party protobuf) is excluded."""
+    import glob
+    import tokenize
+
+    allowed = {
+        "wave13_round4.py": 2,
+        "scale_ops.py": 1,
+        "streaming_queries.py": 1,
+    }
+    found: dict[str, int] = {}
+    banned: list[tuple[str, int, str]] = []
+    root = "/root/repo/orchestrated_etl_spark"
+    for path in glob.glob(f"{root}/**/*.py", recursive=True):
+        if "/_vendor/" in path:
+            continue
+        prev = None
+        with open(path, "rb") as f:
+            toks = list(tokenize.tokenize(f.readline))
+        for t in toks:
+            if (
+                t.type == tokenize.NAME
+                and prev is not None
+                and prev.type == tokenize.OP
+                and prev.string == "."
+            ):
+                base = path.rsplit("/", 1)[-1]
+                if t.string == "collect":
+                    found[base] = found.get(base, 0) + 1
+                elif t.string in ("toPandas", "toLocalIterator"):
+                    banned.append((base, t.start[0], t.string))
+            if t.type not in (
+                tokenize.NL,
+                tokenize.NEWLINE,
+                tokenize.INDENT,
+                tokenize.DEDENT,
+                tokenize.COMMENT,
+            ):
+                prev = t
+    assert not banned, f"banned driver-side materializations: {banned}"
+    assert found == allowed, (
+        "collect() call sites changed — a new one needs a written "
+        f"bounded-fetch reason here: found={found} allowed={allowed}"
+    )
