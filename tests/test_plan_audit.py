@@ -302,3 +302,34 @@ def test_driver_side_materialization_allowlist():
         "collect() call sites changed — a new one needs a written "
         f"bounded-fetch reason here: found={found} allowed={allowed}"
     )
+
+
+def test_stub_site_allowlist():
+    """Pin the package's stub surface to the two sites the repo
+    legitimately needs (previously a hand check each round):
+
+    - functions/multimodal.py: the env-gated media DECODER raise — the
+      container has no image/audio libs, the stub is the documented
+      honest boundary and its deterministic fake path IS oracle-checked.
+    - streaming/stateful.py: a required-interface no-op (`pass` body
+      mandated by the processor ABC).
+
+    Any new NotImplementedError or bare-`pass` body elsewhere is either
+    padding (unfinished surface presented as done) or a new env gate
+    that needs a written reason here."""
+    import glob
+    import re
+
+    root = "/root/repo/orchestrated_etl_spark"
+    nie, bare = [], []
+    for path in glob.glob(f"{root}/**/*.py", recursive=True):
+        if "/_vendor/" in path:
+            continue
+        base = path.split("orchestrated_etl_spark/")[-1]
+        for i, line in enumerate(open(path), 1):
+            if "NotImplementedError" in line:
+                nie.append(base)
+            if re.fullmatch(r"\s*pass\s*", line):
+                bare.append(base)
+    assert nie == ["functions/multimodal.py"], nie
+    assert bare == ["streaming/stateful.py"], bare
