@@ -57,7 +57,10 @@ def main() -> None:
         label = "never sampled" if rnd == 0 else f"last sampled round {rnd}"
         print(f"    # {len(names)} stalest: {label} (registration order)")
         body = ", ".join(f'"{n}"' for n in names) + ","
-        print(textwrap.indent(textwrap.fill(body, width=71), "    "))
+        wrapped = textwrap.fill(
+            body, width=71, break_long_words=False, break_on_hyphens=False
+        )
+        print(textwrap.indent(wrapped, "    "))
     print("]")
 
 
