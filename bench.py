@@ -3,7 +3,9 @@
 driver-parseable headline as the LAST stdout line (kept ≤1.5 KB so a tail
 capture still round-trips through json.loads): {"metric": ..., "value":
 total_sec, "unit": "sec", "queries": {name: sec}, "repeats": n, "sf": ...}.
-A preceding line carries the detail object (queries_spread, queries_cold).
+A preceding line carries the detail object (queries_spread, queries_cold,
+plus load-average/CPU/SPARK_GRAFT_* telemetry at start and end so
+cross-session drift verdicts adjudicate themselves from the record).
 
 Each query is timed end-to-end (plan + execute + count-style materialise);
 a warmup query first absorbs JVM/codegen startup so numbers reflect the
@@ -70,9 +72,28 @@ HEADLINE = [
 ]
 
 
+def _env_telemetry() -> dict:
+    """Session conditions for cross-run noise adjudication (round-9 item:
+    a +12% cross-session drift should adjudicate itself from the recorded
+    load/env, not from a human remembering session state)."""
+    try:
+        load1, load5, load15 = os.getloadavg()
+    except OSError:  # pragma: no cover - getloadavg unsupported
+        load1 = load5 = load15 = -1.0
+    return {
+        "loadavg": [round(load1, 2), round(load5, 2), round(load15, 2)],
+        "cpus": os.cpu_count(),
+        "env": {
+            k: v for k, v in sorted(os.environ.items())
+            if k.startswith("SPARK_GRAFT_")
+        },
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    telemetry_start = _env_telemetry()
 
     from orchestrated_etl_spark.session import get_spark
     import __spark_entry__ as entrymod
@@ -142,6 +163,8 @@ def main() -> None:
                 "queries_spread": spread,
                 "cold_value": round(sum(cold.values()), 3),
                 "queries_cold": cold,
+                "telemetry_start": telemetry_start,
+                "telemetry_end": _env_telemetry(),
             }
         )
     )

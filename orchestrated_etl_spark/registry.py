@@ -55,33 +55,37 @@ def _load_all() -> None:
 # Coverage is COMPLETE as of round 7: all 291 oracle queries carry a
 # driver-issued green row (CORRECTNESS_r01..r07; terminal state recorded
 # in COVERAGE.md). From round 8 on, the rotation only refreshes
-# STALENESS: each round fronts the 50 queries whose last driver sample
-# is oldest (ties broken by registration order). ROUND-8 FRONT = the 43
-# remaining r1-sampled queries (r1's first six were refreshed in r7)
-# plus the 7 oldest r2-sampled queries. Recompute per round from the
-# CORRECTNESS_r*.json files:
-#   sorted(oracle_names, key=lambda n: (last_sampled_round[n], reg_order[n]))[:50]
+# STALENESS: each round fronts the 50 queries whose last GREEN driver
+# sample is oldest (ties broken by raw registration order —
+# registration_order(), not queries() iteration order). ROUND-9 FRONT =
+# the 41 remaining r2-sampled queries plus the 9 oldest r3-sampled
+# queries (recomputed by tools/rotate_front.py from CORRECTNESS_r01..r08;
+# reproduces the shipped r8 list bit-for-bit from r01..r07 inputs):
+#   sorted(oracle_names, key=lambda n: (last_green_round[n], reg_order[n]))[:50]
 _FRONT = [
-    # 43 stalest: last sampled round 1 (registration order)
-    "t3_cast_roundtrip", "t4_regex_extract", "t5_strip_separators",
-    "t6_project_drop", "a1_a5_enrich_family", "q1_pricing_summary",
-    "j1_star_join_revenue", "j_left_join", "j_semi_join", "j_anti_join",
-    "topk_orders_by_price", "setop_union", "setop_intersect",
-    "setop_except", "setop_except_orders", "window_topk_per_group",
-    "window_rank_lag_lead", "rollup_flag_status", "cube_flag_status",
-    "grouping_sets_orders", "pivot_status_qty", "distinct_aggregates",
-    "datetime_daily_rollup", "datetime_parts", "window_tumbling_hourly",
-    "window_sliding_2h_batch", "json_extract_props", "json_field_agg",
-    "sql_q3_shipping_priority", "window_ntile_deciles", "agg_stats_corr",
-    "unpivot_lineitem_measures", "json_map_entries", "json_variant_props",
-    "sql_pipe_syntax", "sql_q4_priority_exists", "sql_q17_below_avg_qty",
-    "sql_cte_above_avg_balance", "array_hof_profile",
-    "sql_q10_returned_revenue", "sql_q14_promo_share",
-    "sql_q18_large_orders", "sql_q19_disjunctive",
-    # next-stalest 7: last sampled round 2 (registration order)
-    "window_running_sum", "sql_q8_market_share", "sql_q9_product_profit",
-    "sql_q21_waiting_supplier", "text_lang_id_confusion",
-    "train_pii_scrub", "dedup_exact",
+    # 41 stalest: last green round 2 (registration order)
+    "dedup_minhash_lsh", "dedup_containment", "dedup_cluster_components",
+    "sim_ivf_topk", "sim_sq8_topk", "sim_mrl_prefix_topk",
+    "mm_frame_sample", "mm_fake_embed_topk", "mm_scene_cut",
+    "stream_tumbling_daily", "stream_stream_join",
+    "asof_join_purchase_click", "sink_merge_upsert",
+    "src_python_datasource", "sink_scd2_history",
+    "join_dpp_partition_pruned", "agg_hll_sketch_merge",
+    "train_temperature_mixture", "train_decontaminate",
+    "train_e2e_pipeline", "datetime_gap_fill",
+    "funnel_view_click_purchase", "text_char_entropy",
+    "events_retention_cohorts", "events_anomaly_zscore",
+    "sim_hyperplane_lsh", "src_text_logparse", "events_attribution_linear",
+    "events_markov_transitions", "sql_recursive_region_walk",
+    "src_xml_extract", "sql_q2_min_cost_supplier", "search_bm25_topk",
+    "train_incremental_dedup", "train_quality_gopher_gate",
+    "search_hybrid_rrf", "graph_pagerank", "graph_label_propagation",
+    "dq_constraint_audit", "sink_zorder_write", "dq_drift_psi",
+    # 9 stalest: last green round 3 (registration order)
+    "sql_q5_local_supplier_volume", "sql_q6_forecast_revenue",
+    "sql_q7_volume_shipping", "sql_q13_order_count_distribution",
+    "sql_q15_top_supplier", "sql_q12_shipmode_priority",
+    "sql_q22_sales_opportunity", "text_token_stats", "text_quality_score",
 ]
 
 
@@ -89,6 +93,20 @@ def _ordered(d: dict) -> dict:
     front = {n: d[n] for n in _FRONT if n in d}
     rest = {n: v for n, v in d.items() if n not in front}
     return {**front, **rest}
+
+
+def registration_order() -> list[str]:
+    """Raw registration order, BEFORE ``_ordered()`` fronting.
+
+    This is the documented staleness tie-break: ``_FRONT`` is recomputed
+    each round as the 50 stalest by ``(last_green_round, registration
+    order)``. ``queries()`` cannot serve as the tie-break source because
+    its iteration order moves the current front first — stable today
+    (the front always holds the newest samples) but wrong in a
+    driver-skip round where front members stay stale.
+    """
+    _load_all()
+    return list(_QUERIES)
 
 
 def queries() -> dict[str, QueryFn]:

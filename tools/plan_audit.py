@@ -32,7 +32,7 @@ from __future__ import annotations
 import re
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
 
 # Queries whose semantics are pairwise-within-block by definition: the
 # nested-loop/cartesian inside a block or against a broadcast query set is

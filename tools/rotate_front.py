@@ -2,12 +2,19 @@
 
 Coverage has been complete since round 7 (every oracle query carries a
 driver-issued green row), so each round's `_FRONT` simply fronts the 50
-queries whose last driver sample is OLDEST — ties broken by
-registration order (the documented rule in registry.py). This tool
-derives that list from the committed CORRECTNESS_r*.json files and
-prints it as a paste-ready Python list literal, removing the
-transcription step (the registry contract test catches names that
-don't exist, but only this recomputation establishes "stalest").
+queries whose last GREEN driver sample is OLDEST — ties broken by raw
+registration order (the documented rule in registry.py). A sampled-but-
+failed row does not count as freshness: a query whose last sample was
+red must be re-fronted, not deprioritized. This tool derives the list
+from the committed CORRECTNESS_r*.json files and prints it as a
+paste-ready Python list literal, removing the transcription step (the
+registry contract test catches names that don't exist, but only this
+recomputation establishes "stalest").
+
+The tie-break uses ``registry.registration_order()`` (the raw
+registration sequence), NOT ``queries()`` iteration order — the latter
+fronts the current ``_FRONT`` first, which would corrupt the tie-break
+in a driver-skip round where front members stay stale.
 
 Usage: python tools/rotate_front.py
 Then paste the output over `_FRONT` in orchestrated_etl_spark/registry.py,
@@ -17,32 +24,49 @@ update its round comment, and run the gate-2 rehearsals
 
 from __future__ import annotations
 
-import glob
 import json
 import sys
 import textwrap
+from pathlib import Path
 
-sys.path.insert(0, "/root/repo")
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
 
-import __spark_entry__ as entry  # noqa: E402
+from orchestrated_etl_spark import registry  # noqa: E402
 
 WINDOW = 50
 
 
+def _green(row: object) -> bool:
+    """A driver row counts as freshness only if it verified clean."""
+    if not isinstance(row, dict):
+        return False
+    if row.get("err") is not None:
+        return False
+    if row.get("rows_match") is False or row.get("schema_match") is False:
+        return False
+    hm = row.get("hash_match")
+    # Oracle rows carry a boolean hash_match; rows-only rows may omit it.
+    return hm is True or (hm is None and row.get("rows_match") is True)
+
+
 def main() -> None:
     last: dict[str, int] = {}
-    rounds = sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"))
+    rounds = sorted(REPO.glob("CORRECTNESS_r*.json"))
     for path in rounds:
-        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        rnd = int(path.name.rsplit("_r", 1)[1].split(".")[0])
         with open(path) as f:
-            for name in json.load(f):
-                last[name] = max(last.get(name, 0), rnd)
-    reg_order = {n: i for i, n in enumerate(entry.queries())}
-    oracle_names = [n for n in reg_order if n in entry.oracle_sql()]
+            for name, row in json.load(f).items():
+                if _green(row):
+                    last[name] = max(last.get(name, 0), rnd)
+    reg_order = {n: i for i, n in enumerate(registry.registration_order())}
+    oracles = registry.oracle_sql()
+    oracle_names = [n for n in reg_order if n in oracles]
     unsampled = [n for n in oracle_names if n not in last]
     if unsampled:
-        print(f"# WARNING: {len(unsampled)} oracle queries never sampled "
-              f"— they front unconditionally: {unsampled}", file=sys.stderr)
+        print(f"# WARNING: {len(unsampled)} oracle queries have no green "
+              f"sample — they front unconditionally: {unsampled}",
+              file=sys.stderr)
     stale = sorted(
         oracle_names, key=lambda n: (last.get(n, 0), reg_order[n])
     )[:WINDOW]
@@ -50,11 +74,11 @@ def main() -> None:
     for n in stale:
         by_round.setdefault(last.get(n, 0), []).append(n)
     print(f"# {len(rounds)} correctness files read; next _FRONT by "
-          f"last-sampled round: "
+          f"last-green round: "
           f"{ {r: len(ns) for r, ns in sorted(by_round.items())} }")
     print("_FRONT = [")
     for rnd, names in sorted(by_round.items()):
-        label = "never sampled" if rnd == 0 else f"last sampled round {rnd}"
+        label = "no green sample" if rnd == 0 else f"last green round {rnd}"
         print(f"    # {len(names)} stalest: {label} (registration order)")
         body = ", ".join(f'"{n}"' for n in names) + ","
         wrapped = textwrap.fill(
