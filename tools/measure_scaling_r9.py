@@ -1,0 +1,147 @@
+"""Round-9 scaling points: 1x/20x/50x curves for the next two heaviest
+headline families (round-8 verdict item 5), following the r8
+disjoint-growth method.
+
+- `graph_pagerank` core (functions/graph.pagerank): lineitem grows with
+  BOTH keys shifted (disjoint co-purchase components, the r6/r8 method),
+  edges derived at min_weight=2 to match the headline query. PageRank is
+  dense-iteration-bound: every node participates every round (unlike
+  BFS, whose frontier tracks one component), so the expected shape is
+  per-iteration cost tracking the EDGE-LIST size — the term a
+  1000-executor cluster parallelizes, since each iteration is one
+  rank-on-src equi-join plus one dst aggregate over the materialized
+  edge store.
+
+- `search_bm25_topk` core (llm_search_quality.build_bm25_index /
+  bm25_query): documents grow by doc-id-shifted copies (the r8 minhash
+  method). The staged-index design splits cost into BUILD (the one
+  corpus scan: tokenize + (doc,term) aggregate, linear in corpus size,
+  a bucketed-by-term parquet write on a cluster) and QUERY (a
+  term-filtered posting-list lookup joined to a broadcast df relation —
+  grows only with the query terms' posting lists, never rescans the
+  corpus). Measuring them separately shows the split is real: query
+  latency must stay far below build as the corpus grows.
+
+Steady-state protocol (matches SCALING.md): each point is the second
+consecutive run; the first absorbs staging/codegen.
+
+Usage: SPARK_GRAFT_DRIVER_MEM=16g python tools/measure_scaling_r9.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from orchestrated_etl_spark.functions.graph import (  # noqa: E402
+    copurchase_edges,
+    pagerank,
+)
+from orchestrated_etl_spark.queries.llm_search_quality import (  # noqa: E402
+    bm25_query,
+    build_bm25_index,
+)
+from orchestrated_etl_spark.session import get_spark  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+
+def steady(fn) -> float:
+    fn()
+    t = time.time()
+    fn()
+    return time.time() - t
+
+
+def scaled_docs(spark, mult: int):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    shift = (docs.agg(F.max("doc_id")).collect()[0][0] or 0) + 1
+    parts = [docs]
+    for i in range(1, mult):
+        parts.append(docs.withColumn("doc_id", F.col("doc_id") + i * shift))
+    grown = parts[0]
+    for p in parts[1:]:
+        grown = grown.unionByName(p)
+    return grown
+
+
+def write_scaled_lineitem_disjoint(spark, mult: int, out_dir: str) -> int:
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    n = li.count()
+    okey_shift = (li.agg(F.max("l_orderkey")).collect()[0][0] or 0) + 1
+    pkey_shift = (li.agg(F.max("l_partkey")).collect()[0][0] or 0) + 1
+    parts = [li]
+    for i in range(1, mult):
+        parts.append(
+            li.withColumn(
+                "l_orderkey", F.col("l_orderkey") + i * okey_shift
+            ).withColumn("l_partkey", F.col("l_partkey") + i * pkey_shift)
+        )
+    grown = parts[0]
+    for p in parts[1:]:
+        grown = grown.unionByName(p)
+    grown.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/lineitem.parquet"
+    )
+    return n * mult
+
+
+def measure_pagerank(spark) -> None:
+    print("== graph_pagerank core, disjoint component growth ==")
+    for mult in (1, 20, 50):
+        tmp = tempfile.mkdtemp(prefix=f"r9_pr_{mult}_")
+        try:
+            n_rows = write_scaled_lineitem_disjoint(spark, mult, tmp)
+            t0 = time.time()
+            edges = copurchase_edges(
+                spark, tmp, min_weight=2
+            ).localCheckpoint(eager=True)
+            ne = edges.count()
+            t_derive = time.time() - t0
+            t = steady(
+                lambda: pagerank(edges, iterations=3, damping=0.85).count()
+            )
+            print(
+                f"lineitem_rows={n_rows} edges={ne} mult={mult}: "
+                f"derive={t_derive:.2f}s pagerank3={t:.2f}s",
+                flush=True,
+            )
+            edges.unpersist()
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+def measure_bm25(spark) -> None:
+    print("== search_bm25_topk core, doc-shifted corpus growth ==")
+    for mult in (1, 20, 50):
+        docs = scaled_docs(spark, mult).localCheckpoint(eager=True)
+        nd = docs.count()
+        # BUILD: the one corpus scan (steady = second build; the index
+        # views are simply re-registered each time).
+        t_build = steady(lambda: build_bm25_index(docs))
+        # QUERY: posting-list lookup against the staged views.
+        t_query = steady(lambda: bm25_query(spark).count())
+        print(
+            f"docs={nd} mult={mult}: build={t_build:.2f}s "
+            f"query={t_query:.3f}s",
+            flush=True,
+        )
+        docs.unpersist()
+
+
+def main() -> None:
+    spark = get_spark()
+    measure_pagerank(spark)
+    measure_bm25(spark)
+
+
+if __name__ == "__main__":
+    main()
