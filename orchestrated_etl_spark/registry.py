@@ -104,6 +104,13 @@ def registration_order() -> list[str]:
     its iteration order moves the current front first — stable today
     (the front always holds the newest samples) but wrong in a
     driver-skip round where front members stay stale.
+
+    CANONICAL ONLY FROM A FRESH INTERPRETER: dict order here is import
+    order, so the canonical sequence is what ``_load_all()`` produces
+    when no query module was imported earlier. A process that imports
+    query modules directly before calling this (pytest does) gets a
+    permuted order — run rotation tooling standalone, the way
+    ``tools/rotate_front.py`` is invoked.
     """
     _load_all()
     return list(_QUERIES)
