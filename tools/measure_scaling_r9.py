@@ -22,10 +22,21 @@ disjoint-growth method.
   corpus). Measuring them separately shows the split is real: query
   latency must stay far below build as the corpus grows.
 
+- `sim_ivf_topk` core (functions/similarity.ivf_topk vs
+  brute_force_topk): embeddings grow by vec_id-shifted copies; the
+  20-query set and 8 centroids stay FIXED (the |Q| broadcast contract).
+  IVF's claim is that each query scores ~1/K of the corpus (its probed
+  posting list) instead of all of it — measured here as the end-to-end
+  gap vs brute force at the same corpus size, plus the BUILD
+  (nearest-centroid assignment, map-side max_by so only one row per
+  vector shuffles) timed separately.
+
 Steady-state protocol (matches SCALING.md): each point is the second
 consecutive run; the first absorbs staging/codegen.
 
-Usage: SPARK_GRAFT_DRIVER_MEM=16g python tools/measure_scaling_r9.py [sf_dir]
+Usage: SPARK_GRAFT_DRIVER_MEM=16g python tools/measure_scaling_r9.py \
+           [sf_dir] [family ...]
+with family in {pagerank, bm25, ivf}; default = all.
 """
 
 from __future__ import annotations
@@ -137,10 +148,67 @@ def measure_bm25(spark) -> None:
         docs.unpersist()
 
 
+def measure_ivf(spark) -> None:
+    print("== sim_ivf_topk core vs brute force, vec_id-shifted growth ==")
+    from pyspark.sql import functions as SF
+
+    from orchestrated_etl_spark.functions import similarity as SIM
+
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    shift = (base.agg(F.max("vec_id")).collect()[0][0] or 0) + 1
+    # Fixed query/centroid sets from the ORIGINAL id range at every
+    # scale — the |Q| broadcast contract the operators document.
+    queries = base.filter(
+        (SF.col("vec_id") % 25 == 0) & (SF.col("vec_id") < 500)
+    ).localCheckpoint(eager=True)
+    centroids = base.filter(SF.col("vec_id") < 8).localCheckpoint(
+        eager=True
+    )
+    for mult in (1, 20, 50):
+        parts = [base]
+        for i in range(1, mult):
+            parts.append(
+                base.withColumn("vec_id", F.col("vec_id") + i * shift)
+            )
+        grown = parts[0]
+        for p in parts[1:]:
+            grown = grown.unionByName(p)
+        corpus = grown.localCheckpoint(eager=True)
+        nv = corpus.count()
+        t_build = steady(
+            lambda: SIM.assign_to_centroids(
+                corpus, centroids, "vec_id", "embedding"
+            ).count()
+        )
+        t_ivf = steady(
+            lambda: SIM.ivf_topk(
+                queries, corpus, centroids, "vec_id", "embedding", 3
+            ).count()
+        )
+        t_bf = steady(
+            lambda: SIM.brute_force_topk(
+                queries, corpus, "vec_id", "embedding", 5
+            ).count()
+        )
+        print(
+            f"vectors={nv} mult={mult}: assign_build={t_build:.2f}s "
+            f"ivf_e2e={t_ivf:.2f}s brute_force={t_bf:.2f}s",
+            flush=True,
+        )
+        corpus.unpersist()
+
+
 def main() -> None:
     spark = get_spark()
-    measure_pagerank(spark)
-    measure_bm25(spark)
+    families = sys.argv[2:] or ["pagerank", "bm25", "ivf"]
+    if "pagerank" in families:
+        measure_pagerank(spark)
+    if "bm25" in families:
+        measure_bm25(spark)
+    if "ivf" in families:
+        measure_ivf(spark)
 
 
 if __name__ == "__main__":
