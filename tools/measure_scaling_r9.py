@@ -200,6 +200,84 @@ def measure_ivf(spark) -> None:
         corpus.unpersist()
 
 
+def measure_dq(spark) -> None:
+    """`dq_constraint_audit` (one conditional aggregate per audited
+    table, FK probes riding the same scan): facts (lineitem, orders)
+    grow with BOTH orderkeys shifted identically so the lineitem→orders
+    FK stays valid; dimensions (customer, nation) stay base-sized and
+    o_custkey stays in the base range, so FK containment holds and the
+    violation counts scale exactly — the realistic 100 TB shape (facts
+    grow, dims don't)."""
+    print("== dq_constraint_audit, FK-valid fact growth ==")
+    from orchestrated_etl_spark.queries.ops_wave11 import (
+        _dq_constraint_audit,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    okey_shift = (orders.agg(F.max("o_orderkey")).collect()[0][0] or 0) + 1
+    for mult in (1, 20, 50):
+        tmp = tempfile.mkdtemp(prefix=f"r9_dq_{mult}_")
+        try:
+            for name, df, key in (
+                ("lineitem", li, "l_orderkey"),
+                ("orders", orders, "o_orderkey"),
+            ):
+                parts = [df]
+                for i in range(1, mult):
+                    parts.append(
+                        df.withColumn(key, F.col(key) + i * okey_shift)
+                    )
+                grown = parts[0]
+                for p in parts[1:]:
+                    grown = grown.unionByName(p)
+                grown.repartition(32).write.mode("overwrite").parquet(
+                    f"{tmp}/{name}.parquet"
+                )
+            for name in ("customer", "nation"):
+                spark.read.parquet(f"{SF_DIR}/{name}.parquet").write.mode(
+                    "overwrite"
+                ).parquet(f"{tmp}/{name}.parquet")
+            t = steady(lambda: _dq_constraint_audit(spark, tmp).count())
+            print(f"mult={mult}: audit={t:.2f}s", flush=True)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+def measure_sessionize(spark) -> None:
+    """`sessionize_events_30m` (lag → flag → running-sum on one user_id
+    shuffle): events grow by user_id/event_id-shifted copies — disjoint
+    users, so per-user session structure is constant and the growth
+    term is purely the partitioned-window sort volume."""
+    print("== sessionize_events_30m, disjoint user growth ==")
+    from orchestrated_etl_spark.queries.scale_ops import _sessionize
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    u_shift = (ev.agg(F.max("user_id")).collect()[0][0] or 0) + 1
+    e_shift = (ev.agg(F.max("event_id")).collect()[0][0] or 0) + 1
+    for mult in (1, 20, 50):
+        tmp = tempfile.mkdtemp(prefix=f"r9_sess_{mult}_")
+        try:
+            parts = [ev]
+            for i in range(1, mult):
+                parts.append(
+                    ev.withColumn(
+                        "user_id", F.col("user_id") + i * u_shift
+                    ).withColumn("event_id", F.col("event_id") + i * e_shift)
+                )
+            grown = parts[0]
+            for p in parts[1:]:
+                grown = grown.unionByName(p)
+            grown.repartition(32).write.mode("overwrite").parquet(
+                f"{tmp}/events.parquet"
+            )
+            n = grown.count()
+            t = steady(lambda: _sessionize(spark, tmp).count())
+            print(f"events={n} mult={mult}: sessionize={t:.2f}s", flush=True)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark()
     families = sys.argv[2:] or ["pagerank", "bm25", "ivf"]
@@ -209,6 +287,10 @@ def main() -> None:
         measure_bm25(spark)
     if "ivf" in families:
         measure_ivf(spark)
+    if "dq" in families:
+        measure_dq(spark)
+    if "sessionize" in families:
+        measure_sessionize(spark)
 
 
 if __name__ == "__main__":
