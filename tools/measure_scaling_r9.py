@@ -278,6 +278,53 @@ def measure_sessionize(spark) -> None:
             shutil.rmtree(tmp, ignore_errors=True)
 
 
+def measure_cdc(spark) -> None:
+    """`dedup_cdc_chunks` past the round-4 curve's 20× stop. Copies get
+    DISTINCT alphabet permutations so chunk content (and thus the md5
+    key domain) genuinely grows: plain rotations give only 26 distinct
+    transforms, so copies 26+ compose the reflection (z↔a) with a
+    rotation — the dihedral family, 52 distinct permutations, enough
+    for 50×."""
+    print("== dedup_cdc_chunks, permutation-grown disjoint content ==")
+    import string
+
+    from orchestrated_etl_spark.queries.wave15_round4 import _cdc_chunks
+
+    lower = string.ascii_lowercase
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+
+    def perm(i: int) -> str:
+        base = lower[::-1] if i >= 26 else lower
+        k = i % 26
+        return base[k:] + base[:k]
+
+    for mult in (1, 20, 50):
+        tmp = tempfile.mkdtemp(prefix=f"r9_cdc_{mult}_")
+        try:
+            parts = [docs]
+            for i in range(1, mult):
+                parts.append(
+                    docs.select(
+                        (F.col("doc_id") + i * n).alias("doc_id"),
+                        F.translate("text", lower, perm(i)).alias("text"),
+                        "lang",
+                        "source",
+                        "n_chars",
+                    )
+                )
+            grown = parts[0]
+            for p in parts[1:]:
+                grown = grown.unionByName(p)
+            grown.repartition(32).write.mode("overwrite").parquet(
+                f"{tmp}/documents.parquet"
+            )
+            t = steady(lambda: _cdc_chunks(spark, tmp).count())
+            print(f"docs={n * mult} mult={mult}: cdc={t:.2f}s", flush=True)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark()
     families = sys.argv[2:] or ["pagerank", "bm25", "ivf"]
@@ -291,6 +338,8 @@ def main() -> None:
         measure_dq(spark)
     if "sessionize" in families:
         measure_sessionize(spark)
+    if "cdc" in families:
+        measure_cdc(spark)
 
 
 if __name__ == "__main__":
