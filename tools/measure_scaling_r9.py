@@ -325,6 +325,43 @@ def measure_cdc(spark) -> None:
             shutil.rmtree(tmp, ignore_errors=True)
 
 
+def measure_rfm(spark) -> None:
+    """`events_rfm_quantile_cutoffs` vs its exact-ntile twin past the
+    round-3 curve's 20× stop (method unchanged: user_id-shifted disjoint
+    copies, both cores on the same checkpointed frame). The round-3
+    structural claim to falsify: the cutoff form stays flat (its only
+    ordered window runs over the value histogram, O(domain)) while the
+    ntile form's single-partition sort of the per-user relation trends
+    up with users — 50×/100× (~1M/2M users) probes for the crossover."""
+    print("== RFM ntile vs quantile-cutoff, disjoint user growth ==")
+    from orchestrated_etl_spark.queries.analytics_wave5 import (
+        rfm_cutoff_core,
+        rfm_ntile_core,
+    )
+
+    ev_base = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    shift = (ev_base.agg(F.max("user_id")).collect()[0][0] or 0) + 1
+    for mult in (1, 20, 50, 100):
+        parts = [ev_base]
+        for i in range(1, mult):
+            parts.append(
+                ev_base.withColumn("user_id", F.col("user_id") + i * shift)
+            )
+        grown = parts[0]
+        for p in parts[1:]:
+            grown = grown.unionByName(p)
+        ev = grown.localCheckpoint(eager=True)
+        ne = ev.count()
+        t_ntile = steady(lambda: rfm_ntile_core(ev).count())
+        t_cut = steady(lambda: rfm_cutoff_core(ev).count())
+        print(
+            f"events={ne} mult={mult}: ntile={t_ntile:.2f}s "
+            f"cutoffs={t_cut:.2f}s",
+            flush=True,
+        )
+        ev.unpersist()
+
+
 def main() -> None:
     spark = get_spark()
     families = sys.argv[2:] or ["pagerank", "bm25", "ivf"]
@@ -340,6 +377,8 @@ def main() -> None:
         measure_sessionize(spark)
     if "cdc" in families:
         measure_cdc(spark)
+    if "rfm" in families:
+        measure_rfm(spark)
 
 
 if __name__ == "__main__":
