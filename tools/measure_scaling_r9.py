@@ -362,6 +362,52 @@ def measure_rfm(spark) -> None:
         ev.unpersist()
 
 
+def measure_events_seq(spark) -> None:
+    """The other two per-user sequence headliners
+    (`events_cep_conversion`, `events_attribution_linear`) under the
+    same disjoint-user growth as sessionize: per-user sequence
+    structure constant, so the growth term for both should be the
+    user_id-partitioned sort/window volume — embarrassingly parallel
+    across users, like sessionization."""
+    print("== CEP + attribution, disjoint user growth ==")
+    from orchestrated_etl_spark.queries.analytics_wave5 import (
+        _attribution_linear,
+    )
+    from orchestrated_etl_spark.queries.wave13_round4 import (
+        _cep_conversion,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    u_shift = (ev.agg(F.max("user_id")).collect()[0][0] or 0) + 1
+    e_shift = (ev.agg(F.max("event_id")).collect()[0][0] or 0) + 1
+    for mult in (1, 20, 50):
+        tmp = tempfile.mkdtemp(prefix=f"r9_evseq_{mult}_")
+        try:
+            parts = [ev]
+            for i in range(1, mult):
+                parts.append(
+                    ev.withColumn(
+                        "user_id", F.col("user_id") + i * u_shift
+                    ).withColumn("event_id", F.col("event_id") + i * e_shift)
+                )
+            grown = parts[0]
+            for p in parts[1:]:
+                grown = grown.unionByName(p)
+            grown.repartition(32).write.mode("overwrite").parquet(
+                f"{tmp}/events.parquet"
+            )
+            n = grown.count()
+            t_cep = steady(lambda: _cep_conversion(spark, tmp).count())
+            t_attr = steady(lambda: _attribution_linear(spark, tmp).count())
+            print(
+                f"events={n} mult={mult}: cep={t_cep:.2f}s "
+                f"attribution={t_attr:.2f}s",
+                flush=True,
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark()
     families = sys.argv[2:] or ["pagerank", "bm25", "ivf"]
@@ -379,6 +425,8 @@ def main() -> None:
         measure_cdc(spark)
     if "rfm" in families:
         measure_rfm(spark)
+    if "events" in families:
+        measure_events_seq(spark)
 
 
 if __name__ == "__main__":
