@@ -408,6 +408,53 @@ def measure_events_seq(spark) -> None:
             shutil.rmtree(tmp, ignore_errors=True)
 
 
+def measure_sq8(spark) -> None:
+    """Refresh the round-2 SQ8-vs-brute-force curve on the CURRENT
+    embeddings fixture (the r2 section's 5k/25k/100k points predate a
+    fixture regeneration — sf0.1 is 2,000 base vectors now), using the
+    same vec_id-shifted growth and fixed 20-query set as the r9 IVF
+    measurement so the three ANN paths are directly comparable."""
+    print("== sim_sq8_topk vs brute force, vec_id-shifted growth ==")
+    from pyspark.sql import functions as SF
+
+    from orchestrated_etl_spark.functions import similarity as SIM
+
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    shift = (base.agg(F.max("vec_id")).collect()[0][0] or 0) + 1
+    queries = base.filter(
+        (SF.col("vec_id") % 25 == 0) & (SF.col("vec_id") < 500)
+    ).localCheckpoint(eager=True)
+    for mult in (1, 20, 50):
+        parts = [base]
+        for i in range(1, mult):
+            parts.append(
+                base.withColumn("vec_id", F.col("vec_id") + i * shift)
+            )
+        grown = parts[0]
+        for p in parts[1:]:
+            grown = grown.unionByName(p)
+        corpus = grown.localCheckpoint(eager=True)
+        nv = corpus.count()
+        t_sq8 = steady(
+            lambda: SIM.sq8_topk(
+                queries, corpus, "vec_id", "embedding", 5
+            ).count()
+        )
+        t_bf = steady(
+            lambda: SIM.brute_force_topk(
+                queries, corpus, "vec_id", "embedding", 5
+            ).count()
+        )
+        print(
+            f"vectors={nv} mult={mult}: sq8={t_sq8:.2f}s "
+            f"brute_force={t_bf:.2f}s",
+            flush=True,
+        )
+        corpus.unpersist()
+
+
 def main() -> None:
     spark = get_spark()
     families = sys.argv[2:] or ["pagerank", "bm25", "ivf"]
@@ -427,6 +474,8 @@ def main() -> None:
         measure_rfm(spark)
     if "events" in families:
         measure_events_seq(spark)
+    if "sq8" in families:
+        measure_sq8(spark)
 
 
 if __name__ == "__main__":
