@@ -36,7 +36,10 @@ consecutive run; the first absorbs staging/codegen.
 
 Usage: SPARK_GRAFT_DRIVER_MEM=16g python tools/measure_scaling_r9.py \
            [sf_dir] [family ...]
-with family in {pagerank, bm25, ivf}; default = all.
+with family in {pagerank, bm25, ivf, dq, sessionize, cdc, rfm, events,
+sq8}; default = all. (The ivf/dq/sessionize/cdc/rfm/events/sq8 families
+were added after the first pagerank+bm25 run; each run this round used
+explicit family selection so committed numbers were never re-timed.)
 """
 
 from __future__ import annotations
@@ -457,7 +460,10 @@ def measure_sq8(spark) -> None:
 
 def main() -> None:
     spark = get_spark()
-    families = sys.argv[2:] or ["pagerank", "bm25", "ivf"]
+    families = sys.argv[2:] or [
+        "pagerank", "bm25", "ivf", "dq", "sessionize", "cdc", "rfm",
+        "events", "sq8",
+    ]
     if "pagerank" in families:
         measure_pagerank(spark)
     if "bm25" in families:
