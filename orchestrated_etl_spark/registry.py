@@ -26,6 +26,7 @@ rows-only check.
 from __future__ import annotations
 
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -56,36 +57,41 @@ def _load_all() -> None:
 # driver-issued green row (CORRECTNESS_r01..r07; terminal state recorded
 # in COVERAGE.md). From round 8 on, the rotation only refreshes
 # STALENESS: each round fronts the 50 queries whose last GREEN driver
-# sample is oldest (ties broken by raw registration order —
-# registration_order(), not queries() iteration order). ROUND-9 FRONT =
-# the 41 remaining r2-sampled queries plus the 9 oldest r3-sampled
-# queries (recomputed by tools/rotate_front.py from CORRECTNESS_r01..r08;
-# reproduces the shipped r8 list bit-for-bit from r01..r07 inputs):
+# sample is oldest (ties broken by raw registration order — the
+# committed REGISTRATION_ORDER.txt artifact, not queries() iteration
+# order). ROUND-10 FRONT = the 41 remaining r3-sampled queries plus the
+# 9 oldest last-green-r5 queries — there are NO last-green-r4 queries:
+# all 50 r4-sampled names were re-greened by later overlapping samples
+# (last-green histogram over the 291 oracles: {3: 41, 5: 50, 6: 50,
+# 7: 50, 8: 50, 9: 50}). Recomputed by tools/rotate_front.py from
+# CORRECTNESS_r01..r09; the tool reproduces the shipped r8 list
+# bit-for-bit from r01..r07 inputs (pytest-pinned):
 #   sorted(oracle_names, key=lambda n: (last_green_round[n], reg_order[n]))[:50]
 _FRONT = [
-    # 41 stalest: last green round 2 (registration order)
-    "dedup_minhash_lsh", "dedup_containment", "dedup_cluster_components",
-    "sim_ivf_topk", "sim_sq8_topk", "sim_mrl_prefix_topk",
-    "mm_frame_sample", "mm_fake_embed_topk", "mm_scene_cut",
-    "stream_tumbling_daily", "stream_stream_join",
-    "asof_join_purchase_click", "sink_merge_upsert",
-    "src_python_datasource", "sink_scd2_history",
-    "join_dpp_partition_pruned", "agg_hll_sketch_merge",
-    "train_temperature_mixture", "train_decontaminate",
-    "train_e2e_pipeline", "datetime_gap_fill",
-    "funnel_view_click_purchase", "text_char_entropy",
-    "events_retention_cohorts", "events_anomaly_zscore",
-    "sim_hyperplane_lsh", "src_text_logparse", "events_attribution_linear",
-    "events_markov_transitions", "sql_recursive_region_walk",
-    "src_xml_extract", "sql_q2_min_cost_supplier", "search_bm25_topk",
-    "train_incremental_dedup", "train_quality_gopher_gate",
-    "search_hybrid_rrf", "graph_pagerank", "graph_label_propagation",
-    "dq_constraint_audit", "sink_zorder_write", "dq_drift_psi",
-    # 9 stalest: last green round 3 (registration order)
-    "sql_q5_local_supplier_volume", "sql_q6_forecast_revenue",
-    "sql_q7_volume_shipping", "sql_q13_order_count_distribution",
-    "sql_q15_top_supplier", "sql_q12_shipmode_priority",
-    "sql_q22_sales_opportunity", "text_token_stats", "text_quality_score",
+    # 41 stalest: last green round 3 (registration order)
+    "text_lang_profile", "text_bpe_token_counts", "text_repetition_score",
+    "text_length_histogram", "train_incremental_minhash",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_semantic_clusters",
+    "mm_vad_segments", "stream_cdc_upsert", "asof_join_salted",
+    "range_join_clicks_before_purchase", "sessionize_events_30m",
+    "sink_ctas_insert", "train_profile_documents", "train_oov_rate",
+    "events_rfm_quantile_cutoffs", "events_ewma_fold",
+    "sql_session_variables", "sql_group_by_all", "sql_identifier_clause",
+    "sql_lateral_alias", "sql_try_functions", "sql_q11_important_stock",
+    "sql_q16_supplier_diversity", "sql_q20_excess_availability",
+    "text_tfidf_keywords", "text_unigram_logprob",
+    "graph_copurchase_edges", "graph_degree_distribution",
+    "graph_triangle_count", "graph_triangle_orient",
+    "graph_walk_centrality", "graph_link_prediction",
+    "graph_assortativity", "sink_compacted_roundtrip",
+    "sink_clustered_write", "src_file_lineage",
+    "sink_dynamic_partition_overwrite", "window_locf_ignore_nulls",
+    "agg_approx_percentile_bounds",
+    # 9 stalest: last green round 5 (registration order)
+    "setop_intersect_all", "setop_except_all", "text_word_topk",
+    "text_fingerprint", "udtf_chunk_expand", "text_url_parse_profile",
+    "dedup_levenshtein_blocked", "dedup_embedding_cosine",
+    "dedup_minhash_mllib",
 ]
 
 
@@ -93,6 +99,26 @@ def _ordered(d: dict) -> dict:
     front = {n: d[n] for n in _FRONT if n in d}
     rest = {n: v for n, v in d.items() if n not in front}
     return {**front, **rest}
+
+
+_ORDER_FILE = Path(__file__).resolve().parents[1] / "REGISTRATION_ORDER.txt"
+
+
+def frozen_registration_order() -> list[str] | None:
+    """The committed canonical registration order, or None if absent.
+
+    ``REGISTRATION_ORDER.txt`` (repo root, written by
+    ``tools/gen_registration_order.py`` from a fresh interpreter) pins
+    the staleness tie-break to a diffable artifact so `_FRONT` is
+    auditable from files alone. Lines starting with ``#`` are comments.
+    """
+    if not _ORDER_FILE.exists():
+        return None
+    return [
+        ln.strip()
+        for ln in _ORDER_FILE.read_text().splitlines()
+        if ln.strip() and not ln.startswith("#")
+    ]
 
 
 def registration_order() -> list[str]:
@@ -109,11 +135,28 @@ def registration_order() -> list[str]:
     order, so the canonical sequence is what ``_load_all()`` produces
     when no query module was imported earlier. A process that imports
     query modules directly before calling this (pytest does) gets a
-    permuted order — run rotation tooling standalone, the way
-    ``tools/rotate_front.py`` is invoked.
+    permuted order — prefer ``frozen_registration_order()`` (the
+    committed artifact) for any ordering decision, the way
+    ``tools/rotate_front.py`` does.
+
+    Validates live MEMBERSHIP against the committed artifact when one
+    exists (set equality — order-insensitive, hence safe to call from
+    pytest's permuted import state; the full ordered sequence is pinned
+    by a fresh-subprocess pytest contract instead). Registering or
+    removing a query without regenerating the artifact raises here.
     """
     _load_all()
-    return list(_QUERIES)
+    live = list(_QUERIES)
+    frozen = frozen_registration_order()
+    if frozen is not None and set(frozen) != set(live):
+        added = sorted(set(live) - set(frozen))
+        removed = sorted(set(frozen) - set(live))
+        raise RuntimeError(
+            "REGISTRATION_ORDER.txt is stale vs the live registry "
+            f"(added={added}, removed={removed}) — rerun "
+            "`python tools/gen_registration_order.py` standalone."
+        )
+    return live
 
 
 def queries() -> dict[str, QueryFn]:

@@ -256,13 +256,78 @@ def test_rotate_front_green_rule():
     ok = {"rows_match": True, "schema_match": True, "hash_match": True,
           "spark_rows": 1, "oracle_rows": 1, "err": None}
     assert _green(ok)
-    # rows-only rows may omit hash_match
+    # rows-only rows may omit (or null) hash_match
     assert _green({"rows_match": True, "schema_match": True, "err": None})
+    assert _green({**ok, "hash_match": None})
     assert not _green({**ok, "hash_match": False})  # r1 window_running_sum
     assert not _green({**ok, "rows_match": False})
     assert not _green({**ok, "schema_match": False})
     assert not _green({**ok, "err": "boom"})
     assert not _green("not-a-dict")
+    # DEFAULT-DENY (r9 advice): partial/truncated row shapes are not
+    # freshness — {"hash_match": true} alone used to count as green.
+    assert not _green({"hash_match": True})
+    assert not _green({"rows_match": True, "schema_match": True})  # no err
+    assert not _green({"rows_match": True, "err": None})  # no schema_match
+    assert not _green({})
+
+
+def test_rotate_front_never_green_fronts_unconditionally():
+    """A query with NO green sample must sort ahead of every sampled
+    query (last=0), regardless of registration position — the `last.get
+    (n, 0)` path in rotate_front (round-9 advice: the r8-reproduction
+    test restricts its pool to sampled names, so it pins the sort rule
+    but not this branch). Exercised on a synthetic fixture so it cannot
+    rot with the committed history."""
+    last = {"a": 2, "b": 1, "c": 3}  # "d" never sampled green
+    reg_order = {"a": 0, "b": 1, "c": 2, "d": 3}
+    stale = sorted(reg_order, key=lambda n: (last.get(n, 0), reg_order[n]))
+    assert stale == ["d", "b", "a", "c"]
+    # and a red-only history is the same as never sampled: _green
+    # rejects the rows, so the name never enters `last` at all.
+    from rotate_front import _green
+
+    red = {"rows_match": True, "schema_match": True, "hash_match": False,
+           "spark_rows": 1, "oracle_rows": 1, "err": None}
+    assert not _green(red)
+
+
+def test_registration_order_artifact_matches_fresh_interpreter():
+    """REGISTRATION_ORDER.txt (the committed staleness tie-break
+    artifact, round-10) must match a fresh-interpreter recomputation
+    LINE-FOR-LINE — not just as a set (registration_order() itself
+    validates membership; only a fresh subprocess can validate order,
+    because pytest's direct query-module imports permute dict order).
+    Fails with a pointer to the regeneration tool."""
+    import subprocess
+
+    frozen_path = REPO / "REGISTRATION_ORDER.txt"
+    assert frozen_path.exists(), "run tools/gen_registration_order.py"
+    script = """
+import sys
+from pathlib import Path
+REPO = Path(sys.argv[1])
+sys.path.insert(0, str(REPO))
+from orchestrated_etl_spark import registry
+print(chr(10).join(registry.registration_order()))
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script, str(REPO)],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    live = proc.stdout.strip().splitlines()
+    frozen = [
+        ln.strip()
+        for ln in frozen_path.read_text().splitlines()
+        if ln.strip() and not ln.startswith("#")
+    ]
+    assert live == frozen, (
+        "REGISTRATION_ORDER.txt drifted from fresh-interpreter order — "
+        "rerun `python tools/gen_registration_order.py`"
+    )
 
 
 def test_rotate_front_reproduces_r8_front():

@@ -1,0 +1,230 @@
+"""Self-checking bench gate: the 2x rule and the noise band, from files.
+
+Every round the judge and builder re-derived "no headline query above 2x
+its best-ever driver time" and "total inside the documented ~±3 s session
+band" from the committed BENCH_r*.json files by hand (the r8 and r9
+verdicts each scripted it ad hoc). This tool makes those checks
+mechanical and self-contained:
+
+- reads every committed ``BENCH_r*.json`` (driver wrapper: ``{"parsed":
+  <headline>, "tail": <~2 KB stdout tail>, ...}``), recovering the
+  headline from the tail's last line when ``parsed`` is null (r6) and
+  the telemetry object from the tail when present (r9+ bench.py emits
+  loadavg/CPU/env at the end of the detail line precisely so it
+  survives the tail capture);
+- computes each headline query's BEST-EVER time and flags any target
+  query above ``--ratio`` (default 2.0) times it;
+- compares the target's total against the best total among rounds with
+  the SAME headline-query set (totals across different suite sizes are
+  not comparable: r1 ran 16 queries, r4+ run 29) and flags a delta
+  beyond ``--band`` seconds (default 3.0 — the session band measured
+  across the r7/r8/r9 noise-log entries in SCALING.md);
+- prints the flagged run's telemetry so the attribution rule's inputs
+  (load average, CPU count, SPARK_GRAFT_* env) are in one place.
+
+A flag here is NOT automatically a regression — it starts the SCALING.md
+attribution protocol (code changed? outside own spread? reproduces
+fresh?). The tool's job is to make sure no drift goes unnoticed, and to
+put the adjudication inputs on the table.
+
+The target may also be a RAW ``python bench.py`` stdout capture (the
+two-JSON-line format), so a local pre-ship run can be gated against the
+committed history before the driver ever sees it.
+
+Usage: python tools/check_bench_gate.py [target] [--ratio 2.0] [--band 3.0]
+       (target defaults to the highest-numbered committed BENCH_r*.json)
+Exit codes: 0 clean, 1 flagged, 2 target unparseable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _telemetry_from_tail(tail: str) -> dict | None:
+    """Recover the telemetry objects from a truncated stdout tail.
+
+    bench.py puts ``telemetry_start``/``telemetry_end`` at the END of
+    the detail line, so even when the driver's ~2 KB tail capture cuts
+    the front of that line, the telemetry survives: substring from the
+    key to the line's end re-wraps into a standalone JSON object.
+    """
+    idx = tail.find('"telemetry_start"')
+    if idx == -1:
+        return None
+    line_end = tail.find("\n", idx)
+    frag = tail[idx: line_end if line_end != -1 else len(tail)].rstrip()
+    try:
+        return json.loads("{" + frag)
+    except json.JSONDecodeError:
+        return None
+
+
+def _headline_from_lines(text: str) -> dict | None:
+    """Last parseable JSON line carrying the bench headline contract."""
+    for line in reversed(text.strip().splitlines()):
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            obj = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(obj, dict) and "queries" in obj and "value" in obj:
+            return obj
+    return None
+
+
+def load_bench(path: Path) -> dict:
+    """Normalize a bench artifact to {label, value, queries, telemetry}.
+
+    Accepts the driver's BENCH_r*.json wrapper OR a raw bench.py stdout
+    capture. Returns ``{"ok": False, "why": ...}`` when no headline can
+    be recovered (r6's wrapper has ``parsed: null`` and a tail whose
+    merged detail+headline line was cut mid-object — skipped with a
+    note, exactly what the judges did by hand).
+    """
+    text = path.read_text()
+    label = path.name
+    try:
+        wrapper = json.loads(text)
+    except json.JSONDecodeError:
+        wrapper = None
+    if isinstance(wrapper, dict) and "tail" in wrapper:
+        headline = wrapper.get("parsed") or _headline_from_lines(
+            wrapper.get("tail") or ""
+        )
+        telemetry = _telemetry_from_tail(wrapper.get("tail") or "")
+    elif isinstance(wrapper, dict) and "queries" in wrapper:
+        headline, telemetry = wrapper, None
+    else:
+        headline = _headline_from_lines(text)
+        telemetry = _telemetry_from_tail(text)
+    if not headline or not isinstance(headline.get("queries"), dict):
+        return {"ok": False, "label": label, "why": "no parseable headline"}
+    return {
+        "ok": True,
+        "label": label,
+        "value": float(headline["value"]),
+        "queries": {k: float(v) for k, v in headline["queries"].items()},
+        "telemetry": telemetry,
+    }
+
+
+def evaluate(
+    history: list[dict], target: dict, ratio: float, band: float
+) -> dict:
+    """Apply the 2x-vs-best-ever and same-suite total-band checks."""
+    best: dict[str, tuple[float, str]] = {}
+    for run in history + [target]:
+        for name, sec in run["queries"].items():
+            if name not in best or sec < best[name][0]:
+                best[name] = (sec, run["label"])
+    flagged_queries = []
+    for name, sec in sorted(target["queries"].items()):
+        b, where = best[name]
+        r = sec / b if b > 0 else 1.0
+        if r > ratio:
+            flagged_queries.append(
+                {"query": name, "sec": sec, "best": b, "best_in": where,
+                 "ratio": round(r, 2)}
+            )
+    suite = set(target["queries"])
+    comparable = [
+        r for r in history
+        if set(r["queries"]) == suite and r["label"] != target["label"]
+    ]
+    total_flag = None
+    if comparable:
+        best_total = min(comparable, key=lambda r: r["value"])
+        delta = target["value"] - best_total["value"]
+        if delta > band:
+            total_flag = {
+                "total": target["value"],
+                "best_total": best_total["value"],
+                "best_in": best_total["label"],
+                "delta": round(delta, 3),
+                "band": band,
+            }
+    return {
+        "flagged_queries": flagged_queries,
+        "total_flag": total_flag,
+        "comparable_rounds": [r["label"] for r in comparable],
+        "max_ratio": max(
+            (
+                round(sec / best[name][0], 2)
+                for name, sec in target["queries"].items()
+                if best[name][0] > 0
+            ),
+            default=0.0,
+        ),
+    }
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("target", nargs="?", default=None,
+                    help="bench artifact to gate (default: newest BENCH_r*)")
+    ap.add_argument("--history-dir", default=str(REPO),
+                    help="directory holding committed BENCH_r*.json")
+    ap.add_argument("--ratio", type=float, default=2.0,
+                    help="per-query flag threshold vs best-ever")
+    ap.add_argument("--band", type=float, default=3.0,
+                    help="total-runtime session noise band, seconds")
+    args = ap.parse_args(argv)
+
+    paths = sorted(Path(args.history_dir).glob("BENCH_r*.json"))
+    target_path = Path(args.target) if args.target else (
+        paths[-1] if paths else None
+    )
+    if target_path is None:
+        print("no BENCH_r*.json history and no target given", file=sys.stderr)
+        return 2
+    target = load_bench(target_path)
+    if not target["ok"]:
+        print(f"target {target['label']}: {target['why']}", file=sys.stderr)
+        return 2
+    history = []
+    for p in paths:
+        if p.resolve() == target_path.resolve():
+            continue
+        run = load_bench(p)
+        if run["ok"]:
+            history.append(run)
+        else:
+            print(f"note: skipping {run['label']} ({run['why']})")
+    verdict = evaluate(history, target, args.ratio, args.band)
+
+    print(f"target: {target['label']}  total={target['value']}s  "
+          f"queries={len(target['queries'])}  history={len(history)} rounds")
+    print(f"max per-query ratio vs best-ever: {verdict['max_ratio']}  "
+          f"(gate: {args.ratio})")
+    for f in verdict["flagged_queries"]:
+        print(f"FLAG query {f['query']}: {f['sec']}s is {f['ratio']}x "
+              f"best-ever {f['best']}s ({f['best_in']})")
+    tf = verdict["total_flag"]
+    if tf:
+        print(f"FLAG total: {tf['total']}s is +{tf['delta']}s over best "
+              f"comparable-suite total {tf['best_total']}s ({tf['best_in']}) "
+              f"— outside the ±{tf['band']}s session band")
+    if verdict["flagged_queries"] or tf:
+        tel = target.get("telemetry")
+        print("telemetry of flagged run: "
+              + (json.dumps(tel) if tel else
+                 "NONE RECORDED (pre-r9 bench.py) — rerun fresh with "
+                 "telemetry and apply the SCALING.md attribution rule"))
+        print("next: SCALING.md attribution protocol — (a) did the code "
+              "change, (b) is the delta outside the query's own spread, "
+              "(c) does it reproduce in a fresh session?")
+        return 1
+    print("clean: no query above the ratio gate, total inside the band")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -38,16 +38,27 @@ WINDOW = 50
 
 
 def _green(row: object) -> bool:
-    """A driver row counts as freshness only if it verified clean."""
+    """A driver row counts as freshness only if it verified clean.
+
+    DEFAULT-DENY (round-9 advice): the row must explicitly carry
+    ``err`` (null), ``rows_match`` is True and ``schema_match`` is True
+    — a truncated/partial future row shape must not count as freshness.
+    ``hash_match`` must be True when present; absent/null is tolerated
+    only because oracle-less rows-only checks have no hash to carry.
+    Every committed CORRECTNESS row to date (r1–r9, 450 rows) has the
+    full 6-key shape, so the hardening changes no historical result
+    (pinned by test_rotate_front_reproduces_r8_front).
+    """
     if not isinstance(row, dict):
         return False
-    if row.get("err") is not None:
+    if "err" not in row or row["err"] is not None:
         return False
-    if row.get("rows_match") is False or row.get("schema_match") is False:
+    if row.get("rows_match") is not True:
+        return False
+    if row.get("schema_match") is not True:
         return False
     hm = row.get("hash_match")
-    # Oracle rows carry a boolean hash_match; rows-only rows may omit it.
-    return hm is True or (hm is None and row.get("rows_match") is True)
+    return hm is True or hm is None
 
 
 def main() -> None:
@@ -59,7 +70,18 @@ def main() -> None:
             for name, row in json.load(f).items():
                 if _green(row):
                     last[name] = max(last.get(name, 0), rnd)
-    reg_order = {n: i for i, n in enumerate(registry.registration_order())}
+    frozen = registry.frozen_registration_order()
+    if frozen is None:
+        print("# NOTE: REGISTRATION_ORDER.txt absent — tie-break from live "
+              "import order (fresh interpreter required)", file=sys.stderr)
+        order_names = registry.registration_order()
+    else:
+        # Committed artifact: auditable from files alone, and immune to
+        # import-order permutation. registration_order() validates live
+        # membership against it, so drift raises rather than skewing.
+        registry.registration_order()
+        order_names = frozen
+    reg_order = {n: i for i, n in enumerate(order_names)}
     oracles = registry.oracle_sql()
     oracle_names = [n for n in reg_order if n in oracles]
     unsampled = [n for n in oracle_names if n not in last]
