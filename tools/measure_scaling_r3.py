@@ -12,15 +12,20 @@ each timing is the second consecutive run. Usage:
 from __future__ import annotations
 
 import os
-import string
 import sys
-import time
 
 sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent))
 
 from pyspark.sql import functions as F  # noqa: E402
 
 from orchestrated_etl_spark.session import get_spark  # noqa: E402
+from scaling_common import (  # noqa: E402
+    grow_permuted_docs,
+    grow_shifted,
+    rot26,
+    steady,
+)
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 
@@ -29,54 +34,21 @@ def scaled_docs(spark, mult: int):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
         "doc_id", "text"
     )
-    n = docs.count()
-    lower = string.ascii_lowercase
-    parts = [docs]
-    for i in range(1, mult):
-        rot = lower[i % 26 :] + lower[: i % 26]
-        parts.append(
-            docs.select(
-                (F.col("doc_id") + i * n).alias("doc_id"),
-                F.translate("text", lower, rot).alias("text"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    # as-run r3 method: rotation perms, id shift i*count.
+    return grow_permuted_docs(docs, mult, rot26, id_shift=docs.count())
 
 
 def scaled_events(spark, mult: int):
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    shift = ev.agg(F.max("user_id")).collect()[0][0] + 1
-    parts = [ev]
-    for i in range(1, mult):
-        parts.append(ev.withColumn("user_id", F.col("user_id") + i * shift))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    return grow_shifted(ev, mult, ["user_id"])
 
 
 def scaled_embeddings(spark, mult: int):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    n = emb.count()
-    parts = [emb]
-    for i in range(1, mult):
-        # id-shift only: same vector distribution, disjoint ids — clusters
-        # genuinely grow, so within-cluster pair work genuinely grows.
-        parts.append(emb.withColumn("vec_id", F.col("vec_id") + i * n))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
-
-
-def steady(fn):
-    fn()
-    t0 = time.time()
-    fn()
-    return time.time() - t0
+    # id-shift only: same vector distribution, disjoint ids — clusters
+    # genuinely grow, so within-cluster pair work genuinely grows.
+    # (as-run r3 shift: i*count.)
+    return grow_shifted(emb, mult, ["vec_id"], shifts={"vec_id": emb.count()})
 
 
 def main():

@@ -17,13 +17,14 @@ Usage: python tools/measure_scaling_r4.py [sf_dir]
 from __future__ import annotations
 
 import sys
-import time
 
 sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent))
 
 from pyspark.sql import functions as F  # noqa: E402
 
 from orchestrated_etl_spark.session import get_spark  # noqa: E402
+from scaling_common import grow_shifted, steady  # noqa: E402
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 
@@ -32,35 +33,14 @@ def scaled_lineitem(spark, mult: int):
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
         "l_orderkey", "l_partkey"
     )
-    shift = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
-    parts = [li]
-    for i in range(1, mult):
-        parts.append(
-            li.withColumn("l_orderkey", F.col("l_orderkey") + i * shift)
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    # order-shifted copies over the SAME part space (density growth —
+    # the round-4 method; NOT the disjoint-component r6+ variant).
+    return grow_shifted(li, mult, ["l_orderkey"])
 
 
 def scaled_events(spark, mult: int):
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    shift = ev.agg(F.max("user_id")).collect()[0][0] + 1
-    parts = [ev]
-    for i in range(1, mult):
-        parts.append(ev.withColumn("user_id", F.col("user_id") + i * shift))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
-
-
-def steady(fn):
-    fn()
-    t0 = time.time()
-    fn()
-    return time.time() - t0
+    return grow_shifted(ev, mult, ["user_id"])
 
 
 def main():

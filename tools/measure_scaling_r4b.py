@@ -14,17 +14,22 @@ Usage: python tools/measure_scaling_r4b.py [sf_dir]
 
 from __future__ import annotations
 
-import shutil
-import string
 import sys
-import tempfile
-import time
 
 sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent))
 
 from pyspark.sql import functions as F  # noqa: E402
 
 from orchestrated_etl_spark.session import get_spark  # noqa: E402
+from scaling_common import (  # noqa: E402
+    grow_permuted_docs,
+    grow_shifted,
+    rot26,
+    stage_parquet,
+    staged_tmpdir,
+    steady,
+)
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 
@@ -32,25 +37,12 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 def write_scaled_docs(spark, mult: int, out_dir: str) -> int:
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     n = docs.count()
-    lower = string.ascii_lowercase
-    parts = [docs]
-    for i in range(1, mult):
-        rot = lower[i % 26 :] + lower[: i % 26]
-        parts.append(
-            docs.select(
-                (F.col("doc_id") + i * n).alias("doc_id"),
-                F.translate("text", lower, rot).alias("text"),
-                "lang",
-                "source",
-                "n_chars",
-            )
-        )
-    grown = parts[0]
-    for p in parts[1:]:
-        grown = grown.unionByName(p)
-    grown.repartition(32).write.mode("overwrite").parquet(
-        f"{out_dir}/documents.parquet"
+    # as-run r4b method: rotation perms, id shift i*count (== max+1 on
+    # the dense fixture ids).
+    grown = grow_permuted_docs(
+        docs, mult, rot26, keep=("lang", "source", "n_chars"), id_shift=n
     )
+    stage_parquet(grown, f"{out_dir}/documents.parquet")
     return n * mult
 
 
@@ -58,31 +50,18 @@ def write_scaled_lineitem(spark, mult: int, out_dir: str) -> int:
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
         "l_orderkey", "l_partkey", "l_shipdate"
     )
-    n_keys = li.agg(F.max("l_partkey")).collect()[0][0]
     n = li.count()
-    parts = [li]
-    for i in range(1, mult):
-        parts.append(
-            li.select(
-                "l_orderkey",
-                (F.col("l_partkey") + i * n_keys).alias("l_partkey"),
-                "l_shipdate",
-            )
-        )
-    grown = parts[0]
-    for p in parts[1:]:
-        grown = grown.unionByName(p)
-    grown.repartition(32).write.mode("overwrite").parquet(
-        f"{out_dir}/lineitem.parquet"
+    # as-run r4b method: l_partkey shifted by i*max (NOT max+1 — the
+    # distinct-domain growth the bitmap/count-min points were published
+    # with; kept bit-identical for reproducibility).
+    grown = grow_shifted(
+        li,
+        mult,
+        ["l_partkey"],
+        shifts={"l_partkey": li.agg(F.max("l_partkey")).collect()[0][0]},
     )
+    stage_parquet(grown, f"{out_dir}/lineitem.parquet")
     return n * mult
-
-
-def steady(fn) -> float:
-    fn()
-    t = time.time()
-    fn()
-    return time.time() - t
 
 
 def main() -> None:
@@ -94,8 +73,7 @@ def main() -> None:
 
     spark = get_spark()
     for mult in (1, 5, 20):
-        tmp = tempfile.mkdtemp(prefix=f"r4b_scale_{mult}_")
-        try:
+        with staged_tmpdir(f"r4b_scale_{mult}_") as tmp:
             n_docs = write_scaled_docs(spark, mult, tmp)
             dt = steady(lambda: _cdc_chunks(spark, tmp).count())
             print(f"dedup_cdc_chunks mult={mult} docs={n_docs}: {dt:.2f}s",
@@ -107,8 +85,6 @@ def main() -> None:
             dt = steady(lambda: _countmin_estimate(spark, tmp).count())
             print(f"agg_countmin_sketch mult={mult} rows={n_rows}: "
                   f"{dt:.2f}s", flush=True)
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

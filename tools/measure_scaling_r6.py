@@ -18,17 +18,20 @@ Usage: SPARK_GRAFT_DRIVER_MEM=16g python tools/measure_scaling_r6.py [sf_dir]
 
 from __future__ import annotations
 
-import shutil
-import string
 import sys
-import tempfile
-import time
 
 sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
-
-from pyspark.sql import functions as F  # noqa: E402
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent))
 
 from orchestrated_etl_spark.session import get_spark  # noqa: E402
+from scaling_common import (  # noqa: E402
+    grow_permuted_docs,
+    grow_shifted,
+    rot26,
+    stage_parquet,
+    staged_tmpdir,
+    steady,
+)
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 
@@ -36,58 +39,30 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 def write_scaled_docs(spark, mult: int, out_dir: str) -> int:
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     n = docs.count()
-    lower = string.ascii_lowercase
-    parts = [docs]
-    for i in range(1, mult):
-        rot = lower[i % 26 :] + lower[: i % 26]
-        parts.append(
-            docs.select(
-                (F.col("doc_id") + i * n).alias("doc_id"),
-                F.translate("text", lower, rot).alias("text"),
-                "lang",
-                "source",
-                "n_chars",
-            )
-        )
-    grown = parts[0]
-    for p in parts[1:]:
-        grown = grown.unionByName(p)
-    grown.repartition(32).write.mode("overwrite").parquet(
-        f"{out_dir}/documents.parquet"
+    # as-run r6 method: rotation perms, id shift i*count (== max+1 on
+    # the dense fixture ids).
+    grown = grow_permuted_docs(
+        docs, mult, rot26, keep=("lang", "source", "n_chars"), id_shift=n
     )
+    stage_parquet(grown, f"{out_dir}/documents.parquet")
     return n * mult
 
 
 def write_scaled_events(spark, mult: int, out_dir: str) -> int:
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     n = ev.count()
-    shift = (ev.agg(F.max("user_id")).collect()[0][0] or 0) + 1
-    parts = [ev]
-    for i in range(1, mult):
-        parts.append(
-            ev.select(
-                (F.col("event_id") + i * n).alias("event_id"),
-                "ts",
-                (F.col("user_id") + i * shift).alias("user_id"),
-                "event_type",
-                "value",
-                "props",
-            )
-        )
-    grown = parts[0]
-    for p in parts[1:]:
-        grown = grown.unionByName(p)
-    grown.repartition(32).write.mode("overwrite").parquet(
-        f"{out_dir}/events.parquet"
+    # as-run r6 method: event_id shifted by i*count, user_id by max+1.
+    grown = grow_shifted(
+        ev,
+        mult,
+        ["event_id", "user_id"],
+        shifts={
+            "event_id": n,
+            "user_id": (ev.agg({"user_id": "max"}).collect()[0][0] or 0) + 1,
+        },
     )
+    stage_parquet(grown, f"{out_dir}/events.parquet")
     return n * mult
-
-
-def steady(fn) -> float:
-    fn()
-    t = time.time()
-    fn()
-    return time.time() - t
 
 
 def main() -> None:
@@ -100,8 +75,7 @@ def main() -> None:
 
     spark = get_spark()
     for mult in (1, 5, 20):
-        tmp = tempfile.mkdtemp(prefix=f"r6_scale_{mult}_")
-        try:
+        with staged_tmpdir(f"r6_scale_{mult}_") as tmp:
             n_docs = write_scaled_docs(spark, mult, tmp)
             for label, fn in (
                 ("sample_weighted_deterministic", _sample_weighted),
@@ -115,8 +89,6 @@ def main() -> None:
             dt = steady(lambda: _pareto_8020(spark, tmp).count())
             print(f"events_pareto_8020 mult={mult} events={n_ev}: {dt:.2f}s",
                   flush=True)
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -21,46 +21,19 @@ Usage: SPARK_GRAFT_DRIVER_MEM=16g python tools/measure_scaling_r6_graph.py [sf_d
 
 from __future__ import annotations
 
-import shutil
 import sys
-import tempfile
-import time
 
 sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
-
-from pyspark.sql import functions as F  # noqa: E402
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent))
 
 from orchestrated_etl_spark.session import get_spark  # noqa: E402
+from scaling_common import (  # noqa: E402
+    staged_tmpdir,
+    steady,
+    write_scaled_lineitem_disjoint,
+)
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-
-
-def write_scaled_lineitem_disjoint(spark, mult: int, out_dir: str) -> int:
-    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
-    n = li.count()
-    okey_shift = (li.agg(F.max("l_orderkey")).collect()[0][0] or 0) + 1
-    pkey_shift = (li.agg(F.max("l_partkey")).collect()[0][0] or 0) + 1
-    parts = [li]
-    for i in range(1, mult):
-        parts.append(
-            li.withColumn(
-                "l_orderkey", F.col("l_orderkey") + i * okey_shift
-            ).withColumn("l_partkey", F.col("l_partkey") + i * pkey_shift)
-        )
-    grown = parts[0]
-    for p in parts[1:]:
-        grown = grown.unionByName(p)
-    grown.repartition(32).write.mode("overwrite").parquet(
-        f"{out_dir}/lineitem.parquet"
-    )
-    return n * mult
-
-
-def steady(fn) -> float:
-    fn()
-    t = time.time()
-    fn()
-    return time.time() - t
 
 
 def main() -> None:
@@ -73,9 +46,8 @@ def main() -> None:
 
     spark = get_spark()
     for mult in (1, 5, 20):
-        tmp = tempfile.mkdtemp(prefix=f"r6g_scale_{mult}_")
-        try:
-            n_rows = write_scaled_lineitem_disjoint(spark, mult, tmp)
+        with staged_tmpdir(f"r6g_scale_{mult}_") as tmp:
+            n_rows = write_scaled_lineitem_disjoint(spark, SF_DIR, mult, tmp)
             for label, fn in (
                 ("graph_clustering_coefficient", _clustering_coefficient),
                 ("graph_hits_2iter", _hits_2iter),
@@ -87,8 +59,6 @@ def main() -> None:
                     f"{label} mult={mult} lineitem_rows={n_rows}: {dt:.2f}s",
                     flush=True,
                 )
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -27,12 +27,12 @@ Usage: SPARK_GRAFT_DRIVER_MEM=16g python tools/measure_scaling_r8.py [sf_dir]
 
 from __future__ import annotations
 
-import shutil
 import sys
-import tempfile
-import time
 
 sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent))
+
+import time  # noqa: E402
 
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -42,29 +42,18 @@ from orchestrated_etl_spark.functions.graph import (  # noqa: E402
     undirect,
 )
 from orchestrated_etl_spark.session import get_spark  # noqa: E402
+from scaling_common import (  # noqa: E402
+    scaled_docs_idshift,
+    staged_tmpdir,
+    steady,
+    write_scaled_lineitem_disjoint,
+)
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 
 
-def steady(fn) -> float:
-    fn()
-    t = time.time()
-    fn()
-    return time.time() - t
-
-
 def scaled_docs(spark, mult: int):
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
-        "doc_id", "text"
-    )
-    shift = (docs.agg(F.max("doc_id")).collect()[0][0] or 0) + 1
-    parts = [docs]
-    for i in range(1, mult):
-        parts.append(docs.withColumn("doc_id", F.col("doc_id") + i * shift))
-    grown = parts[0]
-    for p in parts[1:]:
-        grown = grown.unionByName(p)
-    return grown
+    return scaled_docs_idshift(spark, SF_DIR, mult)
 
 
 def measure_minhash(spark) -> None:
@@ -88,35 +77,13 @@ def measure_minhash(spark) -> None:
         docs.unpersist()
 
 
-def write_scaled_lineitem_disjoint(spark, mult: int, out_dir: str) -> int:
-    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
-    n = li.count()
-    okey_shift = (li.agg(F.max("l_orderkey")).collect()[0][0] or 0) + 1
-    pkey_shift = (li.agg(F.max("l_partkey")).collect()[0][0] or 0) + 1
-    parts = [li]
-    for i in range(1, mult):
-        parts.append(
-            li.withColumn(
-                "l_orderkey", F.col("l_orderkey") + i * okey_shift
-            ).withColumn("l_partkey", F.col("l_partkey") + i * pkey_shift)
-        )
-    grown = parts[0]
-    for p in parts[1:]:
-        grown = grown.unionByName(p)
-    grown.repartition(32).write.mode("overwrite").parquet(
-        f"{out_dir}/lineitem.parquet"
-    )
-    return n * mult
-
-
 def measure_bfs(spark) -> None:
     print("== graph_bfs_frontier core, disjoint component growth ==")
     from orchestrated_etl_spark.functions.graph import copurchase_edges
 
     for mult in (1, 20, 50):
-        tmp = tempfile.mkdtemp(prefix=f"r8_bfs_{mult}_")
-        try:
-            n_rows = write_scaled_lineitem_disjoint(spark, mult, tmp)
+        with staged_tmpdir(f"r8_bfs_{mult}_") as tmp:
+            n_rows = write_scaled_lineitem_disjoint(spark, SF_DIR, mult, tmp)
             t0 = time.time()
             edges = copurchase_edges(
                 spark, tmp, min_weight=1
@@ -141,8 +108,6 @@ def measure_bfs(spark) -> None:
             )
             edges.unpersist()
             u.unpersist()
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main() -> None:

@@ -44,12 +44,12 @@ explicit family selection so committed numbers were never re-timed.)
 
 from __future__ import annotations
 
-import shutil
 import sys
-import tempfile
-import time
 
 sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent))
+
+import time  # noqa: E402
 
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -62,58 +62,29 @@ from orchestrated_etl_spark.queries.llm_search_quality import (  # noqa: E402
     build_bm25_index,
 )
 from orchestrated_etl_spark.session import get_spark  # noqa: E402
+from scaling_common import (  # noqa: E402
+    dihedral52,
+    grow_permuted_docs,
+    grow_shifted,
+    scaled_docs_idshift,
+    stage_parquet,
+    staged_tmpdir,
+    steady,
+    write_scaled_lineitem_disjoint,
+)
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 
 
-def steady(fn) -> float:
-    fn()
-    t = time.time()
-    fn()
-    return time.time() - t
-
-
 def scaled_docs(spark, mult: int):
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
-        "doc_id", "text"
-    )
-    shift = (docs.agg(F.max("doc_id")).collect()[0][0] or 0) + 1
-    parts = [docs]
-    for i in range(1, mult):
-        parts.append(docs.withColumn("doc_id", F.col("doc_id") + i * shift))
-    grown = parts[0]
-    for p in parts[1:]:
-        grown = grown.unionByName(p)
-    return grown
-
-
-def write_scaled_lineitem_disjoint(spark, mult: int, out_dir: str) -> int:
-    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
-    n = li.count()
-    okey_shift = (li.agg(F.max("l_orderkey")).collect()[0][0] or 0) + 1
-    pkey_shift = (li.agg(F.max("l_partkey")).collect()[0][0] or 0) + 1
-    parts = [li]
-    for i in range(1, mult):
-        parts.append(
-            li.withColumn(
-                "l_orderkey", F.col("l_orderkey") + i * okey_shift
-            ).withColumn("l_partkey", F.col("l_partkey") + i * pkey_shift)
-        )
-    grown = parts[0]
-    for p in parts[1:]:
-        grown = grown.unionByName(p)
-    grown.repartition(32).write.mode("overwrite").parquet(
-        f"{out_dir}/lineitem.parquet"
-    )
-    return n * mult
+    return scaled_docs_idshift(spark, SF_DIR, mult)
 
 
 def measure_pagerank(spark) -> None:
     print("== graph_pagerank core, disjoint component growth ==")
     for mult in (1, 20, 50):
-        tmp = tempfile.mkdtemp(prefix=f"r9_pr_{mult}_")
-        try:
-            n_rows = write_scaled_lineitem_disjoint(spark, mult, tmp)
+        with staged_tmpdir(f"r9_pr_{mult}_") as tmp:
+            n_rows = write_scaled_lineitem_disjoint(spark, SF_DIR, mult, tmp)
             t0 = time.time()
             edges = copurchase_edges(
                 spark, tmp, min_weight=2
@@ -129,8 +100,6 @@ def measure_pagerank(spark) -> None:
                 flush=True,
             )
             edges.unpersist()
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
 
 
 def measure_bm25(spark) -> None:
@@ -170,15 +139,9 @@ def measure_ivf(spark) -> None:
         eager=True
     )
     for mult in (1, 20, 50):
-        parts = [base]
-        for i in range(1, mult):
-            parts.append(
-                base.withColumn("vec_id", F.col("vec_id") + i * shift)
-            )
-        grown = parts[0]
-        for p in parts[1:]:
-            grown = grown.unionByName(p)
-        corpus = grown.localCheckpoint(eager=True)
+        corpus = grow_shifted(
+            base, mult, ["vec_id"], shifts={"vec_id": shift}
+        ).localCheckpoint(eager=True)
         nv = corpus.count()
         t_build = steady(
             lambda: SIM.assign_to_centroids(
@@ -220,31 +183,23 @@ def measure_dq(spark) -> None:
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     okey_shift = (orders.agg(F.max("o_orderkey")).collect()[0][0] or 0) + 1
     for mult in (1, 20, 50):
-        tmp = tempfile.mkdtemp(prefix=f"r9_dq_{mult}_")
-        try:
+        with staged_tmpdir(f"r9_dq_{mult}_") as tmp:
             for name, df, key in (
                 ("lineitem", li, "l_orderkey"),
                 ("orders", orders, "o_orderkey"),
             ):
-                parts = [df]
-                for i in range(1, mult):
-                    parts.append(
-                        df.withColumn(key, F.col(key) + i * okey_shift)
-                    )
-                grown = parts[0]
-                for p in parts[1:]:
-                    grown = grown.unionByName(p)
-                grown.repartition(32).write.mode("overwrite").parquet(
-                    f"{tmp}/{name}.parquet"
+                # SAME shift for both tables so the lineitem->orders FK
+                # stays valid across copies.
+                grown = grow_shifted(
+                    df, mult, [key], shifts={key: okey_shift}
                 )
+                stage_parquet(grown, f"{tmp}/{name}.parquet")
             for name in ("customer", "nation"):
                 spark.read.parquet(f"{SF_DIR}/{name}.parquet").write.mode(
                     "overwrite"
                 ).parquet(f"{tmp}/{name}.parquet")
             t = steady(lambda: _dq_constraint_audit(spark, tmp).count())
             print(f"mult={mult}: audit={t:.2f}s", flush=True)
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
 
 
 def measure_sessionize(spark) -> None:
@@ -256,29 +211,13 @@ def measure_sessionize(spark) -> None:
     from orchestrated_etl_spark.queries.scale_ops import _sessionize
 
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    u_shift = (ev.agg(F.max("user_id")).collect()[0][0] or 0) + 1
-    e_shift = (ev.agg(F.max("event_id")).collect()[0][0] or 0) + 1
     for mult in (1, 20, 50):
-        tmp = tempfile.mkdtemp(prefix=f"r9_sess_{mult}_")
-        try:
-            parts = [ev]
-            for i in range(1, mult):
-                parts.append(
-                    ev.withColumn(
-                        "user_id", F.col("user_id") + i * u_shift
-                    ).withColumn("event_id", F.col("event_id") + i * e_shift)
-                )
-            grown = parts[0]
-            for p in parts[1:]:
-                grown = grown.unionByName(p)
-            grown.repartition(32).write.mode("overwrite").parquet(
-                f"{tmp}/events.parquet"
-            )
+        with staged_tmpdir(f"r9_sess_{mult}_") as tmp:
+            grown = grow_shifted(ev, mult, ["user_id", "event_id"])
+            stage_parquet(grown, f"{tmp}/events.parquet")
             n = grown.count()
             t = steady(lambda: _sessionize(spark, tmp).count())
             print(f"events={n} mult={mult}: sessionize={t:.2f}s", flush=True)
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
 
 
 def measure_cdc(spark) -> None:
@@ -289,43 +228,22 @@ def measure_cdc(spark) -> None:
     rotation — the dihedral family, 52 distinct permutations, enough
     for 50×."""
     print("== dedup_cdc_chunks, permutation-grown disjoint content ==")
-    import string
-
     from orchestrated_etl_spark.queries.wave15_round4 import _cdc_chunks
 
-    lower = string.ascii_lowercase
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     n = docs.count()
-
-    def perm(i: int) -> str:
-        base = lower[::-1] if i >= 26 else lower
-        k = i % 26
-        return base[k:] + base[:k]
-
+    # id shift is max(doc_id)+1 (scaling_common default) as of round 10
+    # — the as-run r9 points shifted by i*count(), identical on this
+    # fixture's dense 0..n-1 ids but a collision hazard on sparse ids
+    # (the r9 advice item); the committed numbers are unaffected.
     for mult in (1, 20, 50):
-        tmp = tempfile.mkdtemp(prefix=f"r9_cdc_{mult}_")
-        try:
-            parts = [docs]
-            for i in range(1, mult):
-                parts.append(
-                    docs.select(
-                        (F.col("doc_id") + i * n).alias("doc_id"),
-                        F.translate("text", lower, perm(i)).alias("text"),
-                        "lang",
-                        "source",
-                        "n_chars",
-                    )
-                )
-            grown = parts[0]
-            for p in parts[1:]:
-                grown = grown.unionByName(p)
-            grown.repartition(32).write.mode("overwrite").parquet(
-                f"{tmp}/documents.parquet"
+        with staged_tmpdir(f"r9_cdc_{mult}_") as tmp:
+            grown = grow_permuted_docs(
+                docs, mult, dihedral52, keep=("lang", "source", "n_chars")
             )
+            stage_parquet(grown, f"{tmp}/documents.parquet")
             t = steady(lambda: _cdc_chunks(spark, tmp).count())
             print(f"docs={n * mult} mult={mult}: cdc={t:.2f}s", flush=True)
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
 
 
 def measure_rfm(spark) -> None:
@@ -345,15 +263,9 @@ def measure_rfm(spark) -> None:
     ev_base = spark.read.parquet(f"{SF_DIR}/events.parquet")
     shift = (ev_base.agg(F.max("user_id")).collect()[0][0] or 0) + 1
     for mult in (1, 20, 50, 100):
-        parts = [ev_base]
-        for i in range(1, mult):
-            parts.append(
-                ev_base.withColumn("user_id", F.col("user_id") + i * shift)
-            )
-        grown = parts[0]
-        for p in parts[1:]:
-            grown = grown.unionByName(p)
-        ev = grown.localCheckpoint(eager=True)
+        ev = grow_shifted(
+            ev_base, mult, ["user_id"], shifts={"user_id": shift}
+        ).localCheckpoint(eager=True)
         ne = ev.count()
         t_ntile = steady(lambda: rfm_ntile_core(ev).count())
         t_cut = steady(lambda: rfm_cutoff_core(ev).count())
@@ -381,24 +293,10 @@ def measure_events_seq(spark) -> None:
     )
 
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    u_shift = (ev.agg(F.max("user_id")).collect()[0][0] or 0) + 1
-    e_shift = (ev.agg(F.max("event_id")).collect()[0][0] or 0) + 1
     for mult in (1, 20, 50):
-        tmp = tempfile.mkdtemp(prefix=f"r9_evseq_{mult}_")
-        try:
-            parts = [ev]
-            for i in range(1, mult):
-                parts.append(
-                    ev.withColumn(
-                        "user_id", F.col("user_id") + i * u_shift
-                    ).withColumn("event_id", F.col("event_id") + i * e_shift)
-                )
-            grown = parts[0]
-            for p in parts[1:]:
-                grown = grown.unionByName(p)
-            grown.repartition(32).write.mode("overwrite").parquet(
-                f"{tmp}/events.parquet"
-            )
+        with staged_tmpdir(f"r9_evseq_{mult}_") as tmp:
+            grown = grow_shifted(ev, mult, ["user_id", "event_id"])
+            stage_parquet(grown, f"{tmp}/events.parquet")
             n = grown.count()
             t_cep = steady(lambda: _cep_conversion(spark, tmp).count())
             t_attr = steady(lambda: _attribution_linear(spark, tmp).count())
@@ -407,8 +305,6 @@ def measure_events_seq(spark) -> None:
                 f"attribution={t_attr:.2f}s",
                 flush=True,
             )
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
 
 
 def measure_sq8(spark) -> None:
@@ -430,15 +326,9 @@ def measure_sq8(spark) -> None:
         (SF.col("vec_id") % 25 == 0) & (SF.col("vec_id") < 500)
     ).localCheckpoint(eager=True)
     for mult in (1, 20, 50):
-        parts = [base]
-        for i in range(1, mult):
-            parts.append(
-                base.withColumn("vec_id", F.col("vec_id") + i * shift)
-            )
-        grown = parts[0]
-        for p in parts[1:]:
-            grown = grown.unionByName(p)
-        corpus = grown.localCheckpoint(eager=True)
+        corpus = grow_shifted(
+            base, mult, ["vec_id"], shifts={"vec_id": shift}
+        ).localCheckpoint(eager=True)
         nv = corpus.count()
         t_sq8 = steady(
             lambda: SIM.sq8_topk(
