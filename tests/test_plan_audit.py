@@ -330,6 +330,42 @@ print(chr(10).join(registry.registration_order()))
     )
 
 
+def test_rotate_front_reproduces_shipped_r10_front():
+    """The SHIPPED round-10 `_FRONT` must equal the stalest-50
+    recomputation from the committed CORRECTNESS_r01–r09 files — the
+    exact check each round's judge performs by hand, made a gate. Uses
+    the frozen REGISTRATION_ORDER.txt for the tie-break (what
+    rotate_front.py reads), so this runs correctly even under pytest's
+    permuted import order — no subprocess needed."""
+    import json
+
+    from rotate_front import _green
+
+    from orchestrated_etl_spark import registry
+
+    last: dict[str, int] = {}
+    paths = sorted(REPO.glob("CORRECTNESS_r*.json"))
+    assert len(paths) >= 9, "committed correctness history missing"
+    for path in paths:
+        rnd = int(path.name.rsplit("_r", 1)[1].split(".")[0])
+        if rnd > 9:
+            continue  # pin to the inputs the r10 rotation was computed from
+        for name, row in json.load(open(path)).items():
+            if _green(row):
+                last[name] = max(last.get(name, 0), rnd)
+    frozen = registry.frozen_registration_order()
+    assert frozen is not None
+    reg_order = {n: i for i, n in enumerate(frozen)}
+    oracles = set(registry.oracle_sql())
+    oracle_names = [n for n in reg_order if n in oracles]
+    stale = sorted(
+        oracle_names, key=lambda n: (last.get(n, 0), reg_order[n])
+    )[:50]
+    assert stale == registry._FRONT, (
+        "shipped _FRONT is not the stalest-50 from committed history"
+    )
+
+
 def test_rotate_front_reproduces_r8_front():
     """Recomputing the stalest-50 from the committed CORRECTNESS_r01–r07
     files must reproduce the round-8 shipped `_FRONT` bit-for-bit (the
