@@ -159,19 +159,36 @@ def _sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     the estimators' DOCUMENTED ERROR BOUNDS instead of the estimates:
     Spark emits per-group booleans — HLL++ estimate within 3·rsd of the
     exact distinct count; percentile_approx(accuracy=10000) result
-    between the exact quantiles at rank 0.5 ± 1/accuracy·3 — alongside
-    the exact count. The DuckDB oracle computes the same group keys and
-    counts and asserts the booleans are all true, making "sketches meet
-    their contract" a driver-hash-verified claim rather than a rows-only
-    smoke check."""
+    between the exact DISCRETE quantiles at rank 0.5 ± 3/accuracy —
+    alongside the exact count. The DuckDB oracle computes the same group
+    keys and counts and asserts the booleans are all true, making
+    "sketches meet their contract" a driver-hash-verified claim rather
+    than a rows-only smoke check.
+
+    The rank bounds use percentile_disc (order statistics), NOT the
+    interpolating percentile(): the GK sketch's guarantee is that the
+    returned value is an ACTUAL ELEMENT whose rank is within ε·n of the
+    target, while cont-interpolation at 0.5±ε collapses to a hair-thin
+    interval strictly between the two middle order statistics at small
+    even n — the returned (discrete) median then sits legitimately
+    outside it. Found by the round-10 sf0.001 sweep (group O, n=514:
+    pmed 256060.74 < interpolated qlo 256258.53 while the rank
+    guarantee held); green at the driver's sf0.01 only because larger
+    groups put interpolated neighbors inside the widened interval."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     eps = 3.0 / 10000  # 3× the documented rank-error bound
     return orders.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("_hll"),
         F.count_distinct("o_custkey").alias("_exact_d"),
         F.expr("percentile_approx(o_totalprice, 0.5, 10000)").alias("_pmed"),
-        F.expr(f"percentile(o_totalprice, {0.5 - eps})").alias("_qlo"),
-        F.expr(f"percentile(o_totalprice, {0.5 + eps})").alias("_qhi"),
+        F.expr(
+            f"percentile_disc({0.5 - eps}) WITHIN GROUP "
+            "(ORDER BY o_totalprice)"
+        ).alias("_qlo"),
+        F.expr(
+            f"percentile_disc({0.5 + eps}) WITHIN GROUP "
+            "(ORDER BY o_totalprice)"
+        ).alias("_qhi"),
         F.count(F.lit(1)).alias("n"),
     ).select(
         "o_orderstatus",
