@@ -253,7 +253,10 @@ def _stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy(
         F.col("p_id").alias("event_id"),
         F.col("p_user").alias("user_id"),
-        F.col("p_ts").alias("ts"),
+        # NTZ wall-clock output (the session tz is UTC — pinned by
+        # read_events_stream above): LTZ values collect through the
+        # Python process timezone, shifting under a non-UTC host TZ.
+        F.col("p_ts").cast("timestamp_ntz").alias("ts"),
     ).agg(F.count(F.lit(1)).alias("clicks_1h"))
 
 
@@ -576,8 +579,13 @@ def _stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             target
         )
 
+    # ts declared TIMESTAMP_NTZ: the feed was written from the NTZ batch
+    # reader, no watermark is involved (foreachBatch), and NTZ stays the
+    # same wall clock on any host — an LTZ declaration here rendered the
+    # output through the Python process timezone at collect time
+    # (round-10 TZ-sweep finding).
     feed = spark.readStream.schema(
-        "event_id long, user_id long, ts timestamp, value double"
+        "event_id long, user_id long, ts timestamp_ntz, value double"
     ).option("maxFilesPerTrigger", 2).parquet(src)
     q = (
         feed.writeStream.foreachBatch(apply_batch)
@@ -695,6 +703,13 @@ def _tumbling_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(src)
     )
+    # The feed must be LTZ (withWatermark rejects NTZ), so window
+    # boundary computation depends on the session timezone — pin it to
+    # UTC exactly as read_events_stream does for the single-file twin
+    # (under a non-UTC host TZ, daily windows would otherwise align to
+    # local midnights; round-10 TZ-sweep finding). The helper returns
+    # the bounds as NTZ wall clock.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     feed = spark.readStream.schema(
         "event_id long, user_id long, ts timestamp, "
         "event_type string, value double"

@@ -32,9 +32,21 @@ def tumbling_counts(
         .groupBy(F.window(ts_col, duration), *group_cols)
         .agg(*aggs)
     )
+    # Output bounds as TIMESTAMP_NTZ (wall clock): the stream column is
+    # LTZ only because withWatermark rejects NTZ, and LTZ values collect
+    # through the PYTHON PROCESS timezone (datetime.fromtimestamp), not
+    # the session timezone — under a non-UTC process TZ the rendered
+    # bounds shift even though the windows are computed correctly in the
+    # UTC session read_events_stream pins (round-10 TZ-sweep finding).
+    # The LTZ->NTZ cast renders via the SESSION timezone (UTC), so the
+    # output is the same wall clock on any host.
     return (
-        out.withColumn("window_start", F.col("window.start"))
-        .withColumn("window_end", F.col("window.end"))
+        out.withColumn(
+            "window_start", F.col("window.start").cast("timestamp_ntz")
+        )
+        .withColumn(
+            "window_end", F.col("window.end").cast("timestamp_ntz")
+        )
         .drop("window")
     )
 
@@ -53,8 +65,10 @@ def sliding_counts(
         .groupBy(F.window(ts_col, duration, slide), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
-            F.col("window.start").alias("window_start"),
-            F.col("window.end").alias("window_end"),
+            # NTZ wall-clock output — see tumbling_counts for the
+            # process-TZ collection hazard this avoids.
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("window.end").cast("timestamp_ntz").alias("window_end"),
             "event_type",
             "n_events",
         )
@@ -83,8 +97,14 @@ def session_windows(
             .alias("sum_value"),
         )
         .select(
-            F.col("session_window.start").alias("session_start"),
-            F.col("session_window.end").alias("session_end"),
+            # NTZ wall-clock output — see tumbling_counts for the
+            # process-TZ collection hazard this avoids.
+            F.col("session_window.start")
+            .cast("timestamp_ntz")
+            .alias("session_start"),
+            F.col("session_window.end")
+            .cast("timestamp_ntz")
+            .alias("session_end"),
             key_col,
             "n_events",
             "sum_value",
