@@ -384,3 +384,39 @@ def test_stream_left_outer_join_semantics(spark, sf_dir):
     cutoff = maxts - datetime.timedelta(hours=2)
     must_emit = {k for k in batch_zero if batch[k] < cutoff}
     assert must_emit <= out_zero
+
+
+def test_stream_outputs_are_timestamp_ntz(spark, sf_dir):
+    """Streaming window/bound outputs must be TIMESTAMP_NTZ (round-10
+    TZ-sweep fix): the stream column is LTZ only because withWatermark
+    rejects NTZ, and LTZ values collect through the PYTHON PROCESS
+    timezone (datetime.fromtimestamp), not the pinned UTC session tz —
+    on a non-UTC host the rendered bounds shift even when the windows
+    are computed correctly. Pinning the output dtypes keeps the fix
+    from regressing without needing to manipulate the host TZ in-test."""
+    ev = read_events_stream(spark, sf_dir)
+    cases = [
+        (W.tumbling_counts(ev, duration="1 day", watermark="1 hour"),
+         ["window_start", "window_end"]),
+        (W.sliding_counts(ev, duration="2 hours", slide="1 hour",
+                          watermark="1 hour"),
+         ["window_start", "window_end"]),
+        (W.session_windows(ev, gap="10 minutes", watermark="1 hour"),
+         ["session_start", "session_end"]),
+    ]
+    for sdf, cols in cases:
+        dtypes = dict(sdf.dtypes)
+        for c in cols:
+            assert dtypes[c] == "timestamp_ntz", (c, dtypes[c])
+    # and the two self-fed batch-equal queries' final relations
+    from orchestrated_etl_spark.queries.streaming_queries import (
+        _stream_cdc_upsert,
+        _stream_stream_join,
+    )
+
+    assert dict(_stream_cdc_upsert(spark, sf_dir).dtypes)["last_ts"] == (
+        "timestamp_ntz"
+    )
+    assert dict(_stream_stream_join(spark, sf_dir).dtypes)["ts"] == (
+        "timestamp_ntz"
+    )
