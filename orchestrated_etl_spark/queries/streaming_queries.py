@@ -579,11 +579,15 @@ def _stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             target
         )
 
-    # ts declared TIMESTAMP_NTZ: the feed was written from the NTZ batch
-    # reader, no watermark is involved (foreachBatch), and NTZ stays the
-    # same wall clock on any host — an LTZ declaration here rendered the
+    # ts declared TIMESTAMP_NTZ: the feed parquet above stores
+    # UTC-normalized micros written from read_events's LTZ batch reader
+    # (timestamp_micros, isAdjustedToUTC); declaring the column NTZ on
+    # read reinterprets those micros as UTC wall clock, independent of
+    # the host/process timezone, and no watermark is involved
+    # (foreachBatch). An LTZ declaration here instead rendered the
     # output through the Python process timezone at collect time
-    # (round-10 TZ-sweep finding).
+    # (round-10 TZ-sweep finding; pinned by
+    # test_stream_outputs_are_timestamp_ntz).
     feed = spark.readStream.schema(
         "event_id long, user_id long, ts timestamp_ntz, value double"
     ).option("maxFilesPerTrigger", 2).parquet(src)

@@ -39,6 +39,25 @@ def test_parser_skips_unparseable_round_gracefully():
     assert "headline" in run["why"]
 
 
+def test_parser_skips_malformed_headline_gracefully(tmp_path):
+    """A wrapper whose parsed dict has "queries" but no numeric "value"
+    (or a non-numeric query timing) must return the same ok:False skip
+    shape as r6 instead of KeyError-ing the whole history iteration
+    (round-10 advice)."""
+    p = tmp_path / "BENCH_noval.json"
+    p.write_text(json.dumps({"parsed": {"queries": {"a": 1.0}},
+                             "tail": ""}))
+    run = load_bench(p)
+    assert not run["ok"] and "value" in run["why"]
+
+    p2 = tmp_path / "BENCH_badq.json"
+    p2.write_text(json.dumps({"parsed": {"value": 1.0,
+                                         "queries": {"a": None}},
+                              "tail": ""}))
+    run2 = load_bench(p2)
+    assert not run2["ok"]
+
+
 def test_parser_reads_raw_bench_stdout(tmp_path):
     """A raw two-line `python bench.py` capture gates the same way, so a
     local pre-ship run can be checked against committed history."""
@@ -62,13 +81,15 @@ def test_evaluate_flags_ratio_and_band():
         {"label": "r1", "value": 10.0,
          "queries": {"a": 4.0, "b": 6.0}, "telemetry": None},
     ]
-    # 'a' regresses past 2x best-ever; total drifts past the band.
+    # 'a' regresses past 2x best-ever; total drifts past the band
+    # (single comparable round: median == that round's total).
     target = {"label": "cand", "value": 14.5,
               "queries": {"a": 8.5, "b": 6.0}, "telemetry": None}
     v = evaluate(history, target, ratio=2.0, band=3.0)
     assert [f["query"] for f in v["flagged_queries"]] == ["a"]
     assert v["flagged_queries"][0]["ratio"] == 2.12
     assert v["total_flag"]["delta"] == 4.5
+    assert v["total_flag"]["median_total"] == 10.0
     # inside both gates -> clean; a differently-shaped suite is not
     # total-comparable (r1 ran 16 headline queries, r4+ run 29).
     ok = {"label": "cand2", "value": 12.0,
@@ -82,15 +103,46 @@ def test_evaluate_flags_ratio_and_band():
     assert v3["total_flag"] is None and v3["comparable_rounds"] == []
 
 
+def test_total_band_anchors_on_median_not_lucky_best():
+    """Round-11 hardening: one lucky idle-machine total (the r4 18.137s
+    analogue) must not permanently consume the band. A target +3.5s over
+    the best but +0.5s over the median of the comparable history gates
+    clean; a target past median+band still flags, with the median
+    reported as the anchor."""
+    mk = lambda lbl, tot: {"label": lbl, "value": tot,  # noqa: E731
+                           "queries": {"a": tot / 2, "b": tot / 2},
+                           "telemetry": None}
+    history = [mk("lucky", 17.0), mk("norm1", 20.0), mk("norm2", 20.5)]
+    noise = mk("noise", 20.5)  # +3.5 over best, +0.5 over median(20.0)
+    v = evaluate(history, noise, ratio=3.0, band=3.0)
+    assert v["total_flag"] is None
+    real = mk("regressed", 23.6)  # +3.6 over median
+    v2 = evaluate(history, real, ratio=3.0, band=3.0)
+    assert v2["total_flag"] is not None
+    assert v2["total_flag"]["median_total"] == 20.0
+    assert v2["total_flag"]["delta"] == 3.6
+    assert v2["total_flag"]["best_total"] == 17.0  # context only
+
+
 def test_cli_committed_history_is_clean_and_injected_regression_flags(
     tmp_path,
 ):
-    """End-to-end: the committed history passes (r9 verdict: max ratio
-    1.34, total inside band), and a synthetic 3x regression on one query
-    exits nonzero with the telemetry printed."""
+    """End-to-end: a KNOWN-CLEAN committed fixture passes, and a
+    synthetic 3x regression on one query exits nonzero with the
+    telemetry printed.
+
+    The clean path is pinned to BENCH_r10.json explicitly — NOT "the
+    newest BENCH_r*" — so a future driver capture landing after ship
+    (r10's did, at loadavg 6.6-8.6) can't turn this suite red before
+    the builder has adjudicated it (round-10 advice). r10 gates clean
+    under the median-anchored band: 21.272s is +0.418s over the 20.854s
+    median comparable total (the old all-time-best anchor flagged it at
+    +3.135s over r4's lucky 18.137s; adjudicated as session noise in
+    SCALING.md's round-10 noise log)."""
     tool = str(REPO / "tools" / "check_bench_gate.py")
-    clean = subprocess.run([sys.executable, tool], capture_output=True,
-                           text=True, timeout=60)
+    clean = subprocess.run(
+        [sys.executable, tool, str(REPO / "BENCH_r10.json")],
+        capture_output=True, text=True, timeout=60)
     assert clean.returncode == 0, clean.stdout + clean.stderr
     assert "clean" in clean.stdout
 

@@ -14,11 +14,16 @@ mechanical and self-contained:
   survives the tail capture);
 - computes each headline query's BEST-EVER time and flags any target
   query above ``--ratio`` (default 2.0) times it;
-- compares the target's total against the best total among rounds with
-  the SAME headline-query set (totals across different suite sizes are
-  not comparable: r1 ran 16 queries, r4+ run 29) and flags a delta
+- compares the target's total against the MEDIAN total among rounds
+  with the SAME headline-query set (totals across different suite sizes
+  are not comparable: r1 ran 16 queries, r4+ run 29) and flags a delta
   beyond ``--band`` seconds (default 3.0 — the session band measured
-  across the r7/r8/r9 noise-log entries in SCALING.md);
+  across the r7/r8/r9 noise-log entries in SCALING.md). The median, not
+  the all-time best: one lucky idle-machine run (r4's 18.137 s) would
+  otherwise permanently consume the band and flag every
+  normal-load session thereafter — exactly what happened to the
+  driver's r10 capture, adjudicated as noise in SCALING.md (round-10
+  advice). The best comparable total is still printed for context;
 - prints the flagged run's telemetry so the attribution rule's inputs
   (load average, CPU count, SPARK_GRAFT_* env) are in one place.
 
@@ -107,11 +112,21 @@ def load_bench(path: Path) -> dict:
         telemetry = _telemetry_from_tail(text)
     if not headline or not isinstance(headline.get("queries"), dict):
         return {"ok": False, "label": label, "why": "no parseable headline"}
+    # Graceful-skip contract extends to a MALFORMED headline: a wrapper
+    # whose parsed dict has "queries" but a missing/non-numeric "value"
+    # (or query timings) must degrade to the same ok:False skip shape as
+    # r6, not KeyError out of the whole history iteration (r10 advice).
+    try:
+        value = float(headline["value"])
+        queries = {k: float(v) for k, v in headline["queries"].items()}
+    except (KeyError, TypeError, ValueError):
+        return {"ok": False, "label": label,
+                "why": "headline missing numeric value/timings"}
     return {
         "ok": True,
         "label": label,
-        "value": float(headline["value"]),
-        "queries": {k: float(v) for k, v in headline["queries"].items()},
+        "value": value,
+        "queries": queries,
         "telemetry": telemetry,
     }
 
@@ -141,11 +156,23 @@ def evaluate(
     ]
     total_flag = None
     if comparable:
+        # Band is measured from the MEDIAN comparable total, not the
+        # all-time best: the best is one lucky idle-machine draw (r4),
+        # and anchoring there left ~0.1-0.3 s of the 3 s band at the
+        # established ~20.9 s session level, flagging every normal run.
+        totals = sorted(r["value"] for r in comparable)
+        mid = len(totals) // 2
+        median_total = (
+            totals[mid]
+            if len(totals) % 2
+            else round((totals[mid - 1] + totals[mid]) / 2.0, 3)
+        )
         best_total = min(comparable, key=lambda r: r["value"])
-        delta = target["value"] - best_total["value"]
+        delta = target["value"] - median_total
         if delta > band:
             total_flag = {
                 "total": target["value"],
+                "median_total": median_total,
                 "best_total": best_total["value"],
                 "best_in": best_total["label"],
                 "delta": round(delta, 3),
@@ -209,9 +236,10 @@ def main(argv: list[str] | None = None) -> int:
               f"best-ever {f['best']}s ({f['best_in']})")
     tf = verdict["total_flag"]
     if tf:
-        print(f"FLAG total: {tf['total']}s is +{tf['delta']}s over best "
-              f"comparable-suite total {tf['best_total']}s ({tf['best_in']}) "
-              f"— outside the ±{tf['band']}s session band")
+        print(f"FLAG total: {tf['total']}s is +{tf['delta']}s over the "
+              f"median comparable-suite total {tf['median_total']}s "
+              f"(best {tf['best_total']}s in {tf['best_in']}) — outside "
+              f"the ±{tf['band']}s session band")
     if verdict["flagged_queries"] or tf:
         tel = target.get("telemetry")
         print("telemetry of flagged run: "
