@@ -8,7 +8,16 @@ hash compare: on mismatch it prints example differing rows, so oracle
 misalignment is debuggable locally.
 
 Usage: python tools/check_oracle.py [--pandas] [--vanilla] [--first N]
-       [sf_dir] [query ...]
+       [--conf k=v ...] [sf_dir] [query ...]
+
+``--conf k=v`` (repeatable) sets a RUNTIME SQL conf on the session after
+construction — the insurance-sweep knob for axes the driver never
+varies (e.g. ``spark.sql.execution.arrow.maxRecordsPerBatch=7`` slices
+every pandas-UDF kernel into tiny Arrow batches, so any kernel whose
+result depends on batch boundaries mismatches its oracle;
+``spark.sql.files.maxPartitionBytes=65536`` multiplies input splits).
+Static confs (master, memory) belong in env: ``SPARK_GRAFT_CPUS=1``
+gives a local[1] single-thread session via session.py.
 
 ``--vanilla`` builds a plain ``SparkSession.builder.master("local[8]")``
 session instead of session.py's tuned one — the driver's environment
@@ -139,6 +148,12 @@ def main() -> int:
         i = argv.index("--first")
         first_n = int(argv[i + 1])
         del argv[i : i + 2]
+    confs: dict[str, str] = {}
+    while "--conf" in argv:
+        i = argv.index("--conf")
+        k, _, v = argv[i + 1].partition("=")
+        confs[k] = v
+        del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -156,6 +171,8 @@ def main() -> int:
         from orchestrated_etl_spark.session import get_spark
 
         spark = get_spark("oracle_check")
+    for k, v in confs.items():
+        spark.conf.set(k, v)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
