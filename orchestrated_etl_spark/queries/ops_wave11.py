@@ -626,7 +626,14 @@ def _sink_dynamic_partition_overwrite(
     (
         corrected.write.partitionBy("o_orderstatus")
         .mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
+        # "DYNAMIC" (pre-uppercased), not "dynamic": Spark resolves this
+        # option via a locale-SENSITIVE toUpperCase before the enum
+        # lookup (InsertIntoHadoopFsRelationCommand), so under a Turkish
+        # JVM locale "dynamic" becomes "DYNAMİC" (dotted capital I) and
+        # the write dies with NoSuchElementException. Uppercase ASCII is
+        # a fixed point of every locale's case mapping — found by the
+        # round-11 tr-TR JVM-locale sweep.
+        .option("partitionOverwriteMode", "DYNAMIC")
         .parquet(path)
     )
     final = spark.read.parquet(path)

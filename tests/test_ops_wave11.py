@@ -258,7 +258,9 @@ def test_dynamic_partition_overwrite_leaves_other_partitions_untouched(
     (
         corrected.write.partitionBy("o_orderstatus")
         .mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
+        # pre-uppercased: locale-sensitive toUpperCase in Spark's option
+        # parsing breaks "dynamic" under tr-TR (see the query's comment)
+        .option("partitionOverwriteMode", "DYNAMIC")
         .parquet(path)
     )
     after = {s: files(s) for s in ("O", "F", "P")}
