@@ -23,6 +23,7 @@ the attribution protocol the round-4/5 verdicts asked for.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -72,6 +73,25 @@ HEADLINE = [
 ]
 
 
+def _cpu_probe_ms() -> float:
+    """Fixed single-core CPU reference: milliseconds to SHA-256 a 1 MiB
+    buffer 32 times (~20 ms on this class of host). The round-12 drift
+    bisection found that idle-session totals on BYTE-IDENTICAL code
+    spread ±10% across sessions (19.65 / 20.34 / 21.88 s for r10/r11/r12)
+    — host-level throughput variance that loadavg cannot see (it measures
+    our own runqueue, not hypervisor contention or frequency scaling).
+    Recording a deterministic compute probe with every capture lets a
+    future drift verdict normalise totals by machine speed instead of
+    re-running the attribution protocol from scratch."""
+    buf = b"\x5a" * (1 << 20)
+    t0 = time.perf_counter()
+    h = hashlib.sha256()
+    for _ in range(32):
+        h.update(buf)
+    h.digest()
+    return round((time.perf_counter() - t0) * 1000.0, 2)
+
+
 def _env_telemetry() -> dict:
     """Session conditions for cross-run noise adjudication (round-9 item:
     a +12% cross-session drift should adjudicate itself from the recorded
@@ -83,6 +103,7 @@ def _env_telemetry() -> dict:
     return {
         "loadavg": [round(load1, 2), round(load5, 2), round(load15, 2)],
         "cpus": os.cpu_count(),
+        "cpu_probe_ms": _cpu_probe_ms(),
         "env": {
             k: v for k, v in sorted(os.environ.items())
             if k.startswith("SPARK_GRAFT_")

@@ -626,13 +626,15 @@ def _sink_dynamic_partition_overwrite(
     (
         corrected.write.partitionBy("o_orderstatus")
         .mode("overwrite")
-        # "DYNAMIC" (pre-uppercased), not "dynamic": Spark resolves this
-        # option via a locale-SENSITIVE toUpperCase before the enum
-        # lookup (InsertIntoHadoopFsRelationCommand), so under a Turkish
-        # JVM locale "dynamic" becomes "DYNAMİC" (dotted capital I) and
-        # the write dies with NoSuchElementException. Uppercase ASCII is
-        # a fixed point of every locale's case mapping — found by the
-        # round-11 tr-TR JVM-locale sweep.
+        # "DYNAMIC" (pre-uppercased), not "dynamic": observed on PySpark
+        # 4.1.2 under a Turkish default JVM locale
+        # (-Duser.language=tr -Duser.country=TR), lowercase "dynamic"
+        # makes this write die with NoSuchElementException — consistent
+        # with a locale-sensitive uppercase being applied somewhere in
+        # option resolution ("dynamic" → "DYNAMİC", dotted capital I).
+        # Uppercase ASCII is a fixed point of every locale's case
+        # mapping, so the pre-uppercased value is safe under all
+        # locales. Found by the round-11 tr-TR JVM-locale sweep.
         .option("partitionOverwriteMode", "DYNAMIC")
         .parquet(path)
     )

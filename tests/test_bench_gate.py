@@ -124,6 +124,123 @@ def test_total_band_anchors_on_median_not_lucky_best():
     assert v2["total_flag"]["best_total"] == 17.0  # context only
 
 
+def _mk_wrapper(path: Path, total: float, queries: dict) -> None:
+    path.write_text(json.dumps(
+        {"parsed": {"metric": "headline_queries_total_runtime",
+                    "value": total, "unit": "sec", "queries": queries},
+         "tail": ""}))
+
+
+def _mk_raw_capture(path: Path, total: float, queries: dict,
+                    start_load: float | None) -> None:
+    lines = []
+    if start_load is not None:
+        lines.append(json.dumps(
+            {"detail": "bench_spread_and_cold",
+             "telemetry_start": {"loadavg": [start_load, 1.0, 1.0],
+                                 "cpus": 32, "env": {}},
+             "telemetry_end": {"loadavg": [1.0, 1.0, 1.0], "cpus": 32,
+                               "env": {}}}))
+    lines.append(json.dumps(
+        {"metric": "headline_queries_total_runtime", "value": total,
+         "unit": "sec", "queries": queries, "repeats": 3, "sf": "0.1"}))
+    path.write_text("\n".join(lines) + "\n")
+
+
+def _synthetic_history(tmp_path: Path) -> Path:
+    """Three comparable rounds, median total 20.4, best 20.0."""
+    hist = tmp_path / "hist"
+    hist.mkdir()
+    for i, tot in enumerate([20.0, 20.4, 20.6], start=1):
+        _mk_wrapper(hist / f"BENCH_r0{i}.json", tot,
+                    {"a": tot / 2, "b": tot / 2})
+    return hist
+
+
+def _run_gate(target: Path, hist: Path) -> subprocess.CompletedProcess:
+    tool = str(REPO / "tools" / "check_bench_gate.py")
+    return subprocess.run(
+        [sys.executable, tool, str(target), "--history-dir", str(hist)],
+        capture_output=True, text=True, timeout=60)
+
+
+def test_total_band_flag_demotes_under_recorded_load(tmp_path):
+    """Round-12 lead item: a total-ONLY band excursion whose capture
+    RECORDED an elevated start loadavg (>2) demotes to a non-fatal WARN
+    — the r8/r10/r11 adjudicated-session-noise signature, applied by the
+    gate itself instead of a per-incident median re-anchor. The same
+    excursion on an IDLE capture, or one with NO telemetry, stays a hard
+    exit-1 flag (that is the drift signal the gate exists for)."""
+    hist = _synthetic_history(tmp_path)
+    queries = {"a": 12.0, "b": 12.0}  # total 24.0 = +3.6 over median 20.4
+
+    loaded = tmp_path / "loaded.txt"
+    _mk_raw_capture(loaded, 24.0, queries, start_load=7.5)
+    r = _run_gate(loaded, hist)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "WARN (load-demoted) total" in r.stdout
+    assert "start loadavg 7.5" in r.stdout
+
+    idle = tmp_path / "idle.txt"
+    _mk_raw_capture(idle, 24.0, queries, start_load=0.3)
+    r2 = _run_gate(idle, hist)
+    assert r2.returncode == 1, r2.stdout + r2.stderr
+    assert "FLAG total" in r2.stdout
+
+    no_tel = tmp_path / "no_tel.txt"
+    _mk_raw_capture(no_tel, 24.0, queries, start_load=None)
+    r3 = _run_gate(no_tel, hist)
+    assert r3.returncode == 1, r3.stdout + r3.stderr
+    assert "FLAG total" in r3.stdout
+
+
+def test_per_query_flag_stays_hard_under_load(tmp_path):
+    """The per-query 2x check NEVER demotes: a 3x single-query
+    regression exits 1 even when the capture records heavy load (a real
+    single-query regression shows up under any load), and equally on an
+    idle-telemetry capture (the verdict's synthetic idle-regression
+    contract)."""
+    hist = _synthetic_history(tmp_path)
+    for load in (7.5, 0.2):
+        bad = tmp_path / f"bad_{load}.txt"
+        _mk_raw_capture(bad, 40.0, {"a": 30.0, "b": 10.0},
+                        start_load=load)
+        r = _run_gate(bad, hist)
+        assert r.returncode == 1, r.stdout + r.stderr
+        assert "FLAG query a" in r.stdout
+
+
+def test_creep_warning_is_nonfatal(tmp_path):
+    """Round-11 advice: a total past the BEST comparable total + band but
+    inside the median band exits 0 with a visible creep warning — the
+    ratchet the median anchor gave up, restored as a warning."""
+    hist = _synthetic_history(tmp_path)
+    creep = tmp_path / "creep.txt"
+    # 23.2 = +3.2 over best 20.0 (past band) but +2.8 over median 20.4.
+    _mk_raw_capture(creep, 23.2, {"a": 11.6, "b": 11.6}, start_load=0.2)
+    r = _run_gate(creep, hist)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "WARN creep" in r.stdout
+    inside = tmp_path / "inside.txt"
+    _mk_raw_capture(inside, 21.0, {"a": 10.5, "b": 10.5}, start_load=0.2)
+    r2 = _run_gate(inside, hist)
+    assert r2.returncode == 0 and "WARN creep" not in r2.stdout
+
+
+def test_cli_committed_bench_r11_demotes_to_warn():
+    """The committed BENCH_r11.json (24.31s at recorded start loadavg
+    7.54 — the round-11 driver capture this round adjudicated as session
+    noise in SCALING.md) now gates rc=0 with the load-demotion warning
+    instead of requiring another median re-anchor."""
+    tool = str(REPO / "tools" / "check_bench_gate.py")
+    r = subprocess.run(
+        [sys.executable, tool, str(REPO / "BENCH_r11.json")],
+        capture_output=True, text=True, timeout=60)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "WARN (load-demoted) total" in r.stdout
+    assert "7.54" in r.stdout
+
+
 def test_cli_committed_history_is_clean_and_injected_regression_flags(
     tmp_path,
 ):

@@ -25,12 +25,29 @@ mechanical and self-contained:
   driver's r10 capture, adjudicated as noise in SCALING.md (round-10
   advice). The best comparable total is still printed for context;
 - prints the flagged run's telemetry so the attribution rule's inputs
-  (load average, CPU count, SPARK_GRAFT_* env) are in one place.
+  (load average, CPU count, SPARK_GRAFT_* env) are in one place;
+- **demotes a total-band flag to a non-fatal WARN when the capture's own
+  recorded ``telemetry_start.loadavg[0]`` exceeds ``--load-threshold``
+  (default 2.0)**. Three consecutive driver captures (r8/r10/r11, start
+  loadavg 6.6-7.54) flagged ONLY the total band and were each
+  adjudicated session noise by the identical protocol; the telemetry
+  that decides the adjudication is already in every BENCH file, so the
+  gate applies it itself instead of forcing a per-incident median
+  re-anchor (round-11 verdict lead item). The per-query 2x check stays
+  hard-fail regardless of load (a real single-query regression shows up
+  under any load), and a total flag on an IDLE capture (loadavg at or
+  under the threshold, or no telemetry recorded) stays hard-fail;
+- emits a non-fatal CREEP warning whenever the total exceeds the BEST
+  comparable total plus the band, even when the median band is clean:
+  the median anchor follows the committed history, so gradual drift
+  (each step under the band) would otherwise never become visible
+  (round-11 advice — this restores the ratchet the best-ever anchor
+  provided, as a warning rather than a gate).
 
-A flag here is NOT automatically a regression — it starts the SCALING.md
-attribution protocol (code changed? outside own spread? reproduces
-fresh?). The tool's job is to make sure no drift goes unnoticed, and to
-put the adjudication inputs on the table.
+A hard flag here is NOT automatically a regression — it starts the
+SCALING.md attribution protocol (code changed? outside own spread?
+reproduces fresh?). The tool's job is to make sure no drift goes
+unnoticed, and to put the adjudication inputs on the table.
 
 The target may also be a RAW ``python bench.py`` stdout capture (the
 two-JSON-line format), so a local pre-ship run can be gated against the
@@ -155,6 +172,7 @@ def evaluate(
         if set(r["queries"]) == suite and r["label"] != target["label"]
     ]
     total_flag = None
+    total_ctx = None
     if comparable:
         # Band is measured from the MEDIAN comparable total, not the
         # all-time best: the best is one lucky idle-machine draw (r4),
@@ -169,6 +187,16 @@ def evaluate(
         )
         best_total = min(comparable, key=lambda r: r["value"])
         delta = target["value"] - median_total
+        # Context for the non-fatal creep warning: exposed even when the
+        # median band is clean, because creep is precisely the case the
+        # median anchor cannot flag (each committed slow round raises it).
+        total_ctx = {
+            "median_total": median_total,
+            "best_total": best_total["value"],
+            "best_in": best_total["label"],
+            "delta_vs_median": round(delta, 3),
+            "delta_vs_best": round(target["value"] - best_total["value"], 3),
+        }
         if delta > band:
             total_flag = {
                 "total": target["value"],
@@ -181,6 +209,7 @@ def evaluate(
     return {
         "flagged_queries": flagged_queries,
         "total_flag": total_flag,
+        "total_ctx": total_ctx,
         "comparable_rounds": [r["label"] for r in comparable],
         "max_ratio": max(
             (
@@ -203,6 +232,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="per-query flag threshold vs best-ever")
     ap.add_argument("--band", type=float, default=3.0,
                     help="total-runtime session noise band, seconds")
+    ap.add_argument("--load-threshold", type=float, default=2.0,
+                    help="start loadavg above which a total-band flag "
+                         "demotes to a non-fatal WARN (per-query flags "
+                         "stay hard)")
     args = ap.parse_args(argv)
 
     paths = sorted(Path(args.history_dir).glob("BENCH_r*.json"))
@@ -235,12 +268,42 @@ def main(argv: list[str] | None = None) -> int:
         print(f"FLAG query {f['query']}: {f['sec']}s is {f['ratio']}x "
               f"best-ever {f['best']}s ({f['best_in']})")
     tf = verdict["total_flag"]
+    total_demoted = False
     if tf:
-        print(f"FLAG total: {tf['total']}s is +{tf['delta']}s over the "
+        # Load-conditional demotion (round-11 verdict lead item): a
+        # total-ONLY band excursion on a capture that RECORDED an
+        # elevated start load is the adjudicated-session-noise signature
+        # (r8/r10/r11, all loadavg >6, all ruled noise by the identical
+        # protocol) — warn, don't fail. Idle captures (or captures with
+        # no telemetry at all) keep the hard flag: on an idle machine a
+        # band excursion is exactly the drift signal the gate exists for.
+        tel = target.get("telemetry") or {}
+        start_load = (tel.get("telemetry_start") or {}).get("loadavg",
+                                                            [None])[0]
+        loaded = (isinstance(start_load, (int, float))
+                  and start_load > args.load_threshold)
+        kind = "WARN (load-demoted)" if loaded else "FLAG"
+        print(f"{kind} total: {tf['total']}s is +{tf['delta']}s over the "
               f"median comparable-suite total {tf['median_total']}s "
               f"(best {tf['best_total']}s in {tf['best_in']}) — outside "
               f"the ±{tf['band']}s session band")
-    if verdict["flagged_queries"] or tf:
+        if loaded:
+            total_demoted = True
+            print(f"  demoted: capture's recorded start loadavg "
+                  f"{start_load} > {args.load_threshold} — session-load "
+                  f"noise per SCALING.md calibration; rerun on an idle "
+                  f"machine (loadavg < 1) before treating as drift")
+    ctx = verdict.get("total_ctx")
+    if ctx and ctx["delta_vs_best"] > args.band and not tf:
+        # Non-fatal creep visibility (round-11 advice): the median anchor
+        # follows the committed history, so a slow creep where every step
+        # stays inside the band never flags — surface it against the
+        # best comparable total, which does not move with the creep.
+        print(f"WARN creep: total {target['value']}s is "
+              f"+{ctx['delta_vs_best']}s over the best comparable total "
+              f"{ctx['best_total']}s ({ctx['best_in']}) though inside "
+              f"the median band — cumulative drift, not a gate failure")
+    if verdict["flagged_queries"] or (tf and not total_demoted):
         tel = target.get("telemetry")
         print("telemetry of flagged run: "
               + (json.dumps(tel) if tel else
@@ -250,7 +313,10 @@ def main(argv: list[str] | None = None) -> int:
               "change, (b) is the delta outside the query's own spread, "
               "(c) does it reproduce in a fresh session?")
         return 1
-    print("clean: no query above the ratio gate, total inside the band")
+    if total_demoted:
+        print("clean (with load-demoted total warning): no hard flags")
+    else:
+        print("clean: no query above the ratio gate, total inside the band")
     return 0
 
 

@@ -151,6 +151,9 @@ def main() -> int:
     confs: dict[str, str] = {}
     while "--conf" in argv:
         i = argv.index("--conf")
+        if i + 1 >= len(argv) or "=" not in argv[i + 1]:
+            print("usage: --conf requires a k=v argument", file=sys.stderr)
+            return 2
         k, _, v = argv[i + 1].partition("=")
         confs[k] = v
         del argv[i : i + 2]
