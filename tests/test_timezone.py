@@ -112,3 +112,126 @@ def test_stream_tumbling_daily_tz_invariant(spark, sf_dir, ny_tz):
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     utc = _rows(fn(spark, sf_dir))
     assert ny == utc and len(ny) > 0
+
+
+# ---------------------------------------------------------------------------
+# DST-transition dates + odd-offset zones (round-12 axis).
+#
+# The driver fixture's events span January 2024 only, so no sweep over it
+# can put a timestamp ON a DST transition. These tests synthesise NTZ
+# timestamps straddling the America/New_York spring-forward gap
+# (2024-03-10 02:00–03:00 local does not exist) and fall-back overlap
+# (2024-11-03 01:00–02:00 local occurs twice) and assert the bucketing
+# primitives every datetime/sessionize query is built from — window(),
+# date_trunc, session_window — produce BIT-IDENTICAL buckets under UTC,
+# the DST zone itself, and an odd 45-minute-offset zone
+# (Asia/Kathmandu +05:45). NTZ is wall-clock by contract: a gap hour
+# that "does not exist" in the session zone must still bucket as plain
+# arithmetic. If Spark ever routed NTZ window arithmetic through the
+# session zone (the LTZ behavior), the gap hour's rows would shift or
+# vanish — exactly the class the round-10 TZ sweep caught for LTZ
+# collect, now pinned for the data shape the fixture cannot carry.
+# ---------------------------------------------------------------------------
+
+_DST_ZONES = ["America/New_York", "Asia/Kathmandu"]
+
+
+def _dst_frame(spark):
+    from pyspark.sql import functions as F
+
+    # Every 15 min across both 2024 US transitions, plus the exact
+    # boundary instants; NTZ via cast from string (wall-clock).
+    import datetime as dt
+
+    stamps = []
+    for day in (dt.datetime(2024, 3, 10), dt.datetime(2024, 11, 3)):
+        t = day
+        while t < day + dt.timedelta(hours=4):
+            stamps.append(t.strftime("%Y-%m-%d %H:%M:%S"))
+            t += dt.timedelta(minutes=15)
+    df = spark.createDataFrame([(s,) for s in stamps], ["raw"])
+    return df.select(
+        F.col("raw").cast("timestamp_ntz").alias("ts"),
+        F.lit(1).alias("v"),
+    )
+
+
+def _bucketize(spark):
+    """The SAFE bucketing primitives every datetime/sessionize query is
+    built from: window(), session_window(), and cast-to-date + hour()
+    (the pattern the round-10 sweep moved every query to, replacing
+    date_trunc on NTZ)."""
+    from pyspark.sql import functions as F
+
+    df = _dst_frame(spark)
+    win = (
+        df.groupBy(F.window("ts", "30 minutes").alias("w"))
+        .agg(F.count("v").alias("n"))
+        .select(
+            F.col("w.start").cast("string").alias("ws"),
+            F.col("w.end").cast("string").alias("we"),
+            "n",
+        )
+    )
+    datecast = df.select(
+        F.col("ts").cast("date").cast("string").alias("d"),
+        F.hour("ts").alias("hr"),
+    ).distinct()
+    sess = (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("s"))
+        .agg(F.count("v").alias("n"))
+        .select(
+            F.col("s.start").cast("string").alias("ss"),
+            F.col("s.end").cast("string").alias("se"),
+            "n",
+        )
+    )
+    return _rows(win), _rows(datecast), _rows(sess)
+
+
+def test_dst_transition_bucketing_session_tz_invariant(spark):
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        baseline = _bucketize(spark)
+        # The gap hour exists in NTZ wall-clock: 02:00-02:30 and
+        # 02:30-03:00 windows on 2024-03-10 each hold their 2 stamps.
+        assert ("2024-03-10 02:00:00", "2024-03-10 02:30:00", 2) in baseline[0]
+        for zone in _DST_ZONES:
+            spark.conf.set("spark.sql.session.timeZone", zone)
+            assert _bucketize(spark) == baseline, zone
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_date_trunc_on_ntz_is_session_zone_dependent_canary(spark):
+    """CANARY pinning WHY the repo bans date_trunc on TIMESTAMP_NTZ
+    (relational.py:428, scale_ops.py:306): Spark 4 routes the NTZ value
+    through the session zone before truncating, so under Asia/Kathmandu
+    (+05:45) hour-truncation emits buckets at :15 offsets, and inside
+    the America/New_York spring-forward gap the 02:00 hour bucket
+    vanishes. If this test ever FAILS (the sets become equal), a Spark
+    upgrade made date_trunc wall-clock on NTZ — the repo rule and the
+    cast-to-date workarounds can then be revisited."""
+    from pyspark.sql import functions as F
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        df = _dst_frame(spark)
+
+        def hours():
+            return sorted(
+                str(r.h)
+                for r in df.select(
+                    F.date_trunc("hour", "ts").alias("h")
+                ).distinct().collect()
+            )
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc_hours = hours()
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")
+        ktm_hours = hours()
+        assert ktm_hours != utc_hours
+        assert any(h.endswith("15:00") for h in ktm_hours)  # :15 "hours"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
