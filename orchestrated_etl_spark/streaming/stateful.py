@@ -21,7 +21,7 @@ from pyspark.sql.types import (
     LongType,
     StructField,
     StructType,
-    TimestampType,
+    TimestampNTZType,
 )
 
 OUTPUT_SCHEMA = StructType(
@@ -29,7 +29,14 @@ OUTPUT_SCHEMA = StructType(
         StructField("user_id", LongType()),
         StructField("n_events", LongType()),
         StructField("total_value", DoubleType()),
-        StructField("last_ts", TimestampType()),
+        # NTZ, not TimestampType: the input ``ts`` is wall-clock NTZ and
+        # the kernel's pandas max is naive. Declaring the output LTZ made
+        # Spark interpret that naive value in the session zone and
+        # COLLECT it back through the Python process zone — under a
+        # shifted host TZ (the round-12 Asia/Kathmandu pytest sweep)
+        # last_ts drifted +05:45 vs the batch twin's NTZ max("ts").
+        # Wall-clock in, wall-clock out.
+        StructField("last_ts", TimestampNTZType()),
     ]
 )
 

@@ -28,7 +28,14 @@ def test_tumbling_daily_matches_batch(spark, sf_dir):
     batch = (
         read_events(spark, sf_dir)
         .groupBy(
-            F.date_trunc("day", "ts").alias("day"), "event_type"
+            # cast-to-date, NOT date_trunc: date_trunc on NTZ returns
+            # LTZ, which collects through the Python process timezone —
+            # under a shifted host TZ (round-12 Asia/Kathmandu sweep)
+            # the batch keys drifted +05:45 off the stream's NTZ
+            # window_start. Same rule as the production queries
+            # (relational.py:428).
+            F.col("ts").cast("date").cast("timestamp_ntz").alias("day"),
+            "event_type",
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -206,32 +206,58 @@ def test_dst_transition_bucketing_session_tz_invariant(spark):
 
 def test_date_trunc_on_ntz_is_session_zone_dependent_canary(spark):
     """CANARY pinning WHY the repo bans date_trunc on TIMESTAMP_NTZ
-    (relational.py:428, scale_ops.py:306): Spark 4 routes the NTZ value
-    through the session zone before truncating, so under Asia/Kathmandu
-    (+05:45) hour-truncation emits buckets at :15 offsets, and inside
-    the America/New_York spring-forward gap the 02:00 hour bucket
-    vanishes. If this test ever FAILS (the sets become equal), a Spark
-    upgrade made date_trunc wall-clock on NTZ — the repo rule and the
-    cast-to-date workarounds can then be revisited."""
+    (relational.py:428, scale_ops.py:306): Spark 4 interprets the NTZ
+    value in the SESSION zone and returns an LTZ instant. Two measured
+    consequences, both asserted zone-free (epoch seconds / server-side
+    strings, so the assertions hold under any host or process TZ —
+    the first version of this canary rendered through collect() and
+    itself broke under TZ=Asia/Kathmandu):
+
+    1. Under a +05:45 session zone the truncated "hour" INSTANTS sit at
+       :15 past the UTC hour (epoch % 3600 == 900) — any consumer
+       rendering them in a different zone sees :15-offset hours.
+    2. Inside the America/New_York spring-forward gap the 02:00 bucket
+       VANISHES: 2024-03-10 02:xx doesn't exist in NY local time, so
+       those rows land in another hour even when interpretation and
+       rendering agree on the zone.
+
+    If this test ever FAILS, a Spark upgrade made date_trunc wall-clock
+    on NTZ — the repo rule and the cast-to-date workarounds can then be
+    revisited."""
     from pyspark.sql import functions as F
 
     old = spark.conf.get("spark.sql.session.timeZone")
     try:
         df = _dst_frame(spark)
+        trunc = F.date_trunc("hour", "ts")
 
-        def hours():
+        def epoch_offsets():
             return sorted(
-                str(r.h)
+                r.m
                 for r in df.select(
-                    F.date_trunc("hour", "ts").alias("h")
+                    (F.unix_timestamp(trunc) % 3600).alias("m")
+                ).distinct().collect()
+            )
+
+        def hours_str():
+            return sorted(
+                r.h
+                for r in df.select(
+                    trunc.cast("string").alias("h")
                 ).distinct().collect()
             )
 
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        utc_hours = hours()
+        assert epoch_offsets() == [0]
+        utc_hours = hours_str()
+        assert "2024-03-10 02:00:00" in utc_hours
+
         spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")
-        ktm_hours = hours()
-        assert ktm_hours != utc_hours
-        assert any(h.endswith("15:00") for h in ktm_hours)  # :15 "hours"
+        assert epoch_offsets() == [900]  # truncated "hours" at :15 UTC
+
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny_hours = hours_str()
+        assert "2024-03-10 02:00:00" not in ny_hours  # gap bucket gone
+        assert len(ny_hours) == len(utc_hours) - 1
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
