@@ -674,7 +674,14 @@ def _stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy(
         F.col("p_id").alias("event_id"),
         F.col("p_user").alias("user_id"),
-        F.col("p_ts").alias("ts"),
+        # NTZ at the output boundary (standing stream-output rule): p_ts
+        # is LTZ only because withWatermark rejects NTZ; the session tz
+        # is pinned UTC by read_events_stream, so this cast recovers the
+        # stored wall clock instead of leaking an LTZ column that would
+        # collect through the Python process timezone (round-12
+        # registry-wide NTZ audit — this was the one stream query still
+        # returning a raw LTZ timestamp).
+        F.col("p_ts").cast("timestamp_ntz").alias("ts"),
     ).agg(
         F.sum(F.col("c_ts").isNotNull().cast("long")).alias("clicks_1h")
     )

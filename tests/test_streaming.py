@@ -427,3 +427,26 @@ def test_stream_outputs_are_timestamp_ntz(spark, sf_dir):
     assert dict(_stream_stream_join(spark, sf_dir).dtypes)["ts"] == (
         "timestamp_ntz"
     )
+
+
+def test_no_registered_stream_query_returns_ltz(spark, sf_dir):
+    """Registry-wide pin of the stream-output NTZ rule. The hand-picked
+    cases above let two rows-only queries slip through for eleven
+    rounds (stream_stateful_user_totals declared an LTZ last_ts — the
+    round-12 Kathmandu-pytest find — and stream_stream_left_outer
+    returned the raw LTZ ts), because rows-only driver checks never
+    hash values. EVERY registered stream_* query's RESULT schema must
+    be free of plain ``timestamp`` (LTZ): an LTZ result column collects
+    through the Python process timezone, so its rendered value depends
+    on the host — the exact class three TZ axes have now caught."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    offenders = {}
+    for name, fn in qs.items():
+        if not name.startswith("stream_"):
+            continue
+        ltz = [c for c, t in fn(spark, sf_dir).dtypes if t == "timestamp"]
+        if ltz:
+            offenders[name] = ltz
+    assert not offenders, offenders
