@@ -59,36 +59,38 @@ def _load_all() -> None:
 # STALENESS: each round fronts the 50 queries whose last GREEN driver
 # sample is oldest (ties broken by raw registration order — the
 # committed REGISTRATION_ORDER.txt artifact, not queries() iteration
-# order). ROUND-12 FRONT = the 41 remaining last-green-r6 queries plus
-# the 9 oldest last-green-r7 queries (last-green histogram over the 291
-# oracles after the r11 50/50-green sample: {6: 41, 7: 50, 8: 50,
-# 9: 50, 10: 50, 11: 50}). Recomputed by tools/rotate_front.py from
-# CORRECTNESS_r01..r11; the tool reproduces the shipped r8 list
+# order). ROUND-13 FRONT = the 41 remaining last-green-r7 queries plus
+# the 9 oldest last-green-r8 queries (last-green histogram over the 291
+# oracles after the r12 50/50-green sample: {7: 41, 8: 50, 9: 50,
+# 10: 50, 11: 50, 12: 50}). Recomputed by tools/rotate_front.py from
+# CORRECTNESS_r01..r12; the tool reproduces the shipped r8 list
 # bit-for-bit from r01..r07 inputs (pytest-pinned):
 #   sorted(oracle_names, key=lambda n: (last_green_round[n], reg_order[n]))[:50]
 _FRONT = [
-    # 41 stalest: last green round 6 (registration order)
-    "sql_lateral_correlated_topk", "spatial_radius_join",
-    "events_cep_sessionized", "graph_kcore", "agg_incremental_moments",
-    "graph_clustering_coefficient", "graph_hits_2iter",
-    "events_cusum_changepoint", "events_acf_lags",
-    "agg_countmin_sketch_estimate", "dedup_cdc_chunks",
-    "agg_bitmap_distinct", "stats_chi2_cells", "stats_chi2_total",
-    "stats_corr_matrix", "events_km_survival", "stats_ab_welch_ttest",
-    "sql_named_window_nulls", "events_holt_linear", "agg_trimmed_mean",
-    "agg_gini_revenue", "events_trigram_paths", "events_max_drawdown",
-    "dq_quarantine_split", "stream_quarantine_split",
-    "sim_label_centroid_matrix", "join_scd2_point_in_time",
-    "train_dataset_card", "train_bpe_merge_step", "events_bot_cadence",
-    "agg_countmin_merge_incremental", "agg_bitmap_rollup_quarters",
-    "train_pack_nfd_bins", "orders_basket_lift", "events_cohort_ltv",
-    "text_pmi_collocations", "events_pareto_8020", "text_zipf_slope",
-    "agg_histogram_quantile_merge", "graph_modularity",
-    "approx_sampled_revenue_ci",
-    # 9 stalest: last green round 7 (registration order)
-    "flagship", "books_standardise", "books_enrich",
-    "s3_completeness_filter", "s5_limit", "t2_dedup_by_key",
-    "train_mixture_sampling", "train_chunk_documents", "train_build_vocab",
+    # 41 stalest: last green round 7 (registration order)
+    "train_dedup_lines", "train_dedup_lines_global", "train_epoch_shuffle",
+    "window_range_7day_spend", "agg_filtered_conditional",
+    "string_funcs_profile", "train_split_assignment",
+    "datetime_linear_interpolate", "ps_pandas_api_rollup",
+    "window_distribution_ranks", "cogroup_click_purchase",
+    "sql_scalar_udf_revenue", "sql_table_udf_spine",
+    "events_rfm_segmentation", "events_dau_wau", "events_anomaly_mad",
+    "events_seasonal_decompose", "sql_collation_ci",
+    "train_e2e_incremental_refresh", "search_phrase_match",
+    "search_bm25_store_bucketed", "src_schema_evolution",
+    "agg_incremental_rollup", "agg_incremental_join_view",
+    "agg_listagg_lines", "agg_bitwise_flags", "agg_bool_rules",
+    "agg_median_percentiles", "window_nth_value",
+    "agg_approx_topk_exact_regime", "array_fold_profile",
+    "datetime_interval_math", "agg_grouping_id_cube",
+    "agg_regression_funcs", "agg_width_bucket_histogram",
+    "join_shuffle_hash_hint", "sql_pagination_offset",
+    "sql_regexp_count_instr", "agg_multi_distinct",
+    "sql_parameterized_args", "window_rolling_median",
+    # 9 stalest: last green round 8 (registration order)
+    "t3_cast_roundtrip", "t4_regex_extract", "t5_strip_separators",
+    "t6_project_drop", "a1_a5_enrich_family", "q1_pricing_summary",
+    "j1_star_join_revenue", "j_left_join", "j_semi_join",
 ]
 
 
