@@ -29,13 +29,16 @@ OUTPUT_SCHEMA = StructType(
         StructField("user_id", LongType()),
         StructField("n_events", LongType()),
         StructField("total_value", DoubleType()),
-        # NTZ, not TimestampType: the input ``ts`` is wall-clock NTZ and
-        # the kernel's pandas max is naive. Declaring the output LTZ made
-        # Spark interpret that naive value in the session zone and
-        # COLLECT it back through the Python process zone — under a
-        # shifted host TZ (the round-12 Asia/Kathmandu pytest sweep)
-        # last_ts drifted +05:45 vs the batch twin's NTZ max("ts").
-        # Wall-clock in, wall-clock out.
+        # NTZ, not TimestampType: the input ``ts`` is LTZ (withWatermark
+        # rejects NTZ), rendered to NAIVE pandas values whose wall clock
+        # equals the stored one only because read_events_stream pins
+        # spark.sql.session.timeZone=UTC before the Arrow conversion —
+        # a caller that unpins the session zone breaks that equality.
+        # Declaring the output LTZ made Spark interpret the kernel's
+        # naive max in the session zone and COLLECT it back through the
+        # Python process zone — under a shifted host TZ (the round-12
+        # Asia/Kathmandu pytest sweep) last_ts drifted +05:45 vs the
+        # batch twin's NTZ max("ts"). Wall-clock in, wall-clock out.
         StructField("last_ts", TimestampNTZType()),
     ]
 )

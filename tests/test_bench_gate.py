@@ -132,13 +132,19 @@ def _mk_wrapper(path: Path, total: float, queries: dict) -> None:
 
 
 def _mk_raw_capture(path: Path, total: float, queries: dict,
-                    start_load: float | None) -> None:
+                    start_load: float | None,
+                    probe: float | None = None,
+                    loadavg_list: list | None = None) -> None:
     lines = []
-    if start_load is not None:
+    if start_load is not None or loadavg_list is not None or probe:
+        start = {"loadavg": (loadavg_list if loadavg_list is not None
+                             else [start_load, 1.0, 1.0]),
+                 "cpus": 32, "env": {}}
+        if probe is not None:
+            start["cpu_probe_ms"] = probe
         lines.append(json.dumps(
             {"detail": "bench_spread_and_cold",
-             "telemetry_start": {"loadavg": [start_load, 1.0, 1.0],
-                                 "cpus": 32, "env": {}},
+             "telemetry_start": start,
              "telemetry_end": {"loadavg": [1.0, 1.0, 1.0], "cpus": 32,
                                "env": {}}}))
     lines.append(json.dumps(
@@ -147,13 +153,18 @@ def _mk_raw_capture(path: Path, total: float, queries: dict,
     path.write_text("\n".join(lines) + "\n")
 
 
-def _synthetic_history(tmp_path: Path) -> Path:
+def _synthetic_history(tmp_path: Path, probe: float | None = None) -> Path:
     """Three comparable rounds, median total 20.4, best 20.0."""
     hist = tmp_path / "hist"
     hist.mkdir()
     for i, tot in enumerate([20.0, 20.4, 20.6], start=1):
-        _mk_wrapper(hist / f"BENCH_r0{i}.json", tot,
-                    {"a": tot / 2, "b": tot / 2})
+        if probe is None:
+            _mk_wrapper(hist / f"BENCH_r0{i}.json", tot,
+                        {"a": tot / 2, "b": tot / 2})
+        else:
+            _mk_raw_capture(hist / f"BENCH_r0{i}.json", tot,
+                            {"a": tot / 2, "b": tot / 2},
+                            start_load=0.2, probe=probe)
     return hist
 
 
@@ -165,10 +176,12 @@ def _run_gate(target: Path, hist: Path) -> subprocess.CompletedProcess:
 
 
 def test_total_band_flag_demotes_under_recorded_load(tmp_path):
-    """Round-12 lead item: a total-ONLY band excursion whose capture
-    RECORDED an elevated start loadavg (>2) demotes to a non-fatal WARN
-    — the r8/r10/r11 adjudicated-session-noise signature, applied by the
-    gate itself instead of a per-incident median re-anchor. The same
+    """Round-12 lead item, round-13 tightening: a total-ONLY band
+    excursion whose capture RECORDED an elevated start loadavg (>2)
+    demotes to a non-fatal WARN only while the delta stays inside the
+    load-calibrated bound band + 2.4s*loadavg/7 (the r8/r10/r11
+    adjudicated-session-noise signature, bounded per SCALING.md's r11
+    calibration instead of unconditional — round-12 advice). The same
     excursion on an IDLE capture, or one with NO telemetry, stays a hard
     exit-1 flag (that is the drift signal the gate exists for)."""
     hist = _synthetic_history(tmp_path)
@@ -177,9 +190,11 @@ def test_total_band_flag_demotes_under_recorded_load(tmp_path):
     loaded = tmp_path / "loaded.txt"
     _mk_raw_capture(loaded, 24.0, queries, start_load=7.5)
     r = _run_gate(loaded, hist)
+    # bound = 3.0 + 2.4*7.5/7 = 5.57; delta 3.6 inside -> demote
     assert r.returncode == 0, r.stdout + r.stderr
-    assert "WARN (load-demoted) total" in r.stdout
+    assert "WARN (demoted) total" in r.stdout
     assert "start loadavg 7.5" in r.stdout
+    assert "load-calibrated bound" in r.stdout
 
     idle = tmp_path / "idle.txt"
     _mk_raw_capture(idle, 24.0, queries, start_load=0.3)
@@ -192,6 +207,67 @@ def test_total_band_flag_demotes_under_recorded_load(tmp_path):
     r3 = _run_gate(no_tel, hist)
     assert r3.returncode == 1, r3.stdout + r3.stderr
     assert "FLAG total" in r3.stdout
+
+
+def test_loaded_capture_beyond_calibrated_bound_stays_hard(tmp_path):
+    """Round-12 advice (the medium item): the load demotion must NOT be
+    unconditional — a genuine uniform regression spread across queries
+    in a loaded capture has to stay a hard flag. A +7.6s total delta at
+    start loadavg 7.5 exceeds the calibrated bound 3.0+2.4*7.5/7=5.57s
+    and exits 1 even though the capture is loaded."""
+    hist = _synthetic_history(tmp_path)
+    # keep each query under the 2x per-query gate: best-ever a=10.0
+    # (from the 20.0 round), 14.0 < 2x.
+    big = tmp_path / "big.txt"
+    _mk_raw_capture(big, 28.0, {"a": 14.0, "b": 14.0}, start_load=7.5)
+    r = _run_gate(big, hist)
+    assert r.returncode == 1, r.stdout + r.stderr
+    assert "FLAG total" in r.stdout
+    assert "FLAG query" not in r.stdout
+
+
+def test_slow_probe_capture_demotes_by_arithmetic(tmp_path):
+    """Round-12 verdict item 2: a capture whose cpu_probe_ms reads slow
+    beyond the probe's own ±10% spread, and whose probe-normalised total
+    lands back inside the band, demotes to WARN citing the probe ratio —
+    machine-speed drift adjudicated by arithmetic, not bisection. The
+    demoted capture also still gets the creep-context line (round-12
+    advice: demotion must not suppress the cumulative-drift signal)."""
+    hist = _synthetic_history(tmp_path, probe=20.0)
+    slow = tmp_path / "slow_probe.txt"
+    # idle load, probe 24.0 => ratio 1.2; norm delta = 24.0-20.4*1.2 <0
+    _mk_raw_capture(slow, 24.0, {"a": 12.0, "b": 12.0},
+                    start_load=0.3, probe=24.0)
+    r = _run_gate(slow, hist)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "WARN (demoted) total" in r.stdout
+    assert "cpu_probe_ms ratio 1.2" in r.stdout
+    assert "probe: target cpu_probe_ms 24.0 vs history median 20.0" \
+        in r.stdout
+    assert "WARN creep" in r.stdout  # 24.0 is +4.0 over best 20.0
+
+    # Same excursion with a NORMAL probe on an idle machine: nothing
+    # explains it -> hard flag (a fast probe is the real-drift signal).
+    normal = tmp_path / "normal_probe.txt"
+    _mk_raw_capture(normal, 24.0, {"a": 12.0, "b": 12.0},
+                    start_load=0.3, probe=20.2)
+    r2 = _run_gate(normal, hist)
+    assert r2.returncode == 1, r2.stdout + r2.stderr
+    assert "FLAG total" in r2.stdout
+
+
+def test_empty_loadavg_list_degrades_not_crashes(tmp_path):
+    """Round-12 advice (low): a capture recording "loadavg": [] must not
+    IndexError out of the documented 0/1/2 exit contract — it degrades
+    to the no-load-signal path (hard flag for a band excursion)."""
+    hist = _synthetic_history(tmp_path)
+    weird = tmp_path / "empty_loadavg.txt"
+    _mk_raw_capture(weird, 24.0, {"a": 12.0, "b": 12.0},
+                    start_load=None, loadavg_list=[])
+    r = _run_gate(weird, hist)
+    assert r.returncode == 1, r.stdout + r.stderr
+    assert "Traceback" not in r.stderr
+    assert "FLAG total" in r.stdout
 
 
 def test_per_query_flag_stays_hard_under_load(tmp_path):
@@ -229,15 +305,15 @@ def test_creep_warning_is_nonfatal(tmp_path):
 
 def test_cli_committed_bench_r11_demotes_to_warn():
     """The committed BENCH_r11.json (24.31s at recorded start loadavg
-    7.54 — the round-11 driver capture this round adjudicated as session
-    noise in SCALING.md) now gates rc=0 with the load-demotion warning
-    instead of requiring another median re-anchor."""
+    7.54 — the round-11 driver capture adjudicated as session noise in
+    SCALING.md) still gates rc=0 under the round-13 BOUNDED demotion:
+    its delta is inside the load-calibrated bound 3.0+2.4*7.54/7."""
     tool = str(REPO / "tools" / "check_bench_gate.py")
     r = subprocess.run(
         [sys.executable, tool, str(REPO / "BENCH_r11.json")],
         capture_output=True, text=True, timeout=60)
     assert r.returncode == 0, r.stdout + r.stderr
-    assert "WARN (load-demoted) total" in r.stdout
+    assert "WARN (demoted) total" in r.stdout
     assert "7.54" in r.stdout
 
 

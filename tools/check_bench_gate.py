@@ -26,17 +26,33 @@ mechanical and self-contained:
   advice). The best comparable total is still printed for context;
 - prints the flagged run's telemetry so the attribution rule's inputs
   (load average, CPU count, SPARK_GRAFT_* env) are in one place;
-- **demotes a total-band flag to a non-fatal WARN when the capture's own
-  recorded ``telemetry_start.loadavg[0]`` exceeds ``--load-threshold``
-  (default 2.0)**. Three consecutive driver captures (r8/r10/r11, start
-  loadavg 6.6-7.54) flagged ONLY the total band and were each
-  adjudicated session noise by the identical protocol; the telemetry
-  that decides the adjudication is already in every BENCH file, so the
-  gate applies it itself instead of forcing a per-incident median
-  re-anchor (round-11 verdict lead item). The per-query 2x check stays
-  hard-fail regardless of load (a real single-query regression shows up
-  under any load), and a total flag on an IDLE capture (loadavg at or
-  under the threshold, or no telemetry recorded) stays hard-fail;
+- **demotes a total-band flag to a non-fatal WARN only when the
+  capture's own telemetry EXPLAINS the excursion quantitatively**
+  (round-12 advice tightened the round-11 unconditional load demotion —
+  a genuine uniform regression in a loaded capture must not wave
+  through). Two independent explanations, either suffices, both
+  bounded:
+
+  1. *machine speed* — the capture's ``cpu_probe_ms`` (recorded by
+     bench.py since r12: 32×SHA-256 over 1 MiB, ~20 ms on this host)
+     reads slower than the committed-history median probe by more than
+     the probe's own ~±10% spread, AND the probe-normalised total
+     (``total`` vs ``median*probe_ratio``) is back inside the band. A
+     session whose probe reads 15% slow explains a 15%-slow total by
+     arithmetic (SCALING.md round-12 drift bisection);
+  2. *session load* — recorded ``telemetry_start.loadavg[0]`` exceeds
+     ``--load-threshold`` (default 2.0) AND the delta is inside the
+     load-calibrated bound ``band + --load-tax * loadavg/7`` (default
+     2.4 s at loadavg 7 — the r11 adjudication's measured load tax,
+     SCALING.md round-11 entry). A loaded capture whose delta exceeds
+     what that calibration can explain stays a hard flag.
+
+  The per-query 2x check stays hard-fail regardless of load (a real
+  single-query regression shows up under any load), and a total flag
+  on an IDLE capture with a normal probe (or no telemetry recorded)
+  stays hard-fail. Whenever the target carries a probe, the decision
+  line cites it (ratio vs the history median) so the adjudication is
+  arithmetic on record, not inference;
 - emits a non-fatal CREEP warning whenever the total exceeds the BEST
   comparable total plus the band, even when the median band is clean:
   the median anchor follows the committed history, so gradual drift
@@ -222,6 +238,13 @@ def evaluate(
     }
 
 
+def _start_probe(run: dict) -> float | None:
+    """The capture's start-of-run cpu_probe_ms, if recorded (r12+)."""
+    tel = run.get("telemetry") or {}
+    probe = (tel.get("telemetry_start") or {}).get("cpu_probe_ms")
+    return float(probe) if isinstance(probe, (int, float)) else None
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("target", nargs="?", default=None,
@@ -233,9 +256,18 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--band", type=float, default=3.0,
                     help="total-runtime session noise band, seconds")
     ap.add_argument("--load-threshold", type=float, default=2.0,
-                    help="start loadavg above which a total-band flag "
-                         "demotes to a non-fatal WARN (per-query flags "
-                         "stay hard)")
+                    help="start loadavg above which the load-calibrated "
+                         "demotion bound applies to a total-band flag "
+                         "(per-query flags stay hard)")
+    ap.add_argument("--load-tax", type=float, default=2.4,
+                    help="measured load tax in seconds AT LOADAVG 7 "
+                         "(SCALING.md round-11 adjudication: the r11 "
+                         "capture read ~+2.4s at start loadavg 7.54); "
+                         "scaled linearly by the capture's loadavg")
+    ap.add_argument("--probe-spread", type=float, default=0.10,
+                    help="cpu_probe_ms own relative spread on one host "
+                         "(SCALING.md round-12: ~±10%%); probe ratios "
+                         "inside it carry no machine-speed signal")
     args = ap.parse_args(argv)
 
     paths = sorted(Path(args.history_dir).glob("BENCH_r*.json"))
@@ -264,45 +296,92 @@ def main(argv: list[str] | None = None) -> int:
           f"queries={len(target['queries'])}  history={len(history)} rounds")
     print(f"max per-query ratio vs best-ever: {verdict['max_ratio']}  "
           f"(gate: {args.ratio})")
+    # Machine-speed context (round-12 verdict item 2): whenever the
+    # target carries a cpu_probe_ms, cite it against the history median
+    # so every rc-0/WARN decision has the probe arithmetic on record.
+    target_probe = _start_probe(target)
+    hist_probes = sorted(
+        p for p in (_start_probe(r) for r in history) if p is not None
+    )
+    ref_probe = (
+        hist_probes[len(hist_probes) // 2] if len(hist_probes) % 2
+        else round((hist_probes[len(hist_probes) // 2 - 1]
+                    + hist_probes[len(hist_probes) // 2]) / 2.0, 3)
+    ) if hist_probes else None
+    probe_ratio = None
+    if target_probe is not None and ref_probe:
+        probe_ratio = round(target_probe / ref_probe, 3)
+        print(f"probe: target cpu_probe_ms {target_probe} vs history "
+              f"median {ref_probe} over {len(hist_probes)} capture(s) "
+              f"(ratio {probe_ratio}; own spread ±{args.probe_spread:.0%})")
+    elif target_probe is not None:
+        print(f"probe: target cpu_probe_ms {target_probe} — no committed "
+              f"capture carries one yet, no normalisation possible")
     for f in verdict["flagged_queries"]:
         print(f"FLAG query {f['query']}: {f['sec']}s is {f['ratio']}x "
               f"best-ever {f['best']}s ({f['best_in']})")
     tf = verdict["total_flag"]
     total_demoted = False
     if tf:
-        # Load-conditional demotion (round-11 verdict lead item): a
-        # total-ONLY band excursion on a capture that RECORDED an
-        # elevated start load is the adjudicated-session-noise signature
-        # (r8/r10/r11, all loadavg >6, all ruled noise by the identical
-        # protocol) — warn, don't fail. Idle captures (or captures with
-        # no telemetry at all) keep the hard flag: on an idle machine a
-        # band excursion is exactly the drift signal the gate exists for.
+        # Bounded demotion (round-12 advice — the round-11 demotion was
+        # unconditional on loadavg>2, which made the band advisory on
+        # the loaded machine the driver always runs on). A total-ONLY
+        # band excursion demotes iff the capture's own telemetry
+        # explains it quantitatively; everything else stays hard.
         tel = target.get("telemetry") or {}
-        start_load = (tel.get("telemetry_start") or {}).get("loadavg",
-                                                            [None])[0]
-        loaded = (isinstance(start_load, (int, float))
-                  and start_load > args.load_threshold)
-        kind = "WARN (load-demoted)" if loaded else "FLAG"
+        lv = (tel.get("telemetry_start") or {}).get("loadavg") or [None]
+        start_load = lv[0] if lv else None
+        reason = None
+        # (1) machine speed: probe slow beyond its own spread AND the
+        # probe-normalised total back inside the band. Uses the START
+        # probe: it samples the same session state the totals ran under.
+        if (probe_ratio is not None
+                and probe_ratio > 1.0 + args.probe_spread):
+            norm_delta = round(
+                target["value"] - tf["median_total"] * probe_ratio, 3)
+            if norm_delta <= args.band:
+                reason = (
+                    f"capture's cpu_probe_ms ratio {probe_ratio} vs the "
+                    f"history median explains it: probe-normalised delta "
+                    f"{norm_delta}s is inside the ±{args.band}s band "
+                    f"(machine-speed variance per SCALING.md round-12 "
+                    f"bisection)")
+        # (2) session load: loaded AND inside the load-calibrated bound.
+        if (reason is None and isinstance(start_load, (int, float))
+                and start_load > args.load_threshold):
+            tax = round(args.load_tax * start_load / 7.0, 3)
+            if tf["delta"] <= args.band + tax:
+                reason = (
+                    f"recorded start loadavg {start_load} > "
+                    f"{args.load_threshold} and delta {tf['delta']}s is "
+                    f"inside the load-calibrated bound {args.band}+{tax}s "
+                    f"(~{args.load_tax}s tax at loadavg 7, SCALING.md "
+                    f"round-11 adjudication)")
+        kind = "WARN (demoted)" if reason else "FLAG"
         print(f"{kind} total: {tf['total']}s is +{tf['delta']}s over the "
               f"median comparable-suite total {tf['median_total']}s "
               f"(best {tf['best_total']}s in {tf['best_in']}) — outside "
               f"the ±{tf['band']}s session band")
-        if loaded:
+        if reason:
             total_demoted = True
-            print(f"  demoted: capture's recorded start loadavg "
-                  f"{start_load} > {args.load_threshold} — session-load "
-                  f"noise per SCALING.md calibration; rerun on an idle "
-                  f"machine (loadavg < 1) before treating as drift")
+            print(f"  demoted: {reason}; rerun on an idle machine "
+                  f"(loadavg < 1) before treating as drift")
     ctx = verdict.get("total_ctx")
-    if ctx and ctx["delta_vs_best"] > args.band and not tf:
+    if ctx and ctx["delta_vs_best"] > args.band and (not tf or total_demoted):
         # Non-fatal creep visibility (round-11 advice): the median anchor
         # follows the committed history, so a slow creep where every step
         # stays inside the band never flags — surface it against the
         # best comparable total, which does not move with the creep.
+        # Emitted on demoted captures too (round-12 advice): suppressing
+        # it exactly when the demotion waves a capture through would hide
+        # the cumulative-drift signal on the captures that need it most.
         print(f"WARN creep: total {target['value']}s is "
               f"+{ctx['delta_vs_best']}s over the best comparable total "
-              f"{ctx['best_total']}s ({ctx['best_in']}) though inside "
-              f"the median band — cumulative drift, not a gate failure")
+              f"{ctx['best_total']}s ({ctx['best_in']})"
+              + (" — cumulative drift context on a demoted capture"
+                 if tf else
+                 " though inside the median band — cumulative drift, "
+                 "not a gate failure"))
     if verdict["flagged_queries"] or (tf and not total_demoted):
         tel = target.get("telemetry")
         print("telemetry of flagged run: "
@@ -314,7 +393,7 @@ def main(argv: list[str] | None = None) -> int:
               "(c) does it reproduce in a fresh session?")
         return 1
     if total_demoted:
-        print("clean (with load-demoted total warning): no hard flags")
+        print("clean (with demoted total warning): no hard flags")
     else:
         print("clean: no query above the ratio gate, total inside the band")
     return 0
