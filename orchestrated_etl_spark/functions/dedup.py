@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from orchestrated_etl_spark.compat import default_parallelism
 from orchestrated_etl_spark.functions.text import tokens
 
 
@@ -91,8 +92,9 @@ def jaccard_pairs(
     # Explicit-count repartition for the same reason as minhash_lsh_dedup:
     # parallelize per-doc set construction even from a one-file scan, and
     # keep AQE from coalescing the byte-small exchange to one partition.
-    sc = df.sparkSession.sparkContext
-    df = df.repartition(sc.defaultParallelism, F.col(id_col))
+    df = df.repartition(
+        default_parallelism(df.sparkSession), F.col(id_col)
+    )
     ex = _exploded_sets(df, id_col, set_col)
     a = ex.alias("a")
     b = ex.alias("b")
@@ -139,8 +141,9 @@ def containment_pairs(
     materialize, and a document-frequency cap on elements is the
     adversarial-corpus knob. The ratio is one int/int division of
     exact counts — engine-independent up to the shared round(6)."""
-    sc = df.sparkSession.sparkContext
-    df = df.repartition(sc.defaultParallelism, F.col(id_col))
+    df = df.repartition(
+        default_parallelism(df.sparkSession), F.col(id_col)
+    )
     ex = _exploded_sets(df, id_col, set_col)
     a = ex.alias("a")
     b = ex.alias("b")
@@ -374,8 +377,9 @@ def minhash_lsh_dedup(
     # by-column repartition of byte-small data back to one partition —
     # optimizing for bytes-per-partition when the cost here is
     # compute-per-row.
-    sc = df.sparkSession.sparkContext
-    df = df.repartition(sc.defaultParallelism, F.col(id_col))
+    df = df.repartition(
+        default_parallelism(df.sparkSession), F.col(id_col)
+    )
     if text_col is not None:
         # text fast path: signature from window-lead shingle rows (no
         # array materialization, stays in codegen); verification arrays
@@ -470,9 +474,9 @@ def incremental_minhash_flags(
     shingle arrays are built for exact-Jaccard verification. Per-night
     cost: O(|batch|) signature work + bucket-join against the store +
     O(|candidates|) verification."""
-    sc = incoming.sparkSession.sparkContext
-    inc = incoming.repartition(sc.defaultParallelism, F.col(id_col))
-    hist = history.repartition(sc.defaultParallelism, F.col(id_col))
+    par = default_parallelism(incoming.sparkSession)
+    inc = incoming.repartition(par, F.col(id_col))
+    hist = history.repartition(par, F.col(id_col))
     sigs_h = minhash_signature_text(
         hist, id_col, text_col, shingle_n, k
     ).localCheckpoint(eager=True)
@@ -621,9 +625,9 @@ def embedding_near_dup(
     arithmetic."""
     # Explicit-count repartition: the per-pair dot products must spread
     # across cores even from a one-row-group file (see minhash_lsh_dedup).
-    sc = df.sparkSession.sparkContext
+    par = default_parallelism(df.sparkSession)
     base = (
-        df.repartition(sc.defaultParallelism, F.col(id_col))
+        df.repartition(par, F.col(id_col))
         .select(
             F.col(id_col).alias("_id"),
             F.col(vec_col).alias("_vec"),

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from orchestrated_etl_spark.compat import default_parallelism
+
 
 def copurchase_edges(
     spark: SparkSession, sf_dir: str, min_weight: int = 1
@@ -321,7 +323,7 @@ def bfs_distances(
         u_layout
         if u_layout is not None
         else undirect(edges)
-        .repartition(spark.sparkContext.defaultParallelism, F.col("src"))
+        .repartition(default_parallelism(spark), F.col("src"))
         .localCheckpoint(eager=True)
     )
     dist = spark.range(1).select(
@@ -378,7 +380,7 @@ def shortest_path_bf(
                 F.col("weight").cast("long").alias("w"),
             )
         )
-        .repartition(spark.sparkContext.defaultParallelism, F.col("src"))
+        .repartition(default_parallelism(spark), F.col("src"))
         .localCheckpoint(eager=True)
     )
     dist = spark.range(1).select(

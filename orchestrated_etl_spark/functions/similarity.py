@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from orchestrated_etl_spark.compat import default_parallelism
 from orchestrated_etl_spark.functions.dedup import cosine, dot, vec_norm
 
 
@@ -64,9 +65,9 @@ def brute_force_topk(
         q = F.broadcast(q)
     # Corpus side carries the |Q|·|C| dot-product work — spread it across
     # cores explicitly (one-row-group fixture files scan as 1 partition).
-    sc = corpus.sparkSession.sparkContext
+    par = default_parallelism(corpus.sparkSession)
     c = (
-        corpus.repartition(sc.defaultParallelism, F.col(id_col))
+        corpus.repartition(par, F.col(id_col))
         .select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
         )
@@ -126,9 +127,9 @@ def assign_to_centroids(
         F.col(vec_col).alias("_cenvec"),
         vec_norm(F.col(vec_col)).alias("_cennorm"),
     )
-    sc = corpus.sparkSession.sparkContext
+    par = default_parallelism(corpus.sparkSession)
     scored = (
-        corpus.repartition(sc.defaultParallelism, F.col(id_col))
+        corpus.repartition(par, F.col(id_col))
         .select(
             F.col(id_col).alias("_id"),
             F.col(vec_col).alias("_vec"),
@@ -361,8 +362,8 @@ def sq8_topk(
         vec_col,
         scale_stats,
     ).localCheckpoint(eager=True)
-    sc = corpus.sparkSession.sparkContext
-    c = q8.repartition(sc.defaultParallelism, F.col(id_col)).select(
+    par = default_parallelism(corpus.sparkSession)
+    c = q8.repartition(par, F.col(id_col)).select(
         F.col(id_col).alias("neighbor_id"), F.col("q8").alias("_cq8")
     )
     q = F.broadcast(

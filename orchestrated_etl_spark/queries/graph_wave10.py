@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from orchestrated_etl_spark.compat import application_id, default_parallelism
 from orchestrated_etl_spark.functions.graph import (
     copurchase_edges,
     degrees,
@@ -69,7 +70,7 @@ _EDGE_CACHE: dict[tuple[str, str, int], DataFrame] = {}
 def cached_edges(
     spark: SparkSession, sf_dir: str, min_weight: int = 2
 ) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, min_weight)
+    key = (application_id(spark), sf_dir, min_weight)
     if key not in _EDGE_CACHE:
         if len(_EDGE_CACHE) > 8:  # one fixture's relations at a time
             _EDGE_CACHE.clear()
@@ -93,7 +94,7 @@ def cached_undirected_layout(
     bucketed-by-src edges table the nightly graph job stages once, so
     caching it per session is the honest local stand-in (same argument
     as cached_edges / the BM25 index)."""
-    key = (spark.sparkContext.applicationId, sf_dir, min_weight)
+    key = (application_id(spark), sf_dir, min_weight)
     if key not in _ULAYOUT_CACHE:
         if len(_ULAYOUT_CACHE) > 4:
             _ULAYOUT_CACHE.clear()
@@ -102,7 +103,7 @@ def cached_undirected_layout(
         u = (
             undirect(cached_edges(spark, sf_dir, min_weight=min_weight))
             .repartition(
-                spark.sparkContext.defaultParallelism, F.col("src")
+                default_parallelism(spark), F.col("src")
             )
             .localCheckpoint(eager=True)
         )

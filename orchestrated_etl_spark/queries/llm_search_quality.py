@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from orchestrated_etl_spark.compat import application_id
 from orchestrated_etl_spark.registry import register
 
 _BM25_TERMS = ["spark", "window", "merge"]
@@ -71,7 +72,7 @@ def _bm25_index(spark: SparkSession, sf_dir: str) -> None:
     checkpoint becomes a staged parquet write BUCKETED BY term, giving
     per-term partition pruning on the posting lookup; localCheckpoint is
     the single-node stand-in (same plan shape above the scan)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (application_id(spark), sf_dir)
     if _BM25_INDEX_BUILT.get(key):
         return
     build_bm25_index(_docs(spark, sf_dir))
@@ -683,7 +684,7 @@ def _bm25_store(spark: SparkSession, sf_dir: str) -> None:
     plan-asserted in tests) — which is the localCheckpoint variant's
     documented 100 TB posture made executable: the index survives the
     session and a q-term query touches ~q/16 of the posting files."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (application_id(spark), sf_dir)
     if _BM25_STORE_BUILT.get(key):
         return
     # The in-memory catalog starts empty each session, but the warehouse

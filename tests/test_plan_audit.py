@@ -522,3 +522,71 @@ def test_stub_site_allowlist():
                     bare[rel] += 1
     assert nie == Counter({"functions/multimodal.py": 1}), dict(nie)
     assert bare == Counter({"streaming/stateful.py": 1}), dict(bare)
+
+
+def test_spark_connect_portability_exemptions_are_pinned():
+    """Round-12 verdict item 3: a Spark Connect client has no
+    ``SparkSession.sparkContext``, so any operator touching it breaks on
+    the deployment shape a shared 1000-executor cluster actually serves.
+    All classic-only reads are funneled through compat.py's documented
+    try/fallback accessors; this tokenizer-based grep pins the EXACT
+    remaining ``sparkContext`` attribute sites (comments/docstrings
+    don't count, so prose can't satisfy or trip the gate):
+
+    - compat.py: 2 — the guarded reads inside default_parallelism /
+      application_id, each with a Connect-safe fallback;
+    - session.py: 1 — setLogLevel in our own classic-only builder (a
+      Connect user never calls it; the driver builds its own session).
+
+    Everything else the engine calls is Connect-clean in Spark 4
+    (DataFrame.localCheckpoint included, added to Connect in 4.0). A new
+    classic-only touch anywhere else fails here with its location."""
+    import tokenize
+    from collections import Counter
+
+    sites: Counter[str] = Counter()
+    for path in sorted(PKG.rglob("*.py")):
+        rel = path.relative_to(PKG).as_posix()
+        if rel.startswith("_vendor/"):
+            continue
+        with open(path, "rb") as f:
+            for t in tokenize.tokenize(f.readline):
+                if t.type == tokenize.NAME and t.string == "sparkContext":
+                    sites[rel] += 1
+    assert sites == Counter({"compat.py": 2, "session.py": 1}), dict(sites)
+
+
+def test_compat_accessors_classic_and_connect_fallback(spark):
+    """compat.default_parallelism / application_id must (a) match the
+    classic sparkContext reads on a classic session and (b) degrade to
+    the documented conf-based fallbacks on a session object with no
+    sparkContext attribute (the Spark Connect client shape)."""
+    from orchestrated_etl_spark.compat import (
+        application_id,
+        default_parallelism,
+    )
+
+    assert default_parallelism(spark) == \
+        spark.sparkContext.defaultParallelism
+    assert application_id(spark) == spark.sparkContext.applicationId
+
+    class _Conf:
+        def __init__(self, values):
+            self._values = values
+
+        def get(self, key, default=None):
+            return self._values.get(key, default)
+
+    class _ConnectLike:
+        """No sparkContext attribute at all — touching it raises."""
+
+        def __init__(self, values):
+            self.conf = _Conf(values)
+
+    c = _ConnectLike({"spark.sql.shuffle.partitions": "17",
+                      "spark.app.id": "app-42"})
+    assert default_parallelism(c) == 17
+    assert application_id(c) == "app-42"
+    bare = _ConnectLike({})
+    assert default_parallelism(bare) == 200
+    assert application_id(bare) == f"session-{id(bare)}"
