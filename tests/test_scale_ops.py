@@ -203,6 +203,87 @@ def test_books_source_partitions_and_determinism(spark):
     ]
 
 
+def test_books_source_on_error_stop_keeps_prefix(spark):
+    """Reference parity (dags/dag.py:82,109-111): a non-200 page under
+    on_error=stop drops that page AND everything after it — the
+    partition-parallel analogue of the serial loop's `break`, keeping
+    exactly the rows fetched before the failure."""
+    from orchestrated_etl_spark.sources.books_source import (
+        register_books_source,
+    )
+
+    register_books_source(spark)
+    df = (
+        spark.read.format("books")
+        .option("n", 500).option("page_size", 100)
+        .option("fail_page", 2).option("on_error", "stop")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 2  # pages 0,1 survive the break
+    rows = sorted(r["title"] for r in df.collect())
+    assert len(rows) == 200
+    assert rows == sorted(f"book {i}" for i in range(200))
+    # a fail_page past the last page changes nothing
+    full = (
+        spark.read.format("books")
+        .option("n", 500).option("page_size", 100)
+        .option("fail_page", 99).option("on_error", "stop")
+        .load()
+    )
+    assert full.count() == 500
+
+
+def test_books_source_on_error_fail_raises(spark):
+    """on_error=fail surfaces the non-200 as a task error (fail-fast, no
+    silent truncation) — the Non200Error message reaches the driver."""
+    import pytest as _pytest
+
+    from orchestrated_etl_spark.sources.books_source import (
+        register_books_source,
+    )
+
+    register_books_source(spark)
+    df = (
+        spark.read.format("books")
+        .option("n", 300).option("page_size", 100)
+        .option("fail_page", 1).option("on_error", "fail")
+        .load()
+    )
+    with _pytest.raises(Exception, match="non-200 response for page 1"):
+        df.count()
+
+
+def test_books_source_on_error_retry_semantics(spark):
+    """on_error=retry with retries=N: a page whose first M simulated
+    attempts non-200 succeeds with the FULL dataset when N >= M (the
+    retry happens inside the task — no stage restart), and degrades to
+    fail-fast when N < M."""
+    import pytest as _pytest
+
+    from orchestrated_etl_spark.sources.books_source import (
+        register_books_source,
+    )
+
+    register_books_source(spark)
+
+    def _read(retries: int):
+        return (
+            spark.read.format("books")
+            .option("n", 300).option("page_size", 100)
+            .option("fail_page", 1).option("fail_attempts", 2)
+            .option("on_error", "retry").option("retries", retries)
+            .load()
+        )
+
+    ok = _read(2)  # attempts 1,2 fail; attempt 3 (retry #2) succeeds
+    assert ok.count() == 300
+    assert sorted(r["title"] for r in ok.collect()) == sorted(
+        f"book {i}" for i in range(300)
+    )
+    with _pytest.raises(Exception, match="non-200 response for page 1"):
+        _read(1).count()  # attempts 1,2 both fail -> exhausted
+
+
 def test_q18_in_subquery_becomes_semi_join(spark, sf_dir):
     """Q18's IN-over-grouped-HAVING must execute as a left-semi join
     against the pre-aggregated qualifying keys — the fact table is
