@@ -1325,23 +1325,68 @@ def _rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     values with the same (a+b)/2 double op DuckDB's windowed median
     interpolates with, on identical exact-DECIMAL-derived inputs.
 
-    Scale shape: the fact-sized work is the one day-grouped aggregate;
-    the window then runs over the DATE-RANGE-sized daily relation
-    (years x 365 rows — the RFM-histogram argument: the only ordered
-    window in the plan sees O(domain) rows, never O(fact)). A rolling
-    median over a per-key fact-sized series would partition the window
-    by key; the frame logic is unchanged."""
+    Scale shape (round-13 rewrite — this was the registry's last
+    allowlisted GLOBAL window): the fact-sized work is the one
+    day-grouped aggregate; the rolling frame then runs over the
+    DATE-RANGE-sized daily relation via the bounded-overlap pattern
+    instead of one unpartitioned WindowExec. The series is bucketed by
+    YEAR, each bucket's last 6 ROWS are replicated as padding into the
+    next non-empty bucket (the 6-PRECEDING frame never reaches further
+    back), the window runs partitionBy(bucket), and padding rows are
+    dropped after the frame is computed — bit-identical to the global
+    ROWS BETWEEN 6 PRECEDING window while every executor works one year.
+    PRECONDITION (documented, holds here): each non-final bucket carries
+    >= 6 rows — a year of a daily series has 100s; a sparser series
+    would pick a coarser bucket. The next-bucket mapping is a broadcast
+    self-join on the ~#years bucket spine (no window), so calendar gaps
+    (an entirely empty year) pad into the next PRESENT year, preserving
+    row-frame semantics under gaps. A rolling median over a per-key
+    fact-sized series would partition by key instead and skip the
+    padding entirely; the frame logic is unchanged."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    daily = orders.groupBy(
-        F.col("o_orderdate").cast("date").alias("day")
-    ).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("rev")
+    daily = (
+        orders.groupBy(
+            F.col("o_orderdate").cast("date").alias("day")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+        # 4 consumers (spine, pad source, main rows, next-bucket map):
+        # checkpoint the O(calendar-range) daily relation so the fact is
+        # aggregated ONCE, not re-scanned per consumer.
+        .localCheckpoint(eager=True)
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    base = daily.withColumn("b", F.trunc("day", "year"))
+    bkts = base.select("b").distinct()
+    nxt = (
+        bkts.alias("a")
+        .join(F.broadcast(bkts.alias("n")), F.col("n.b") > F.col("a.b"),
+              "left")
+        .groupBy(F.col("a.b").alias("b"))
+        .agg(F.min(F.col("n.b")).alias("next_b"))
+    )
+    tail6 = Window.partitionBy("b").orderBy(F.desc("day"))
+    pads = (
+        base.withColumn("rnd", F.row_number().over(tail6))
+        .where(F.col("rnd") <= 6)
+        .join(F.broadcast(nxt), "b")
+        .where(F.col("next_b").isNotNull())
+        .select(
+            "day", "rev",
+            F.col("next_b").alias("b"), F.lit(True).alias("is_pad"),
+        )
+    )
+    un = base.select(
+        "day", "rev", "b", F.lit(False).alias("is_pad")
+    ).unionByName(pads)
+
+    w = Window.partitionBy("b").orderBy("day").rowsBetween(
+        -6, Window.currentRow
+    )
     sorted_frame = F.array_sort(F.collect_list("rev").over(w))
     n = F.size(sorted_frame)
     mid_hi = ((n + 1) / F.lit(2)).cast("int")  # element_at wants INT
@@ -1356,7 +1401,11 @@ def _rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / F.lit(2.0)
     )
-    return daily.select("day", "rev", med.alias("med7"))
+    return (
+        un.select("day", "rev", "is_pad", med.alias("med7"))
+        .where(~F.col("is_pad"))
+        .select("day", "rev", "med7")
+    )
 
 
 register(

@@ -50,6 +50,9 @@ PAIRWISE_OK = {
     "sim_tree_assign_agreement",
     "dedup_semantic_clusters",  # same corpus x broadcast-K assignment pass
     "sim_kmeans_step_exact",  # same corpus x broadcast-K assignment pass
+    # next-non-empty-bucket mapping: broadcast nested-loop over the YEAR
+    # bucket spine with itself — O(#years^2) pairs (dozens), fact-free.
+    "window_rolling_median",
 }
 
 # Queries whose POINT is per-row Python: the UDTF demo exists to cover the
@@ -127,7 +130,9 @@ GLOBAL_WINDOW_OK: dict[str, tuple[int, str]] = {
     # O(calendar range) rows (years x 365), never O(fact).
     "events_cusum_changepoint": (2, "running mean + cusum over the daily spine"),
     "events_max_drawdown": (2, "running peak + drawdown over the daily spine"),
-    "window_rolling_median": (1, "7-day frame over the daily spine"),
+    # window_rolling_median left this list in round 13: bounded-overlap
+    # year-bucket rewrite — the 7-day frame now runs partitionBy(year)
+    # with a 6-row pad from the previous non-empty bucket.
     # duration-domain: risk-set cumulation over O(distinct lifetimes)
     # rows, bounded by the fixture date range.
     "events_km_survival": (1, "risk-set window over the duration domain"),
