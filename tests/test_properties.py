@@ -336,7 +336,7 @@ def test_binned_range_join_matches_plain_model(spark, events):
 
     from pyspark.sql import functions as F
 
-    base = datetime.datetime(2024, 1, 1)
+    base = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
     rows = [
         (i, u, base + datetime.timedelta(seconds=s), t)
         for i, (u, s, t) in enumerate(events)
@@ -442,7 +442,7 @@ def test_interval_coverage_matches_python_union(spark, tmp_path_factory, starts)
         _interval_coverage,
     )
 
-    t0 = datetime.datetime(2024, 1, 1)
+    t0 = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
     rows = [
         (i, t0 + datetime.timedelta(minutes=m), uid, "view", 1.0, "{}")
         for i, (uid, m) in enumerate(starts)

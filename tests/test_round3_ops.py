@@ -134,7 +134,7 @@ def test_locf_carries_last_purchase_only(spark):
     )
     import datetime as dt
 
-    t0 = dt.datetime(2024, 1, 1)
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
     rows = [
         (1, 7, t0, "click", 9.0),
         (2, 7, t0 + dt.timedelta(minutes=1), "purchase", 5.0),
@@ -170,7 +170,9 @@ def test_linear_interpolation_hand_series(spark):
 
     import orchestrated_etl_spark.queries.surface_wave4 as W4
 
-    t = lambda d: dt.datetime(2024, 1, d, 12, 0)  # noqa: E731
+    t = lambda d: dt.datetime(  # noqa: E731
+        2024, 1, d, 12, 0, tzinfo=dt.timezone.utc
+    )
     rows = [
         (1, 1, t(1), "view", 10.0),
         (2, 1, t(4), "view", 40.0),

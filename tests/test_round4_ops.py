@@ -24,7 +24,7 @@ def test_null_safe_join_planted_null_keys(spark, tmp_path):
         _null_safe_join,
     )
 
-    ts = datetime.datetime(2024, 1, 1)
+    ts = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
     rows = [
         # user 7 and 14 -> anonymized to NULL by the query's % 7 rule
         (1, ts, 7, "click", 1.0, "{}"),
@@ -111,7 +111,7 @@ def test_cep_pattern_counts_episodes(spark, tmp_path):
 
     from orchestrated_etl_spark.queries.wave13_round4 import _cep_conversion
 
-    t0 = datetime.datetime(2024, 1, 1)
+    t0 = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
 
     def row(eid, uid, typ, minute):
         return (
@@ -265,7 +265,7 @@ def test_interval_coverage_merges_overlaps(spark, tmp_path):
         _interval_coverage,
     )
 
-    t0 = datetime.datetime(2024, 1, 1)
+    t0 = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
     rows = [
         (1, t0, 1, "view", 1.0, "{}"),
         (2, t0 + datetime.timedelta(minutes=5), 1, "view", 1.0, "{}"),

@@ -4,7 +4,7 @@ and per-key sampling determinism."""
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timezone
 
 from pyspark.sql import functions as F
 
@@ -12,7 +12,9 @@ from orchestrated_etl_spark.queries import scale_ops, training_pipeline  # noqa:
 
 
 def _ts(s):
-    return datetime.fromisoformat(s)
+    # UTC-aware: naive datetimes go through the process TZ (see
+    # test_surface_wave4._ts) — zone-free fixtures are the standing rule.
+    return datetime.fromisoformat(s).replace(tzinfo=timezone.utc)
 
 
 def test_asof_same_timestamp_click_counts(spark, tmp_path):
@@ -32,7 +34,10 @@ def test_asof_same_timestamp_click_counts(spark, tmp_path):
         r["event_id"]: r["last_click_ts"]
         for r in scale_ops._asof(spark, sf).collect()
     }
-    assert out[2] == _ts("2024-01-01T10:00:00")  # tie → the same-ts click wins
+    # collect() renders LTZ as a NAIVE process-zone datetime; astimezone
+    # treats a naive value as process-local, so this compares the INSTANT
+    # zone-freely (tie → the same-ts click wins).
+    assert out[2].astimezone(timezone.utc) == _ts("2024-01-01T10:00:00")
     assert out[4] is None  # no click ever → NULL, row still present
 
 

@@ -3,7 +3,7 @@ gap-fill spine completeness + forward-fill, and split determinism."""
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timezone
 
 from pyspark.sql import functions as F
 
@@ -11,7 +11,12 @@ from orchestrated_etl_spark.queries import surface_wave4
 
 
 def _ts(s):
-    return datetime.fromisoformat(s)
+    # UTC-aware, not naive: createDataFrame interprets a NAIVE datetime
+    # in the PYTHON PROCESS timezone, so under a host TZ that crosses
+    # midnight vs UTC (e.g. Pacific/Kiritimati, +14) the stored instant
+    # lands on another UTC day and every day-bucketed assertion shifts.
+    # Zone-free fixtures are the standing rule (round-12/13 TZ axes).
+    return datetime.fromisoformat(s).replace(tzinfo=timezone.utc)
 
 
 def _write_events(spark, tmp_path, rows):

@@ -68,7 +68,12 @@ def test_hits_2iter_planted(spark, tmp_path):
 def _event(eid, day, etype="view", value=None, user=1):
     return (
         eid,
-        datetime.datetime(2024, 1, day, 12, 0, 0),
+        # UTC-aware: a naive datetime is interpreted in the PROCESS TZ
+        # by createDataFrame; under TZ=Pacific/Kiritimati (+14) noon
+        # lands on the previous UTC day and day-bucketed assertions
+        # shift (zone-free-fixture rule, round-13 Kiritimati pytest).
+        datetime.datetime(2024, 1, day, 12, 0, 0,
+                          tzinfo=datetime.timezone.utc),
         user,
         etype,
         value,
