@@ -168,13 +168,51 @@ class BooksStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options: dict) -> None:
         self.n = int(options.get("n", 1000))
         self.page_size = int(options.get("page_size", 100))
+        fp = options.get("fail_page")
+        self.fail_page = None if fp is None else int(fp)
+        self.fail_attempts = int(options.get("fail_attempts", 1 << 30))
+        self.on_error = str(options.get("on_error", "stop")).lower()
+        if self.on_error not in ("stop", "fail", "retry"):
+            raise ValueError(
+                f"on_error must be stop|fail|retry, got {self.on_error!r}"
+            )
+        self.retries = int(options.get("retries", 0))
 
     def initialOffset(self) -> dict:
         return {"i": 0}
 
     def read(self, start: dict):
+        """One page per micro-batch, with the same failure policies as
+        the batch reader (round-13: the reference's page loop IS the
+        stream analogue, so the non-200 contract belongs here too):
+
+        - ``stop``: the cursor simply stops advancing at the failing
+          page — every subsequent trigger returns an empty batch at the
+          same offset, the durable-stream form of the reference's
+          `break` (a later fixed source resumes from the checkpoint);
+        - ``fail``: the non-200 raises out of the micro-batch and fails
+          the streaming query;
+        - ``retry`` + ``retries=N``: re-attempt the page fetch inside
+          the trigger, then degrade to fail-fast when exhausted.
+        """
         s = start["i"]
         e = min(s + self.page_size, self.n)
+        page_no = s // self.page_size
+        failing = (
+            self.fail_page is not None
+            and page_no == self.fail_page
+            and s < e  # past-the-end offsets never "fetch"
+        )
+        if failing:
+            attempts = 1 + (self.retries if self.on_error == "retry" else 0)
+            if attempts <= self.fail_attempts:
+                # every attempt this trigger would make returns non-200
+                if self.on_error == "stop":
+                    return (iter([]), {"i": s})
+                raise Non200Error(
+                    f"non-200 response for page {page_no} "
+                    f"(attempt {min(attempts, self.fail_attempts)})"
+                )
         return (iter([_row(j) for j in range(s, e)]), {"i": e})
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:

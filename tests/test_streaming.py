@@ -366,6 +366,86 @@ def test_books_stream_resumes_from_checkpoint(spark, tmp_path):
     assert out.select("title").distinct().count() == 300
 
 
+def test_books_stream_failure_policies(spark, tmp_path):
+    """Stream-side non-200 contract (round-13, the batch policies'
+    stream twins): under on_error=stop the offset cursor stops advancing
+    at the failing page — availableNow terminates with exactly the
+    pre-failure rows (the durable form of the reference's `break`);
+    under fail the micro-batch raises; under retry with retries >=
+    fail_attempts the full dataset arrives."""
+    import time
+
+    from orchestrated_etl_spark.sources.books_source import (
+        register_books_source,
+    )
+
+    register_books_source(spark)
+
+    def start(tag: str, **opts):
+        # SimpleDataSourceStreamReader does not support availableNow
+        # (the engine falls back to ONE batch), so drive with a
+        # processingTime trigger and poll — the pattern of
+        # test_books_stream_resumes_from_checkpoint above.
+        sdf = spark.readStream.format("books").option("n", 300).option(
+            "page_size", 100
+        )
+        for k, v in opts.items():
+            sdf = sdf.option(k, v)
+        target = str(tmp_path / f"out_{tag}")
+        q = (
+            sdf.load()
+            .writeStream.foreachBatch(
+                lambda b, _id: b.write.mode("append").parquet(target)
+            )
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        return q, target
+
+    def count(target: str) -> int:
+        try:
+            return spark.read.parquet(target).count()
+        except Exception:
+            return 0  # no batch ever committed
+
+    def poll(until, deadline_s: float = 120.0):
+        deadline = time.time() + deadline_s
+        while time.time() < deadline:
+            if until():
+                return True
+            time.sleep(0.3)
+        return False
+
+    # stop: page 0 arrives, then the cursor idles at page 1 forever —
+    # the count settles at 100 and the query stays alive (no error).
+    q, target = start("stop", fail_page=1, on_error="stop")
+    try:
+        assert poll(lambda: count(target) == 100)
+        time.sleep(2)  # several more idle triggers
+        assert count(target) == 100
+        assert q.exception() is None and q.isActive
+    finally:
+        q.stop()
+
+    # fail: the failing micro-batch errors the query with the non-200.
+    q, target = start("fail", fail_page=1, on_error="fail")
+    try:
+        assert poll(lambda: q.exception() is not None)
+        assert "non-200 response for page 1" in str(q.exception())
+        assert count(target) == 100  # page 0 committed before the error
+    finally:
+        q.stop()
+
+    # retry >= fail_attempts: the page succeeds within its trigger.
+    q, target = start("retry", fail_page=1, fail_attempts=2,
+                      on_error="retry", retries=2)
+    try:
+        assert poll(lambda: count(target) == 300)
+    finally:
+        q.stop()
+
+
 def test_stream_left_outer_join_semantics(spark, sf_dir):
     """LEFT OUTER stream-stream interval join: (a) matched purchases and
     their click counts equal the batch interval join exactly; (b) every
