@@ -59,38 +59,35 @@ def _load_all() -> None:
 # STALENESS: each round fronts the 50 queries whose last GREEN driver
 # sample is oldest (ties broken by raw registration order — the
 # committed REGISTRATION_ORDER.txt artifact, not queries() iteration
-# order). ROUND-13 FRONT = the 41 remaining last-green-r7 queries plus
-# the 9 oldest last-green-r8 queries (last-green histogram over the 291
-# oracles after the r12 50/50-green sample: {7: 41, 8: 50, 9: 50,
-# 10: 50, 11: 50, 12: 50}). Recomputed by tools/rotate_front.py from
-# CORRECTNESS_r01..r12; the tool reproduces the shipped r8 list
+# order). ROUND-14 FRONT = the 41 remaining last-green-r8 queries plus
+# the 9 oldest last-green-r9 queries (last-green histogram over the 291
+# oracles after the r13 50/50-green sample: {8: 41, 9: 50, 10: 50,
+# 11: 50, 12: 50, 13: 50}). Recomputed by tools/rotate_front.py from
+# CORRECTNESS_r01..r13; the tool reproduces the shipped r8 list
 # bit-for-bit from r01..r07 inputs (pytest-pinned):
 #   sorted(oracle_names, key=lambda n: (last_green_round[n], reg_order[n]))[:50]
 _FRONT = [
-    # 41 stalest: last green round 7 (registration order)
-    "train_dedup_lines", "train_dedup_lines_global", "train_epoch_shuffle",
-    "window_range_7day_spend", "agg_filtered_conditional",
-    "string_funcs_profile", "train_split_assignment",
-    "datetime_linear_interpolate", "ps_pandas_api_rollup",
-    "window_distribution_ranks", "cogroup_click_purchase",
-    "sql_scalar_udf_revenue", "sql_table_udf_spine",
-    "events_rfm_segmentation", "events_dau_wau", "events_anomaly_mad",
-    "events_seasonal_decompose", "sql_collation_ci",
-    "train_e2e_incremental_refresh", "search_phrase_match",
-    "search_bm25_store_bucketed", "src_schema_evolution",
-    "agg_incremental_rollup", "agg_incremental_join_view",
-    "agg_listagg_lines", "agg_bitwise_flags", "agg_bool_rules",
-    "agg_median_percentiles", "window_nth_value",
-    "agg_approx_topk_exact_regime", "array_fold_profile",
-    "datetime_interval_math", "agg_grouping_id_cube",
-    "agg_regression_funcs", "agg_width_bucket_histogram",
-    "join_shuffle_hash_hint", "sql_pagination_offset",
-    "sql_regexp_count_instr", "agg_multi_distinct",
-    "sql_parameterized_args", "window_rolling_median",
-    # 9 stalest: last green round 8 (registration order)
-    "t3_cast_roundtrip", "t4_regex_extract", "t5_strip_separators",
-    "t6_project_drop", "a1_a5_enrich_family", "q1_pricing_summary",
-    "j1_star_join_revenue", "j_left_join", "j_semi_join",
+    # 41 stalest: last green round 8 (registration order)
+    "j_anti_join", "topk_orders_by_price", "setop_union",
+    "setop_intersect", "setop_except", "setop_except_orders",
+    "window_topk_per_group", "window_rank_lag_lead", "window_running_sum",
+    "rollup_flag_status", "cube_flag_status", "grouping_sets_orders",
+    "pivot_status_qty", "distinct_aggregates", "datetime_daily_rollup",
+    "datetime_parts", "window_tumbling_hourly", "window_sliding_2h_batch",
+    "json_extract_props", "json_field_agg", "sql_q3_shipping_priority",
+    "window_ntile_deciles", "agg_stats_corr", "unpivot_lineitem_measures",
+    "json_map_entries", "json_variant_props", "sql_pipe_syntax",
+    "sql_q4_priority_exists", "sql_q17_below_avg_qty",
+    "sql_cte_above_avg_balance", "array_hof_profile",
+    "sql_q10_returned_revenue", "sql_q14_promo_share",
+    "sql_q18_large_orders", "sql_q19_disjunctive", "sql_q8_market_share",
+    "sql_q9_product_profit", "sql_q21_waiting_supplier",
+    "text_lang_id_confusion", "train_pii_scrub", "dedup_exact",
+    # 9 stalest: last green round 9 (registration order)
+    "sql_q5_local_supplier_volume", "sql_q6_forecast_revenue",
+    "sql_q7_volume_shipping", "sql_q13_order_count_distribution",
+    "sql_q15_top_supplier", "sql_q12_shipmode_priority",
+    "sql_q22_sales_opportunity", "text_token_stats", "text_quality_score",
 ]
 
 

@@ -330,9 +330,9 @@ print(chr(10).join(registry.registration_order()))
     )
 
 
-def test_rotate_front_reproduces_shipped_r13_front():
-    """The SHIPPED round-13 `_FRONT` must equal the stalest-50
-    recomputation from the committed CORRECTNESS_r01–r12 files — the
+def test_rotate_front_reproduces_shipped_r14_front():
+    """The SHIPPED round-14 `_FRONT` must equal the stalest-50
+    recomputation from the committed CORRECTNESS_r01–r13 files — the
     exact check each round's judge performs by hand, made a gate. Uses
     the frozen REGISTRATION_ORDER.txt for the tie-break (what
     rotate_front.py reads), so this runs correctly even under pytest's
@@ -353,8 +353,8 @@ def test_rotate_front_reproduces_shipped_r13_front():
     assert len(paths) >= 12, "committed correctness history missing"
     for path in paths:
         rnd = int(path.name.rsplit("_r", 1)[1].split(".")[0])
-        if rnd > 12:
-            continue  # pin to the inputs the r13 rotation was computed from
+        if rnd > 13:
+            continue  # pin to the inputs the r14 rotation was computed from
         for name, row in json.load(open(path)).items():
             if _green(row):
                 last[name] = max(last.get(name, 0), rnd)
