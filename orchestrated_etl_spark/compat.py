@@ -41,7 +41,12 @@ def default_parallelism(spark: SparkSession) -> int:
     neighboring exchange in the same plan already uses."""
     try:
         return spark.sparkContext.defaultParallelism
-    except Exception:
+    except AttributeError:
+        # The Connect signature exactly: the client session has no
+        # sparkContext attribute (PySparkAttributeError subclasses
+        # AttributeError). Anything else — py4j failure, stopped
+        # SparkContext — is a real classic-session error and must
+        # propagate, not silently resize the repartition (r13 advice).
         return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
 
 
@@ -51,7 +56,11 @@ def application_id(spark: SparkSession) -> str:
     under-invalidates)."""
     try:
         return spark.sparkContext.applicationId
-    except Exception:
+    except AttributeError:
+        # Connect-only shape (see default_parallelism). A missing
+        # spark.app.id conf on the Connect side is tolerated — the
+        # session-identity key over-invalidates, never under-invalidates
+        # — but a classic-session failure propagates.
         try:
             app_id = spark.conf.get("spark.app.id", None)
         except Exception:

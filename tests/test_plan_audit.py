@@ -16,6 +16,7 @@ from __future__ import annotations
 import sys
 from pathlib import Path
 
+import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -590,3 +591,39 @@ def test_compat_accessors_classic_and_connect_fallback(spark):
     bare = _ConnectLike({})
     assert default_parallelism(bare) == 200
     assert application_id(bare) == f"session-{id(bare)}"
+
+    # r13 advice: the guards are narrowed to AttributeError (the actual
+    # Connect signature — PySparkAttributeError subclasses it). A
+    # classic-session failure with any OTHER type (py4j error, stopped
+    # SparkContext) must propagate, not silently switch the repartition
+    # width to the shuffle.partitions fallback.
+    class _BrokenClassic:
+        conf = _Conf({"spark.sql.shuffle.partitions": "17"})
+
+        @property
+        def sparkContext(self):
+            raise RuntimeError("SparkContext was shut down")
+
+    broken = _BrokenClassic()
+    with pytest.raises(RuntimeError, match="shut down"):
+        default_parallelism(broken)
+    with pytest.raises(RuntimeError, match="shut down"):
+        application_id(broken)
+
+    from pyspark.errors import PySparkAttributeError
+
+    class _ConnectExact(_ConnectLike):
+        """Raises the literal Connect error type, not plain
+        AttributeError — both must take the fallback path."""
+
+        @property
+        def sparkContext(self):
+            raise PySparkAttributeError(
+                errorClass="JVM_ATTRIBUTE_NOT_SUPPORTED",
+                messageParameters={"attr_name": "sparkContext"},
+            )
+
+    exact = _ConnectExact({"spark.sql.shuffle.partitions": "17",
+                           "spark.app.id": "app-42"})
+    assert default_parallelism(exact) == 17
+    assert application_id(exact) == "app-42"
