@@ -446,6 +446,125 @@ def test_books_stream_failure_policies(spark, tmp_path):
         q.stop()
 
 
+def _run_books_stream(spark, tmp_path, tag, trigger, n=300, page_size=100,
+                      await_s=None, **opts):
+    """Start a books stream into parquet, recording each micro-batch's
+    partition count (the parallelism evidence). Returns (query, target,
+    batch_partition_counts)."""
+    from orchestrated_etl_spark.sources.books_source import (
+        register_books_source,
+    )
+
+    register_books_source(spark)
+    sdf = spark.readStream.format("books").option("n", n).option(
+        "page_size", page_size
+    )
+    for k, v in opts.items():
+        sdf = sdf.option(k, v)
+    target = str(tmp_path / f"out_{tag}")
+    parts: list[int] = []
+
+    def sink(b, _id):
+        parts.append(b.rdd.getNumPartitions())
+        b.write.mode("append").parquet(target)
+
+    q = (
+        sdf.load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+        .trigger(**trigger)
+        .start()
+    )
+    if await_s is not None:
+        assert q.awaitTermination(await_s), "stream did not self-terminate"
+    return q, target, parts
+
+
+def test_books_stream_available_now_parallel(spark, tmp_path):
+    """Real Trigger.AvailableNow on the partitioned stream reader (the
+    round-13 missing-list item a SimpleDataSourceStreamReader cannot
+    satisfy — PySpark silently degrades it to one prefetched batch):
+    the query drains every available page, processes them as ONE
+    micro-batch with one partition PER PAGE (executor-parallel fetch),
+    and terminates on its own."""
+    q, target, parts = _run_books_stream(
+        spark, tmp_path, "an", {"availableNow": True}, await_s=120
+    )
+    assert q.exception() is None
+    out = spark.read.parquet(target)
+    assert out.count() == 300
+    assert out.select("title").distinct().count() == 300
+    # 3 pages -> a batch planned with 3 input partitions (not the
+    # Simple reader's single prefetched partition).
+    assert parts and max(parts) == 3, parts
+
+
+def test_books_stream_available_now_stop_drains_clean_prefix(
+    spark, tmp_path
+):
+    """AvailableNow + on_error=stop + a permanently failing page: the
+    captured offset is the clean prefix, so the query terminates
+    cleanly with exactly the pre-failure rows — the drain-what-exists
+    form of the reference's `break` (dags/dag.py:109-111). Under
+    fail/retry the availableNow capture never probes the failing page
+    either (it is not 'available now'), so the same prefix arrives
+    without an error — pinned here so the admission semantics are
+    documented behavior, not an accident."""
+    q, target, parts = _run_books_stream(
+        spark, tmp_path, "anstop", {"availableNow": True},
+        await_s=120, fail_page=2, on_error="stop",
+    )
+    assert q.exception() is None
+    assert spark.read.parquet(target).count() == 200
+    assert parts and max(parts) == 2, parts
+
+    q2, target2, _ = _run_books_stream(
+        spark, tmp_path, "anfail", {"availableNow": True},
+        await_s=120, fail_page=2, on_error="fail",
+    )
+    assert q2.exception() is None
+    assert spark.read.parquet(target2).count() == 200
+
+
+def test_books_stream_transient_non200_heals(spark, tmp_path):
+    """Round-13 advice: attempts must accumulate ACROSS triggers on the
+    driver-side reader instance, so a finite transient non-200 clears
+    and an on_error=stop stream heals instead of stalling forever. Both
+    stream readers (partitioned default and stream_mode=simple) freeze
+    at the failing page for the first fail_attempts triggers, then
+    advance to the full dataset."""
+    import time
+
+    def heal(tag, **extra):
+        q, target, parts = _run_books_stream(
+            spark, tmp_path, tag, {"processingTime": "0 seconds"},
+            fail_page=1, fail_attempts=3, on_error="stop", **extra,
+        )
+        try:
+            deadline = time.time() + 120
+            n = 0
+            while time.time() < deadline:
+                try:
+                    n = spark.read.parquet(target).count()
+                except Exception:
+                    n = 0
+                if n == 300:
+                    break
+                time.sleep(0.3)
+            assert n == 300, f"{tag}: stalled at {n} rows"
+            assert q.exception() is None
+        finally:
+            q.stop()
+        return parts
+
+    heal("heal_part")
+    # stream_mode=simple routes through the PySparkNotImplementedError
+    # fallback to the Simple reader: same healing, but page-at-a-time —
+    # every batch is the wrapper's single prefetched partition.
+    parts = heal("heal_simple", stream_mode="simple")
+    assert parts and max(parts) == 1, parts
+
+
 def test_stream_left_outer_join_semantics(spark, sf_dir):
     """LEFT OUTER stream-stream interval join: (a) matched purchases and
     their click counts equal the batch interval join exactly; (b) every
