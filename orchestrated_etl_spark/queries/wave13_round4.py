@@ -1335,9 +1335,15 @@ def _rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     back), the window runs partitionBy(bucket), and padding rows are
     dropped after the frame is computed — bit-identical to the global
     ROWS BETWEEN 6 PRECEDING window while every executor works one year.
-    PRECONDITION (documented, holds here): each non-final bucket carries
-    >= 6 rows — a year of a daily series has 100s; a sparser series
-    would pick a coarser bucket. The next-bucket mapping is a broadcast
+    PRECONDITION (runtime-ENFORCED, round-14 advice): each non-final
+    bucket carries >= 6 rows — a year of a daily series has 100s; a
+    sparser series would pick a coarser bucket. A violation no longer
+    corrupts med7 silently: per-bucket counts (an O(#years) aggregate on
+    the already-checkpointed daily relation, broadcast back) gate every
+    output row through ``raise_error``, so a <6-row non-final bucket
+    fails loudly with the bucket and its count named — pinned by
+    tests/test_round4_ops.py::test_rolling_median_sparse_bucket_guard.
+    The next-bucket mapping is a broadcast
     self-join on the ~#years bucket spine (no window), so calendar gaps
     (an entirely empty year) pad into the next PRESENT year, preserving
     row-frame semantics under gaps. A rolling median over a per-key
@@ -1380,9 +1386,28 @@ def _rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("next_b").alias("b"), F.lit(True).alias("is_pad"),
         )
     )
-    un = base.select(
-        "day", "rev", "b", F.lit(False).alias("is_pad")
-    ).unionByName(pads)
+    # Precondition guard: a non-final bucket with < 6 rows can't donate
+    # a full pad tail, so the NEXT bucket's leading frames would
+    # silently under-fill. Count rows per bucket (O(#years) output, one
+    # more consumer of the checkpointed daily relation), broadcast the
+    # verdict back, and route every output row's median through the
+    # check so a violation raises instead of returning wrong medians.
+    guard = (
+        base.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("bucket_rows"))
+        .join(F.broadcast(nxt), "b")
+        .select(
+            "b",
+            "bucket_rows",
+            (F.col("next_b").isNull() | (F.col("bucket_rows") >= 6))
+            .alias("bucket_ok"),
+        )
+    )
+    un = (
+        base.select("day", "rev", "b", F.lit(False).alias("is_pad"))
+        .unionByName(pads)
+        .join(F.broadcast(guard), "b")
+    )
 
     w = Window.partitionBy("b").orderBy("day").rowsBetween(
         -6, Window.currentRow
@@ -1401,8 +1426,27 @@ def _rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / F.lit(2.0)
     )
+    # Every output row evaluates med7, so hanging the precondition off
+    # it cannot be pruned away by Catalyst: a violating bucket raises
+    # on the first row an executor materializes.
+    med_guarded = F.when(F.col("bucket_ok"), med).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "window_rolling_median: non-final year bucket "
+                ),
+                F.col("b").cast("string"),
+                F.lit(" has only "),
+                F.col("bucket_rows").cast("string"),
+                F.lit(
+                    " rows (< 6); the bounded-overlap rewrite needs a"
+                    " coarser bucket for a series this sparse"
+                ),
+            )
+        )
+    )
     return (
-        un.select("day", "rev", "is_pad", med.alias("med7"))
+        un.select("day", "rev", "is_pad", med_guarded.alias("med7"))
         .where(~F.col("is_pad"))
         .select("day", "rev", "med7")
     )

@@ -238,7 +238,7 @@ def test_asof_join_matches_python_and_salted_matches_plain(spark, events):
         asof_salted_core,
     )
 
-    base = dt.datetime(2025, 5, 1)
+    base = dt.datetime(2025, 5, 1)  # naive-ntz-ok: feeds timestamp_ntz
     rows = [
         (i, base + dt.timedelta(minutes=m), u,
          "click" if c else "purchase", 0.0)

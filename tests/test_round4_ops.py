@@ -384,3 +384,90 @@ def test_incremental_moments_match_varsamp(spark, sf_dir):
         assert n == rn
         assert abs(mean - rmean) < 1e-6
         assert abs(var_k - rvar / 1000.0) <= 1.0  # grid floor
+
+
+def _write_orders(spark, path, days):
+    """Minimal orders fixture: only the two columns _rolling_median
+    reads (Catalyst prunes the rest anyway). ``days`` is a list of
+    (date, totalprice) pairs; duplicate dates aggregate into one day."""
+    rows = [(d, float(p)) for d, p in days]
+    spark.createDataFrame(
+        rows, "o_orderdate date, o_totalprice double"
+    ).write.parquet(f"{path}/orders.parquet")
+
+
+def test_rolling_median_sparse_bucket_guard(spark, tmp_path):
+    """Round-14 advice: a non-final year bucket with < 6 rows can't
+    donate a full 6-row pad tail, so the bounded-overlap rewrite's
+    frames would under-fill — the guard must raise LOUDLY instead of
+    returning silently wrong medians. 3 days per year over 3 years
+    violates the precondition for 2024 and 2025."""
+    import pytest
+
+    from orchestrated_etl_spark.queries.wave13_round4 import (
+        _rolling_median,
+    )
+
+    days = [
+        (datetime.date(y, m, 15), 100.0 * m + y % 100)
+        for y in (2024, 2025, 2026)
+        for m in (1, 5, 9)
+    ]
+    _write_orders(spark, str(tmp_path), days)
+    with pytest.raises(Exception, match="non-final year bucket"):
+        _rolling_median(spark, str(tmp_path)).collect()
+
+
+def test_rolling_median_matches_global_window_with_gap_year(
+    spark, tmp_path
+):
+    """The bucketed rewrite must stay bit-identical to the single
+    global ROWS BETWEEN 6 PRECEDING window on a series with (a) a
+    wholly EMPTY year (pads must hop the gap into the next PRESENT
+    year) and (b) a < 6-row FINAL bucket (legal: the last bucket never
+    donates pads, so the guard must not fire)."""
+    from pyspark.sql import Window
+
+    from orchestrated_etl_spark.queries.wave13_round4 import (
+        _rolling_median,
+    )
+
+    days = (
+        # 2023: 10 days (dense donor)
+        [(datetime.date(2023, 1, d), 10.0 * d) for d in range(1, 11)]
+        # 2024: entirely absent (gap year)
+        # 2025: 8 days
+        + [(datetime.date(2025, 2, d), 7.0 * d + 3) for d in range(1, 9)]
+        # 2026: 3 days — sparse but FINAL, so allowed
+        + [(datetime.date(2026, 3, d), 5.0 * d) for d in range(1, 4)]
+    )
+    _write_orders(spark, str(tmp_path), days)
+    got = {
+        r["day"]: (r["rev"], r["med7"])
+        for r in _rolling_median(spark, str(tmp_path)).collect()
+    }
+
+    daily = (
+        spark.read.parquet(f"{tmp_path}/orders.parquet")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    frame = F.array_sort(F.collect_list("rev").over(w))
+    n = F.size(frame)
+    hi = ((n + 1) / F.lit(2)).cast("int")
+    lo = (n / F.lit(2)).cast("int")
+    ref_med = F.when(n % 2 == 1, F.element_at(frame, hi)).otherwise(
+        (F.element_at(frame, lo) + F.element_at(frame, lo + 1))
+        / F.lit(2.0)
+    )
+    want = {
+        r["day"]: (r["rev"], r["med7"])
+        for r in daily.select("day", "rev", ref_med.alias("med7"))
+        .collect()
+    }
+    assert got == want  # bit-identical, gap year + sparse final bucket

@@ -506,7 +506,7 @@ def test_salted_asof_bucket_boundary_semantics(spark):
 
     from orchestrated_etl_spark.queries.scale_ops import _asof, _asof_salted
 
-    D1, D2 = dt.datetime(2025, 3, 1), dt.datetime(2025, 3, 2)
+    D1, D2 = dt.datetime(2025, 3, 1), dt.datetime(2025, 3, 2)  # naive-ntz-ok
     rows = [
         # user 1: click late day1 → purchase early day2 (pure carry-in)
         (1, D1 + dt.timedelta(hours=23, minutes=59), 1, "click", 0.0, "{}"),

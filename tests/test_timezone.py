@@ -144,6 +144,7 @@ def _dst_frame(spark):
     import datetime as dt
 
     stamps = []
+    # naive-ntz-ok: strftime'd to wall-clock strings, cast to ntz below
     for day in (dt.datetime(2024, 3, 10), dt.datetime(2024, 11, 3)):
         t = day
         while t < day + dt.timedelta(hours=4):
