@@ -92,6 +92,36 @@ def _cpu_probe_ms() -> float:
     return round((time.perf_counter() - t0) * 1000.0, 2)
 
 
+def _mt_probe_ms() -> float:
+    """Sustained ALL-CORE reference: wall-clock ms for os.cpu_count()
+    threads to each run the single-core probe's hash loop concurrently
+    (sha256 releases the GIL on 1 MiB updates, so threads genuinely
+    load every core). Added in round 14: that round's host reproduced a
+    ~27 s idle headline (history 19.7-22.3 s) while the SINGLE-thread
+    probe read normal (21-24 ms) — the slowdown only existed under
+    sustained multi-core load, exactly what a 29-query local[32] bench
+    generates and a one-shot single-core sample cannot see. Recording
+    both probes lets a future drift verdict separate "one core is slow"
+    (frequency scaling) from "the cores contend" (hypervisor neighbor,
+    memory bandwidth) by arithmetic. Near-ideal scaling reads ≈ the
+    single-core number; contention reads higher."""
+    import concurrent.futures
+
+    n = os.cpu_count() or 1
+
+    def work() -> None:
+        buf = b"\x5a" * (1 << 20)
+        h = hashlib.sha256()
+        for _ in range(32):
+            h.update(buf)
+        h.digest()
+
+    t0 = time.perf_counter()
+    with concurrent.futures.ThreadPoolExecutor(max_workers=n) as ex:
+        list(ex.map(lambda _: work(), range(n)))
+    return round((time.perf_counter() - t0) * 1000.0, 2)
+
+
 def _env_telemetry() -> dict:
     """Session conditions for cross-run noise adjudication (round-9 item:
     a +12% cross-session drift should adjudicate itself from the recorded
@@ -104,6 +134,7 @@ def _env_telemetry() -> dict:
         "loadavg": [round(load1, 2), round(load5, 2), round(load15, 2)],
         "cpus": os.cpu_count(),
         "cpu_probe_ms": _cpu_probe_ms(),
+        "mt_probe_ms": _mt_probe_ms(),
         "env": {
             k: v for k, v in sorted(os.environ.items())
             if k.startswith("SPARK_GRAFT_")

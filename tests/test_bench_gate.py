@@ -351,3 +351,21 @@ def test_cli_committed_history_is_clean_and_injected_regression_flags(
     assert "FLAG query graph_pagerank" in flagged.stdout
     assert "telemetry of flagged run" in flagged.stdout
     assert "loadavg" in flagged.stdout
+
+
+def test_bench_telemetry_records_both_cpu_probes():
+    """Round-14: the host reproduced a ~27 s idle headline while the
+    single-thread probe read normal — the slowdown existed only under
+    sustained all-core load. bench.py therefore records BOTH probes;
+    this pins the contract (positive, mt >= a lone single-core run's
+    scale — it runs cpu_count threads of the same loop) so a telemetry
+    regression can't silently drop the adjudication data."""
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import bench
+
+    tel = bench._env_telemetry()
+    assert tel["cpu_probe_ms"] > 0
+    assert tel["mt_probe_ms"] > 0
+    # all-core wall time can't beat a perfectly-parallel run of the
+    # same per-thread work (it IS that work, n-way concurrent)
+    assert tel["mt_probe_ms"] >= tel["cpu_probe_ms"] * 0.5
