@@ -238,10 +238,11 @@ def evaluate(
     }
 
 
-def _start_probe(run: dict) -> float | None:
-    """The capture's start-of-run cpu_probe_ms, if recorded (r12+)."""
+def _start_probe(run: dict, key: str = "cpu_probe_ms") -> float | None:
+    """The capture's start-of-run probe, if recorded (cpu_probe_ms
+    r12+, mt_probe_ms r14+)."""
     tel = run.get("telemetry") or {}
-    probe = (tel.get("telemetry_start") or {}).get("cpu_probe_ms")
+    probe = (tel.get("telemetry_start") or {}).get(key)
     return float(probe) if isinstance(probe, (int, float)) else None
 
 
@@ -317,6 +318,27 @@ def main(argv: list[str] | None = None) -> int:
     elif target_probe is not None:
         print(f"probe: target cpu_probe_ms {target_probe} — no committed "
               f"capture carries one yet, no normalisation possible")
+    # Sustained all-core probe (r14+): informational until enough
+    # history exists to calibrate a demotion bound — the r14 host
+    # showed ~27 s idle totals with a NORMAL single-core probe but a
+    # 5-7x-ideal all-core probe (SCALING.md round-14), so this line is
+    # the data a future drift verdict needs on record.
+    mt = _start_probe(target, "mt_probe_ms")
+    if mt is not None:
+        mt_hist = sorted(
+            p for p in (_start_probe(r, "mt_probe_ms") for r in history)
+            if p is not None
+        )
+        if mt_hist:
+            mt_ref = mt_hist[len(mt_hist) // 2]
+            print(f"mt-probe: target all-core {mt}ms vs history median "
+                  f"{mt_ref}ms over {len(mt_hist)} capture(s) "
+                  f"(informational — no demotion keyed on it yet)")
+        else:
+            print(f"mt-probe: target all-core {mt}ms (single-core "
+                  f"{target_probe}ms; ratio "
+                  f"{round(mt / target_probe, 1) if target_probe else '?'}x"
+                  f" — ideal ≈1x on idle cores); no committed history yet")
     for f in verdict["flagged_queries"]:
         print(f"FLAG query {f['query']}: {f['sec']}s is {f['ratio']}x "
               f"best-ever {f['best']}s ({f['best_in']})")
