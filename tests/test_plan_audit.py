@@ -627,3 +627,39 @@ def test_compat_accessors_classic_and_connect_fallback(spark):
                            "spark.app.id": "app-42"})
     assert default_parallelism(exact) == 17
     assert application_id(exact) == "app-42"
+
+
+def test_seeded_spot_check_sample_reproduces_r14_draw():
+    """check_oracle --sample/--seed/--non-front pins the judges'
+    spot-check protocol mechanically (it was hand-rolled r12-r14). The
+    r14 round record (COVERAGE.md round-14 delta) drew seed 1514, n 24,
+    non-front over the r14 front — this asserts the tool reproduces
+    that committed draw bit-for-bit, so a pool/ordering change that
+    would silently re-map historical seeds fails here instead."""
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    _sys.path.insert(0, str(_Path(__file__).resolve().parents[1] / "tools"))
+    from check_oracle import sample_queries
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    got = sample_queries(qs, oracles, 24, 1514, non_front=True)
+    assert got == [
+        "a1_a5_enrich_family", "dedup_cdc_chunks",
+        "sink_compacted_roundtrip", "orders_basket_lift",
+        "graph_bfs_frontier", "setop_intersect_all",
+        "sim_udaf_mean_norm", "string_funcs_profile", "dq_drift_psi",
+        "sim_sq8_topk", "window_range_7day_spend",
+        "train_fuzzy_decontaminate", "train_cap_per_source",
+        "search_bm25_topk", "train_token_packing", "train_dataset_card",
+        "graph_copurchase_edges", "sql_parameterized_args",
+        "src_csv_roundtrip", "stats_chi2_total", "ps_pandas_api_rollup",
+        "src_json_roundtrip", "sim_kmeans_step_exact", "t6_project_drop",
+    ]
+    # no query may appear in both the draw and the driver's front
+    from orchestrated_etl_spark import registry
+
+    assert not set(got) & set(registry._FRONT)

@@ -8,7 +8,16 @@ hash compare: on mismatch it prints example differing rows, so oracle
 misalignment is debuggable locally.
 
 Usage: python tools/check_oracle.py [--pandas] [--vanilla] [--first N]
-       [--conf k=v ...] [sf_dir] [query ...]
+       [--sample N --seed S [--non-front]] [--conf k=v ...]
+       [sf_dir] [query ...]
+
+``--sample N --seed S`` runs a seeded random sample of N oracle-bearing
+queries — the judges' spot-check protocol made mechanical (rounds 12-14
+hand-rolled it): the pool is the SORTED oracle-bearing names, optionally
+minus ``registry._FRONT`` with ``--non-front`` (the driver already
+samples the front every round, so the spot-check targets what it will
+NOT look at), drawn via ``random.Random(S).sample(pool, N)``. The r14
+convention: ``--sample 24 --seed 1514 --non-front`` at sf0.1.
 
 ``--conf k=v`` (repeatable) sets a RUNTIME SQL conf on the session after
 construction — the insurance-sweep knob for axes the driver never
@@ -135,6 +144,24 @@ def duck_fetch(res, pandas_mode):
     return cols, rows
 
 
+def sample_queries(
+    qs: dict, oracles: dict, n: int, seed: int, non_front: bool
+) -> list[str]:
+    """The seeded spot-check draw, isolated so a pytest can pin that the
+    committed protocol (sorted oracle-bearing pool, optional front
+    exclusion, random.Random(seed).sample) reproduces the recorded
+    rounds' samples bit-for-bit."""
+    import random
+
+    pool = [name for name in qs if name in oracles]
+    if non_front:
+        from orchestrated_etl_spark import registry
+
+        front = set(registry._FRONT)
+        pool = [name for name in pool if name not in front]
+    return random.Random(seed).sample(sorted(pool), n)
+
+
 def main() -> int:
     argv = list(sys.argv[1:])
     pandas_mode = "--pandas" in argv
@@ -148,6 +175,19 @@ def main() -> int:
         i = argv.index("--first")
         first_n = int(argv[i + 1])
         del argv[i : i + 2]
+    sample_n = None
+    if "--sample" in argv:
+        i = argv.index("--sample")
+        sample_n = int(argv[i + 1])
+        del argv[i : i + 2]
+    seed = 0
+    if "--seed" in argv:
+        i = argv.index("--seed")
+        seed = int(argv[i + 1])
+        del argv[i : i + 2]
+    non_front = "--non-front" in argv
+    if non_front:
+        argv.remove("--non-front")
     confs: dict[str, str] = {}
     while "--conf" in argv:
         i = argv.index("--conf")
@@ -187,6 +227,11 @@ def main() -> int:
     if first_n is not None:
         sample = [n for n in qs if n in oracles][:first_n]
         qs = {n: qs[n] for n in sample}
+    if sample_n is not None:
+        names = sample_queries(qs, oracles, sample_n, seed, non_front)
+        print(f"# seeded sample: n={sample_n} seed={seed} "
+              f"non_front={non_front} -> {names}")
+        qs = {n: qs[n] for n in names}
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
