@@ -19,6 +19,14 @@ samples the front every round, so the spot-check targets what it will
 NOT look at), drawn via ``random.Random(S).sample(pool, N)``. The r14
 convention: ``--sample 24 --seed 1514 --non-front`` at sf0.1.
 
+``--static-conf k=v`` (repeatable) sets a BUILD-TIME conf through
+``session.py``'s ``extra_conf`` before ``getOrCreate`` — for core confs
+Spark refuses to modify at runtime (``CANNOT_MODIFY_CONFIG``), e.g.
+``spark.python.worker.reuse=false`` (fresh Python worker per task —
+surfaces state leakage between Arrow-kernel invocations that worker
+reuse would hide). Ignored with a warning under ``--vanilla`` (the
+vanilla builder is deliberately conf-free).
+
 ``--conf k=v`` (repeatable) sets a RUNTIME SQL conf on the session after
 construction — the insurance-sweep knob for axes the driver never
 varies (e.g. ``spark.sql.execution.arrow.maxRecordsPerBatch=7`` slices
@@ -197,6 +205,16 @@ def main() -> int:
         k, _, v = argv[i + 1].partition("=")
         confs[k] = v
         del argv[i : i + 2]
+    static_confs: dict[str, str] = {}
+    while "--static-conf" in argv:
+        i = argv.index("--static-conf")
+        if i + 1 >= len(argv) or "=" not in argv[i + 1]:
+            print("usage: --static-conf requires a k=v argument",
+                  file=sys.stderr)
+            return 2
+        k, _, v = argv[i + 1].partition("=")
+        static_confs[k] = v
+        del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -205,6 +223,9 @@ def main() -> int:
     if vanilla:
         from pyspark.sql import SparkSession
 
+        if static_confs:
+            print("warning: --static-conf ignored under --vanilla",
+                  file=sys.stderr)
         spark = (
             SparkSession.builder.master("local[8]")
             .appName("oracle_check_vanilla")
@@ -213,7 +234,7 @@ def main() -> int:
     else:
         from orchestrated_etl_spark.session import get_spark
 
-        spark = get_spark("oracle_check")
+        spark = get_spark("oracle_check", extra_conf=static_confs or None)
     for k, v in confs.items():
         spark.conf.set(k, v)
     con = duckdb.connect()
