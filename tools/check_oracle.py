@@ -178,21 +178,34 @@ def main() -> int:
     vanilla = "--vanilla" in argv
     if vanilla:
         argv.remove("--vanilla")
-    first_n = None
-    if "--first" in argv:
-        i = argv.index("--first")
-        first_n = int(argv[i + 1])
+    def _int_flag(flag: str):
+        """Pop `flag N` from argv with the same usage contract --conf
+        has: a missing or non-integer value is a usage error (rc 2),
+        not a traceback (round-14 review)."""
+        if flag not in argv:
+            return None
+        i = argv.index(flag)
+        if i + 1 >= len(argv) or not argv[i + 1].lstrip("-").isdigit():
+            raise SystemExit(
+                f"usage: {flag} requires an integer argument"
+            ) from None
+        v = int(argv[i + 1])
         del argv[i : i + 2]
-    sample_n = None
-    if "--sample" in argv:
-        i = argv.index("--sample")
-        sample_n = int(argv[i + 1])
-        del argv[i : i + 2]
-    seed = 0
-    if "--seed" in argv:
-        i = argv.index("--seed")
-        seed = int(argv[i + 1])
-        del argv[i : i + 2]
+        return v
+
+    try:
+        first_n = _int_flag("--first")
+        sample_n = _int_flag("--sample")
+        seed = _int_flag("--seed") or 0
+    except SystemExit as e:
+        print(e, file=sys.stderr)
+        return 2
+    if first_n is not None and sample_n is not None:
+        # --first reshapes the pool --sample draws from, silently
+        # breaking the committed seeded-draw protocol — refuse.
+        print("usage: --first and --sample are mutually exclusive",
+              file=sys.stderr)
+        return 2
     non_front = "--non-front" in argv
     if non_front:
         argv.remove("--non-front")
