@@ -65,36 +65,52 @@ class Pipeline:
             df = stage.transform(df)
         return df
 
-    def _run_once(self, spark: SparkSession) -> DataFrame:
+    def _run_once(
+        self, spark: SparkSession, done_sinks: set[str]
+    ) -> DataFrame:
         df = self.source(spark)
         for stage in self.stages:
             df = stage.transform(df)
             if stage.validate is not None:
                 stage.validate(df)
-        if len(self.sinks) > 1 and self.cache_before_fanout:
+        todo = {k: s for k, s in self.sinks.items() if k not in done_sinks}
+        if len(todo) > 1 and self.cache_before_fanout:
             df = df.persist()
         try:
-            for sink in self.sinks.values():
+            for name, sink in todo.items():
                 sink(df)
+                # A retry must not re-run a sink that already succeeded:
+                # write_parquet defaults to append, so re-executing it
+                # duplicates every row the first attempt landed
+                # (round-14 review). Completed sinks are skipped on the
+                # next attempt; only the failed-and-after ones re-run.
+                done_sinks.add(name)
         finally:
-            if len(self.sinks) > 1 and self.cache_before_fanout:
+            if len(todo) > 1 and self.cache_before_fanout:
                 df.unpersist()
         return df
 
     def run(self, spark: SparkSession) -> DataFrame:
         """Run to all sinks with the retry budget; returns the final frame
-        (lazy — sinks have executed, the frame itself can be reused)."""
+        (lazy — sinks have executed, the frame itself can be reused).
+        Sinks that succeeded before a failure are NOT re-executed by the
+        retry (append sinks would double their rows); the source+stages
+        ARE re-evaluated, so sinks of one pipeline see the same lazy
+        plan but possibly re-read inputs — the usual Spark contract."""
         attempt = 0
+        done_sinks: set[str] = set()
         while True:
             try:
-                return self._run_once(spark)
-            except Exception:  # noqa: BLE001 — retry any stage failure
+                return self._run_once(spark, done_sinks)
+            except Exception as exc:  # noqa: BLE001 — retry any failure
                 attempt += 1
                 if attempt > self.retries:
+                    # chain the cause: `from None` buried the actual
+                    # stage/sink error (round-14 review)
                     raise PipelineError(
                         f"pipeline {self.name!r} failed after "
                         f"{attempt} attempt(s)"
-                    ) from None
+                    ) from exc
                 time.sleep(self.retry_delay_s)
 
     def run_streaming(
@@ -111,6 +127,18 @@ class Pipeline:
         reproduces the reference's cron; None → AvailableNow (run-once
         over pending input, then stop — the idempotent batch-cron hybrid).
         Returns the StreamingQuery handle."""
+        guarded = [s.name for s in self.stages if s.validate is not None]
+        if guarded:
+            # T1 validators are eager actions (isEmpty) — illegal on a
+            # streaming frame; silently skipping them would drop the
+            # pipeline's declared guards (round-14 review). Refuse
+            # loudly; a streaming pipeline expresses its guards as
+            # filters/expectations (dq_quarantine_split pattern).
+            raise ValueError(
+                f"pipeline {self.name!r}: stages {guarded} carry batch "
+                "validators, which cannot run on a streaming frame — "
+                "drop them or re-express as streaming-safe filters"
+            )
         df = stream_source(spark)
         for stage in self.stages:
             df = stage.transform(df)

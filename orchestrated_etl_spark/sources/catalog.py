@@ -29,6 +29,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def nanos_to_micros_ts(col: str = "ts"):
+    """Nano-long → microsecond-timestamp conversion, shared by the batch
+    and stream events readers so the two can never diverge (round-14
+    review — each had its own copy). FLOOR semantics in pure integer
+    arithmetic: plain ``div`` truncates toward zero, which for a
+    NEGATIVE (pre-epoch) nano value rounds the wrong way vs DuckDB's
+    floor truncation; float division is not an option because int64
+    nanos exceed a double's 2^53 exact range. The fixture is entirely
+    post-epoch (where div == floor), so this is contract hardening, not
+    a behavior change there."""
+    return F.expr(
+        f"timestamp_micros({col} div 1000 - "
+        f"(CASE WHEN {col} % 1000 < 0 THEN 1 ELSE 0 END))"
+    )
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
     parquet reader rejects outright (PARQUET_TYPE_ILLEGAL). Read the
@@ -38,7 +54,7 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(raw.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) physical int64
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        raw = raw.withColumn("ts", nanos_to_micros_ts("ts"))
     return raw.select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 

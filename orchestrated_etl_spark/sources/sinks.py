@@ -50,9 +50,18 @@ def write_jdbc(
     concurrent connections so a 1000-executor write cannot exhaust the
     database's connection pool. Table creation is handled by Spark
     (createTableOptions / SaveMode), replacing the reference's hand DDL (K1).
+
+    ``repartition``, not ``coalesce``: coalesce has no shuffle barrier,
+    so capping 1000 write tasks to 8 would also run the ENTIRE upstream
+    transform lineage in 8 tasks (round-14 review) — one shuffle buys
+    full upstream parallelism with exactly num_partitions connections.
     """
-    if num_partitions:
-        df = df.coalesce(num_partitions)
+    if num_partitions is not None:
+        if num_partitions < 1:
+            raise ValueError(
+                f"num_partitions must be >= 1, got {num_partitions}"
+            )
+        df = df.repartition(num_partitions)
     writer = (
         df.write.format("jdbc")
         .option("url", url)

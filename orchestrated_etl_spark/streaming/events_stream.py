@@ -12,6 +12,7 @@ checkpoint.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 
@@ -53,7 +54,17 @@ def _events_schema(sf_dir: str) -> tuple[T.StructType, bool]:
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a file-source stream with proper TimestampType
     ``ts``. File streams need a declared schema — inference would require
-    a listing job per trigger."""
+    a listing job per trigger.
+
+    SESSION-WIDE SIDE EFFECT (deliberate, round-14 review made it
+    signature-level doc): this sets ``spark.sql.session.timeZone=UTC``
+    and ``spark.sql.legacy.parquet.nanosAsLong=true`` on the session and
+    does NOT restore them — the timezone pin must still be in force when
+    the stream EXECUTES (window boundaries and the Arrow rendering of
+    the LTZ ``ts`` evaluate at trigger time, not at plan-build time), so
+    a scoped save/restore would silently break the stream it just built.
+    A caller running non-UTC batch queries in the same session should
+    use a separate session for them."""
     schema, nanos = _events_schema(sf_dir)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The µs/ms file stores NTZ wall-clock values but is declared LTZ above
@@ -69,7 +80,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{sf_dir}/events.[p]arquet")
     )
     if nanos:
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        from orchestrated_etl_spark.sources.catalog import nanos_to_micros_ts
+
+        raw = raw.withColumn("ts", nanos_to_micros_ts("ts"))
     return raw
 
 
@@ -82,13 +95,24 @@ def run_available_now(
     are parquet/Delta via ``writeStream`` or ``foreachBatch`` (see
     plans/pipeline.py for the JDBC-batch pattern)."""
     qname = name or f"q_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
     query = (
         sdf.writeStream.format("memory")
         .queryName(qname)
         .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     query.awaitTermination()
-    return sdf.sparkSession.table(qname)
+    spark = sdf.sparkSession
+    # Detach the result from the run's scaffolding, then clean up: every
+    # registered stream query calls this per bench/oracle run, and
+    # without cleanup each run leaked a ckpt_* state-store dir in /tmp
+    # and a q_<uuid> memory table held in driver memory for the session
+    # lifetime (round-14 review). localCheckpoint materializes the small
+    # result so dropping the memory-sink view cannot invalidate it.
+    out = spark.table(qname).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(qname)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out

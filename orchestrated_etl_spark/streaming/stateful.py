@@ -47,6 +47,12 @@ STATE_SCHEMA = StructType(
     [
         StructField("n", LongType()),
         StructField("total", DoubleType()),
+        # last-seen ts as epoch MICROS (integer, zone-proof): the running
+        # max must live IN the state or it silently resets every
+        # micro-batch — a late event arriving in a later batch would
+        # regress last_ts below the stored maximum (round-14 review; the
+        # single-file fixture always fed exactly one batch, hiding it).
+        StructField("last_us", LongType()),
     ]
 )
 
@@ -56,27 +62,31 @@ def _accumulate(
     batches: Iterable[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    n, total = state.get if state.exists else (0, 0.0)
-    last_ts = None
+    n, total, last_us = state.get if state.exists else (0, 0.0, None)
     for pdf in batches:
         n += len(pdf)
         total += float(pdf["value"].fillna(0.0).sum())
         mx = pdf["ts"].max()
-        last_ts = mx if last_ts is None else max(last_ts, mx)
-    state.update((n, total))
+        if pd.notna(mx):
+            mx_us = pd.Timestamp(mx).value // 1000  # ns -> µs
+            last_us = mx_us if last_us is None else max(last_us, mx_us)
+    state.update((n, total, last_us))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [n],
             "total_value": [round(total, 4)],
-            "last_ts": [last_ts],
+            "last_ts": [
+                None if last_us is None
+                else pd.Timestamp(last_us * 1000)  # µs -> ns ctor
+            ],
         }
     )
 
 
 def user_running_totals(events: DataFrame) -> DataFrame:
     """Per-user running (count, sum(value), max(ts)) maintained in the
-    state store; one output row per user per micro-batch. State is two
+    state store; one output row per user per micro-batch. State is three
     scalars per key — bounded regardless of event volume."""
     return (
         events.select("user_id", "ts", "value")

@@ -717,3 +717,69 @@ def test_books_stream_restart_after_heal_never_duplicates(
     out = spark.read.parquet(target)
     assert out.count() == 300, "restart re-emitted committed pages"
     assert out.select("title").distinct().count() == 300
+
+
+def test_stateful_last_ts_survives_multiple_microbatches(spark, tmp_path):
+    """Round-14 review: last_ts was recomputed from the CURRENT batch
+    only and never persisted in STATE_SCHEMA, so a later micro-batch
+    carrying a LATE (older-ts) event regressed the emitted running max.
+    Two single-row files + maxFilesPerTrigger=1 force two micro-batches
+    with the late event second; the final emit must keep the true
+    running max across batches."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from orchestrated_etl_spark.streaming.events_stream import (
+        run_available_now,
+    )
+    from orchestrated_etl_spark.streaming.stateful import (
+        user_running_totals,
+    )
+
+    t_new = dt.datetime(2024, 1, 2, 12, 0)  # naive-ntz-ok: ntz column
+    t_old = dt.datetime(2024, 1, 1, 9, 0)  # naive-ntz-ok: the late event
+    src = tmp_path / "ev"
+    src.mkdir()
+    arrow_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("value", pa.float64()),
+        ]
+    )
+
+    def write_one(name, eid, ts, value, mtime):
+        path = str(src / name)
+        pq.write_table(
+            pa.table(
+                {"event_id": [eid], "ts": [ts], "user_id": [7],
+                 "value": [value]},
+                schema=arrow_schema,
+            ),
+            path,
+        )
+        os.utime(path, (mtime, mtime))  # deterministic batch order
+
+    write_one("f1.parquet", 1, t_new, 2.0, 1_700_000_000)
+    write_one("f2.parquet", 2, t_old, 3.0, 1_700_000_100)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = run_available_now(
+        user_running_totals(stream), output_mode="update"
+    ).collect()
+    assert len(out) == 2, out  # one emit per micro-batch
+    final = max(out, key=lambda r: r["n_events"])
+    assert final["n_events"] == 2
+    assert abs(final["total_value"] - 5.0) < 1e-9
+    # the running max must NOT regress to the late batch's 09:00
+    assert final["last_ts"] == t_new, final
