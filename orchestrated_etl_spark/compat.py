@@ -32,6 +32,7 @@ touch anywhere else fails the suite.
 
 from __future__ import annotations
 
+from pyspark.errors import PySparkAttributeError
 from pyspark.sql import SparkSession
 
 
@@ -41,12 +42,14 @@ def default_parallelism(spark: SparkSession) -> int:
     neighboring exchange in the same plan already uses."""
     try:
         return spark.sparkContext.defaultParallelism
-    except AttributeError:
-        # The Connect signature exactly: the client session has no
-        # sparkContext attribute (PySparkAttributeError subclasses
-        # AttributeError). Anything else — py4j failure, stopped
-        # SparkContext — is a real classic-session error and must
-        # propagate, not silently resize the repartition (r13 advice).
+    except PySparkAttributeError:
+        # The Connect signature EXACTLY — not bare AttributeError: a
+        # STOPPED classic SparkContext raises plain AttributeError too
+        # (SparkContext.stop() sets _jsc=None, so defaultParallelism
+        # dereferences None — round-14 review verified against pyspark
+        # 4.1.2 source), and that is a real classic-session error which
+        # must propagate, not silently resize the repartition
+        # (r13 advice, tightened r14).
         return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
 
 
@@ -56,7 +59,7 @@ def application_id(spark: SparkSession) -> str:
     under-invalidates)."""
     try:
         return spark.sparkContext.applicationId
-    except AttributeError:
+    except PySparkAttributeError:
         # Connect-only shape (see default_parallelism). A missing
         # spark.app.id conf on the Connect side is tolerated — the
         # session-identity key over-invalidates, never under-invalidates

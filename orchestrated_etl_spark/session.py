@@ -36,8 +36,12 @@ _DEFAULTS: dict[str, str] = {
 }
 
 
-def default_parallelism() -> int:
-    """Thread count for local mode, from $SPARK_GRAFT_CPUS (default 32)."""
+def local_cpus() -> int:
+    """Thread count for LOCAL mode, from $SPARK_GRAFT_CPUS (default 32).
+    Renamed from ``default_parallelism`` (round-14 review): that name
+    collided with ``compat.default_parallelism(spark)`` — the
+    cluster-aware shuffle width — and importing the wrong one silently
+    gave the 32-thread local default on a real cluster."""
     try:
         return max(1, int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     except ValueError:
@@ -59,7 +63,7 @@ def get_spark(
     on a 1000-executor cluster it should instead be ~2-3× total cores
     (AQE coalesces the excess at runtime, so erring high is safe).
     """
-    cpus = default_parallelism()
+    cpus = local_cpus()
     builder = SparkSession.builder.appName(app_name).master(
         master or f"local[{cpus}]"
     )

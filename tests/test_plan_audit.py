@@ -559,9 +559,16 @@ def test_spark_connect_portability_exemptions_are_pinned():
 
 def test_compat_accessors_classic_and_connect_fallback(spark):
     """compat.default_parallelism / application_id must (a) match the
-    classic sparkContext reads on a classic session and (b) degrade to
-    the documented conf-based fallbacks on a session object with no
-    sparkContext attribute (the Spark Connect client shape)."""
+    classic sparkContext reads on a classic session, (b) degrade to the
+    documented conf-based fallbacks ONLY on the literal Connect error
+    type, and (c) propagate every classic-session failure — including a
+    STOPPED SparkContext, whose signature is a plain AttributeError
+    (SparkContext.stop() sets _jsc=None; round-14 review verified
+    against the pyspark 4.1.2 source that the r13 bare-AttributeError
+    guard silently swallowed exactly the case its comment promised to
+    propagate)."""
+    from pyspark.errors import PySparkAttributeError
+
     from orchestrated_etl_spark.compat import (
         application_id,
         default_parallelism,
@@ -579,10 +586,20 @@ def test_compat_accessors_classic_and_connect_fallback(spark):
             return self._values.get(key, default)
 
     class _ConnectLike:
-        """No sparkContext attribute at all — touching it raises."""
+        """The REAL Connect client shape: sparkContext exists as a
+        property that raises PySparkAttributeError — not a missing
+        attribute (pyspark.sql.connect.session defines it to raise
+        JVM_ATTRIBUTE_NOT_SUPPORTED)."""
 
         def __init__(self, values):
             self.conf = _Conf(values)
+
+        @property
+        def sparkContext(self):
+            raise PySparkAttributeError(
+                errorClass="JVM_ATTRIBUTE_NOT_SUPPORTED",
+                messageParameters={"attr_name": "sparkContext"},
+            )
 
     c = _ConnectLike({"spark.sql.shuffle.partitions": "17",
                       "spark.app.id": "app-42"})
@@ -592,11 +609,8 @@ def test_compat_accessors_classic_and_connect_fallback(spark):
     assert default_parallelism(bare) == 200
     assert application_id(bare) == f"session-{id(bare)}"
 
-    # r13 advice: the guards are narrowed to AttributeError (the actual
-    # Connect signature — PySparkAttributeError subclasses it). A
-    # classic-session failure with any OTHER type (py4j error, stopped
-    # SparkContext) must propagate, not silently switch the repartition
-    # width to the shuffle.partitions fallback.
+    # Classic-session failures of EVERY other type must propagate, not
+    # silently switch the repartition width to the fallback:
     class _BrokenClassic:
         conf = _Conf({"spark.sql.shuffle.partitions": "17"})
 
@@ -610,23 +624,33 @@ def test_compat_accessors_classic_and_connect_fallback(spark):
     with pytest.raises(RuntimeError, match="shut down"):
         application_id(broken)
 
-    from pyspark.errors import PySparkAttributeError
+    class _StoppedClassic:
+        """The stopped-classic signature: a PLAIN AttributeError from
+        dereferencing the None _jsc — must NOT take the Connect
+        fallback."""
 
-    class _ConnectExact(_ConnectLike):
-        """Raises the literal Connect error type, not plain
-        AttributeError — both must take the fallback path."""
+        conf = _Conf({"spark.sql.shuffle.partitions": "17"})
 
-        @property
-        def sparkContext(self):
-            raise PySparkAttributeError(
-                errorClass="JVM_ATTRIBUTE_NOT_SUPPORTED",
-                messageParameters={"attr_name": "sparkContext"},
-            )
+        class _DeadContext:
+            @property
+            def defaultParallelism(self):
+                raise AttributeError(
+                    "'NoneType' object has no attribute 'sc'"
+                )
 
-    exact = _ConnectExact({"spark.sql.shuffle.partitions": "17",
-                           "spark.app.id": "app-42"})
-    assert default_parallelism(exact) == 17
-    assert application_id(exact) == "app-42"
+            @property
+            def applicationId(self):
+                raise AttributeError(
+                    "'NoneType' object has no attribute 'sc'"
+                )
+
+        sparkContext = _DeadContext()
+
+    stopped = _StoppedClassic()
+    with pytest.raises(AttributeError, match="NoneType"):
+        default_parallelism(stopped)
+    with pytest.raises(AttributeError, match="NoneType"):
+        application_id(stopped)
 
 
 def test_seeded_spot_check_sample_reproduces_r14_draw():
@@ -663,3 +687,21 @@ def test_seeded_spot_check_sample_reproduces_r14_draw():
     from orchestrated_etl_spark import registry
 
     assert not set(got) & set(registry._FRONT)
+
+
+def test_read_schema_field_count_handles_parenthesized_types():
+    """Round-14 review: commas inside decimal(p,s)/varchar(n) type
+    parameters must not count as field separators, or a pruned scan
+    over a decimal-bearing table reads as a full scan."""
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    _sys.path.insert(0, str(_Path(__file__).resolve().parents[1] / "tools"))
+    from plan_audit import _read_schema_field_count
+
+    assert _read_schema_field_count("a:double,b:int>") == 2
+    assert _read_schema_field_count("a:decimal(12,2),b:decimal(10,0)>") == 2
+    assert _read_schema_field_count(
+        "a:struct<x:int,y:decimal(10,2)>,b:int>"
+    ) == 2
+    assert _read_schema_field_count("") == 0

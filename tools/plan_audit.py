@@ -214,13 +214,18 @@ _FIXTURE_TABLES = [
 
 
 def _read_schema_field_count(segment: str) -> int:
-    """Top-level field count of a ``ReadSchema: struct<...`` suffix."""
+    """Top-level field count of a ``ReadSchema: struct<...`` suffix.
+    Tracks BOTH bracket kinds: ``decimal(12,2)``/``varchar(n)`` carry
+    commas inside parentheses, which a <>-only depth counter would
+    mis-count as field separators — overcounting would falsely flag a
+    pruned scan as full the moment a fixture gains a decimal column
+    (round-14 review; latent until then)."""
     depth = 0
     n = 1 if segment.strip(" >") else 0
     for ch in segment:
-        if ch == "<":
+        if ch in "<(":
             depth += 1
-        elif ch == ">":
+        elif ch in ">)":
             depth -= 1
         elif ch == "," and depth == 0:
             n += 1
@@ -383,6 +388,14 @@ def main() -> None:
         for t in _FIXTURE_TABLES
     }
     qs = entrymod.queries()
+    unknown = only - set(qs)
+    if unknown:
+        # A typo'd selection used to skip every loop and print "clean"
+        # with ZERO plans audited (round-14 review) — a green gate
+        # backed by nothing. Unknown names are a usage error.
+        print(f"error: unknown query name(s): {sorted(unknown)}",
+              file=sys.stderr)
+        sys.exit(2)
     failures = []
     # Streaming coverage first: every stream_* query must carry a batch
     # twin (which the loop below audits) or a written exemption; named
@@ -403,6 +416,12 @@ def main() -> None:
                 failures.append(name)
                 print(f"SMELL {name}: batch twin {twin!r} not in registry")
                 continue
+            if only:
+                # A stream-only selection must audit the twin PLAN that
+                # justifies its "ok", not just the registry membership
+                # (round-14 review: `plan_audit.py <sf> stream_x` used
+                # to exit 0 with no plan inspected at all).
+                only.add(twin)
         print(f"ok    {name}: {note.split(' — ')[0]}")
     for name, fn in qs.items():
         if only and name not in only:
