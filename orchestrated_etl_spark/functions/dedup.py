@@ -72,8 +72,15 @@ def shingles(col: Column | str, n: int = 3) -> Column:
 
 
 def _exploded_sets(df: DataFrame, id_col: str, set_col: Column) -> DataFrame:
-    """(id, element) pairs of the exploded distinct set + per-id set size."""
-    base = df.select(F.col(id_col).alias("_id"), set_col.alias("_set"))
+    """(id, element) pairs of the exploded distinct set + per-id set size.
+    ``array_distinct`` is ENFORCED here, not assumed (round-14 review):
+    a multiset input (e.g. raw ``F.split(text, ' ')``) made the joined
+    overlap counts multiplicative in duplicate multiplicity — shared
+    could exceed the union and Jaccard went negative, silently. For
+    already-distinct inputs (shingles()) this is an idempotent no-op."""
+    base = df.select(
+        F.col(id_col).alias("_id"), F.array_distinct(set_col).alias("_set")
+    )
     return base.select(
         "_id", F.explode("_set").alias("_elem"), F.size("_set").alias("_n")
     )
@@ -275,6 +282,20 @@ def bucket_key_cols(rows_per_band: int = 2) -> list[str]:
     return ["band"] + [f"k{r}" for r in range(rows_per_band)]
 
 
+def _check_banding(k: int, bands: int, rows_per_band: int) -> None:
+    """k must equal bands*rows_per_band or the banding silently ignores
+    surplus signature columns (k too big: paying 2x signature cost while
+    candidate recall is governed by fewer hashes than asked) or dies
+    with an opaque unresolved-column error deep in execution (k too
+    small) — round-14 review. Loud and early instead."""
+    if k != bands * rows_per_band:
+        raise ValueError(
+            f"k={k} signature hashes cannot split into bands={bands} x "
+            f"rows_per_band={rows_per_band} (= {bands * rows_per_band}); "
+            "set k = bands*rows_per_band"
+        )
+
+
 def band_buckets(
     sigs: DataFrame, bands: int = 4, rows_per_band: int = 2
 ) -> DataFrame:
@@ -368,6 +389,7 @@ def minhash_lsh_dedup(
     # n doc rows — far cheaper than the explode-based formulation's
     # shuffle of n×|set| element rows, and a no-op on a well-partitioned
     # 100 TB input.
+    _check_banding(k, bands, rows_per_band)
     # Spread the per-doc shingle/hash work across all cores FIRST: a
     # small corpus arrives as one file → one scan partition, and every
     # downstream expression would run single-threaded in that scan stage.
@@ -474,6 +496,7 @@ def incremental_minhash_flags(
     shingle arrays are built for exact-Jaccard verification. Per-night
     cost: O(|batch|) signature work + bucket-join against the store +
     O(|candidates|) verification."""
+    _check_banding(k, bands, rows_per_band)
     par = default_parallelism(incoming.sparkSession)
     inc = incoming.repartition(par, F.col(id_col))
     hist = history.repartition(par, F.col(id_col))

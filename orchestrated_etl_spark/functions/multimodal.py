@@ -111,10 +111,17 @@ def decoded_metadata(
 def frame_sample(df: DataFrame, id_col: str, n_frames_col: str, every: int) -> DataFrame:
     """Frame sampling plumbing: one output row per sampled frame index
     (0, every, 2·every, ...) — the explode pattern a video pipeline uses
-    before per-frame decode. JVM-side sequence+explode; no Python."""
-    idx = F.sequence(
-        F.lit(0), F.col(n_frames_col) - 1, F.lit(every)
-    )
+    before per-frame decode. JVM-side sequence+explode; no Python.
+
+    A zero/negative frame count (corrupt asset from a real decoder)
+    yields an EMPTY array — without the guard, ``sequence(0, -1, +step)``
+    throws 'illegal sequence boundaries' and fails the whole stage for
+    one bad document (round-14 review; the fake decoder always emits
+    >= 1, so this is real-decoder hardening)."""
+    idx = F.when(
+        F.col(n_frames_col) >= 1,
+        F.sequence(F.lit(0), F.col(n_frames_col) - 1, F.lit(every)),
+    ).otherwise(F.array().cast("array<int>"))
     return df.select(
         F.col(id_col), F.explode(idx).alias("frame_idx")
     )

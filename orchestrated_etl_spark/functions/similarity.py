@@ -109,6 +109,7 @@ def assign_to_centroids(
     vec_col: str,
     *,
     nprobe: int = 1,
+    keep_norm: bool = False,
 ) -> DataFrame:
     """IVF build step: nearest-centroid assignment via broadcast join +
     deterministic argmax (cosine DESC, centroid_id ASC). Linear in
@@ -116,7 +117,12 @@ def assign_to_centroids(
 
     ``nprobe > 1`` keeps each row's top-``nprobe`` centroids (one output
     row per kept centroid) — used on the QUERY side of ivf_topk to widen
-    the searched posting lists for higher recall."""
+    the searched posting lists for higher recall.
+
+    ``keep_norm=True`` carries the already-evaluated ``_vnorm`` into the
+    output so the caller's scoring pass does not pay a SECOND
+    interpreted-HOF norm over the whole corpus (round-14 review:
+    ivf_topk recomputed it per row)."""
     # Norms are hoisted to one eval per row on EACH side before the
     # broadcast join: cosine() inline would re-evaluate both interpreted
     # higher-order-function norms for every (vector, centroid) pair —
@@ -155,10 +161,11 @@ def assign_to_centroids(
         # every scored row.) Tie-break matches the window ordering:
         # lexicographic max of (cosine, -centroid_id) = highest cosine,
         # then LOWEST centroid id.
-        return (
+        out = (
             scored.groupBy("_id")
             .agg(
                 F.first("_vec").alias("_vec"),
+                F.first("_vnorm").alias("_vnorm"),
                 F.max_by(
                     F.col("centroid_id"),
                     F.struct(
@@ -166,13 +173,17 @@ def assign_to_centroids(
                     ),
                 ).alias("centroid_id"),
             )
-            .select("_id", "_vec", "centroid_id")
         )
+        cols = ["_id", "_vec", "centroid_id"] + (
+            ["_vnorm"] if keep_norm else []
+        )
+        return out.select(*cols)
     w = Window.partitionBy("_id").orderBy(cos.desc(), F.col("centroid_id"))
+    cols = ["_id", "_vec", "centroid_id"] + (["_vnorm"] if keep_norm else [])
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= nprobe)
-        .select("_id", "_vec", "centroid_id")
+        .select(*cols)
     )
 
 
@@ -185,6 +196,7 @@ def ivf_topk(
     k: int,
     *,
     nprobe: int = 1,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF search: assign corpus vectors to their single nearest centroid;
     a query probes its ``nprobe`` nearest centroids' posting lists and
@@ -196,23 +208,34 @@ def ivf_topk(
     |Q| CONTRACT (same as brute_force_topk): the query side is broadcast
     and must be fixed-size. For a corpus-proportional query side,
     pre-assign both sides with assign_to_centroids and shuffle-join on
-    centroid_id instead — same plan shape minus the broadcast."""
-    assigned = assign_to_centroids(corpus, centroids, id_col, vec_col)
+    centroid_id instead — same plan shape minus the broadcast.
+
+    ID-SPACE CONTRACT (round-14 review — same as brute_force_topk and
+    sq8_topk): ``exclude_self=True`` (default) drops query_id ==
+    neighbor_id pairs, correct when the queries ARE corpus rows. For an
+    EXTERNAL query set whose ids could merely collide numerically with
+    unrelated corpus ids, pass ``exclude_self=False`` or the collided
+    corpus vector silently vanishes from the candidates."""
+    assigned = assign_to_centroids(
+        corpus, centroids, id_col, vec_col, keep_norm=True
+    )
     q_assigned = assign_to_centroids(
-        queries, centroids, id_col, vec_col, nprobe=nprobe
+        queries, centroids, id_col, vec_col, nprobe=nprobe, keep_norm=True
     )
     q = q_assigned.select(
         F.col("_id").alias("query_id"),
         F.col("_vec").alias("_qvec"),
         F.col("centroid_id").alias("_qcen"),
+        F.col("_vnorm").alias("_qnorm"),
     )
+    join_cond = F.col("centroid_id") == F.col("_qcen")
+    if exclude_self:
+        join_cond = join_cond & (F.col("_id") != F.col("query_id"))
     scored = (
-        assigned.withColumn("_cnorm", vec_norm(F.col("_vec")))
-        .join(
-            F.broadcast(q.withColumn("_qnorm", vec_norm(F.col("_qvec")))),
-            (F.col("centroid_id") == F.col("_qcen"))
-            & (F.col("_id") != F.col("query_id")),
-        )
+        # _vnorm was already evaluated inside assign_to_centroids —
+        # reuse it instead of a second interpreted-HOF pass per row.
+        assigned.withColumnRenamed("_vnorm", "_cnorm")
+        .join(F.broadcast(q), join_cond)
         .withColumn(
             "cosine",
             F.round(
@@ -389,6 +412,10 @@ def sq8_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score_q8", "rank")
+        # |Q|·k rows, consumed twice below (candidate list + semi-join
+        # pruner) — checkpoint so the |Q|×|C| scored window is not
+        # re-executed per consumer.
+        .localCheckpoint(eager=True)
     )
     # Exact rerank of the survivors: |Q|*k rows — broadcast the candidate
     # list into two id-joins: query vectors from the QUERIES relation
@@ -399,10 +426,21 @@ def sq8_topk(
         F.col(vec_col).alias("_qvec"),
         vec_norm(F.col(vec_col)).alias("_qnorm"),
     )
-    ne = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_nvec"),
-        vec_norm(F.col(vec_col)).alias("_nnorm"),
+    # Semi-join the corpus down to the |Q|·k survivors BEFORE evaluating
+    # the exact norm: a Project below the join would run the interpreted
+    # HOF norm for EVERY corpus row (round-14 review), silently turning
+    # the promised O(|Q|·k·d) rerank into an O(|C|·d) pass.
+    ne = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_nvec"),
+        )
+        .join(
+            F.broadcast(topk.select("neighbor_id").distinct()),
+            "neighbor_id",
+            "semi",
+        )
+        .withColumn("_nnorm", vec_norm(F.col("_nvec")))
     )
     return (
         qe.join(F.broadcast(topk), "query_id")
@@ -518,5 +556,18 @@ def kmeans_refine(
                 ).alias("cvec")
             )
         )
-        centroids = means.localCheckpoint(eager=True)
+        # A cluster that captured ZERO vectors this round has no mean
+        # row — without this join the centroid table silently shrinks
+        # to k-1 and every later round (and any IVF index built on the
+        # result) runs with fewer clusters than asked for (round-14
+        # review). Standard Lloyd practice: an empty cluster keeps its
+        # previous centroid. The join is k×k — spine-sized.
+        centroids = (
+            centroids.select("centroid_id", F.col("cvec").alias("_prev"))
+            .join(means, "centroid_id", "left")
+            .select(
+                "centroid_id", F.coalesce("cvec", "_prev").alias("cvec")
+            )
+            .localCheckpoint(eager=True)
+        )
     return centroids

@@ -105,7 +105,14 @@ def flagship(spark, sf_dir: str) -> DataFrame:
             "inner",
         )
         .join(
-            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            # No broadcast HINT on customer (round-14 review): customer
+            # is 150k·SF rows — a 2-column projection broadcasts fine at
+            # bench scale, but an UNCONDITIONAL hint overrides
+            # autoBroadcastJoinThreshold and would OOM at the 100 TB SF
+            # this plan claims to serve. Let the threshold + AQE decide:
+            # below 64 MB Catalyst still picks broadcast (same local
+            # plan), above it the join degrades gracefully to shuffle.
+            customer.select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
             "inner",
         )

@@ -50,7 +50,16 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet reader rejects outright (PARQUET_TYPE_ILLEGAL). Read the
     physical INT64 as nanoseconds-since-epoch (legacy conf) and truncate to
     microsecond TimestampType — the same floor-truncation DuckDB applies,
-    so oracle comparisons agree."""
+    so oracle comparisons agree.
+
+    SESSION-WIDE SIDE EFFECT (deliberate; round-14 review made it
+    signature-level doc, mirroring read_events_stream): the
+    ``nanosAsLong`` conf stays set because it is consulted again at
+    EXECUTION time, not just at this schema probe — a scoped restore
+    would break the very frame this function returns. Consequence: any
+    OTHER nanos-timestamp parquet read later in the session also comes
+    back as bigint nanos instead of erroring; a session that must read
+    foreign nanos files as errors should use a separate session."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(raw.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) physical int64
@@ -59,8 +68,13 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def read_csv(spark: SparkSession, path: str, schema, **options) -> DataFrame:
-    """CSV reader with a mandatory declared schema (no inference jobs)."""
-    return spark.read.options(header="true", **options).schema(schema).csv(path)
+    """CSV reader with a mandatory declared schema (no inference jobs).
+    ``header`` DEFAULTS to true but is caller-overridable — the previous
+    hardcoded keyword made ``read_csv(..., header="false")`` a TypeError
+    (duplicate keyword) instead of reading a headerless file (round-14
+    review)."""
+    opts = {"header": "true", **options}
+    return spark.read.options(**opts).schema(schema).csv(path)
 
 
 def read_json(spark: SparkSession, path: str, schema, **options) -> DataFrame:
