@@ -59,35 +59,36 @@ def _load_all() -> None:
 # STALENESS: each round fronts the 50 queries whose last GREEN driver
 # sample is oldest (ties broken by raw registration order — the
 # committed REGISTRATION_ORDER.txt artifact, not queries() iteration
-# order). ROUND-14 FRONT = the 41 remaining last-green-r8 queries plus
-# the 9 oldest last-green-r9 queries (last-green histogram over the 291
-# oracles after the r13 50/50-green sample: {8: 41, 9: 50, 10: 50,
-# 11: 50, 12: 50, 13: 50}). Recomputed by tools/rotate_front.py from
-# CORRECTNESS_r01..r13; the tool reproduces the shipped r8 list
+# order). ROUND-15 FRONT = the 41 remaining last-green-r9 queries plus
+# the 9 oldest last-green-r10 queries (last-green histogram over the 291
+# oracles after the r14 50/50-green sample: {9: 41, 10: 50, 11: 50,
+# 12: 50, 13: 50, 14: 50}). Recomputed by tools/rotate_front.py from
+# CORRECTNESS_r01..r14; the tool reproduces the shipped r8 list
 # bit-for-bit from r01..r07 inputs (pytest-pinned):
 #   sorted(oracle_names, key=lambda n: (last_green_round[n], reg_order[n]))[:50]
 _FRONT = [
-    # 41 stalest: last green round 8 (registration order)
-    "j_anti_join", "topk_orders_by_price", "setop_union",
-    "setop_intersect", "setop_except", "setop_except_orders",
-    "window_topk_per_group", "window_rank_lag_lead", "window_running_sum",
-    "rollup_flag_status", "cube_flag_status", "grouping_sets_orders",
-    "pivot_status_qty", "distinct_aggregates", "datetime_daily_rollup",
-    "datetime_parts", "window_tumbling_hourly", "window_sliding_2h_batch",
-    "json_extract_props", "json_field_agg", "sql_q3_shipping_priority",
-    "window_ntile_deciles", "agg_stats_corr", "unpivot_lineitem_measures",
-    "json_map_entries", "json_variant_props", "sql_pipe_syntax",
-    "sql_q4_priority_exists", "sql_q17_below_avg_qty",
-    "sql_cte_above_avg_balance", "array_hof_profile",
-    "sql_q10_returned_revenue", "sql_q14_promo_share",
-    "sql_q18_large_orders", "sql_q19_disjunctive", "sql_q8_market_share",
-    "sql_q9_product_profit", "sql_q21_waiting_supplier",
-    "text_lang_id_confusion", "train_pii_scrub", "dedup_exact",
-    # 9 stalest: last green round 9 (registration order)
-    "sql_q5_local_supplier_volume", "sql_q6_forecast_revenue",
-    "sql_q7_volume_shipping", "sql_q13_order_count_distribution",
-    "sql_q15_top_supplier", "sql_q12_shipmode_priority",
-    "sql_q22_sales_opportunity", "text_token_stats", "text_quality_score",
+    # 41 stalest: last green round 9 (registration order)
+    "dedup_minhash_lsh", "dedup_containment", "dedup_cluster_components",
+    "sim_ivf_topk", "sim_sq8_topk", "sim_mrl_prefix_topk",
+    "mm_frame_sample", "mm_fake_embed_topk", "mm_scene_cut",
+    "stream_tumbling_daily", "stream_stream_join",
+    "asof_join_purchase_click", "sink_merge_upsert",
+    "src_python_datasource", "sink_scd2_history",
+    "join_dpp_partition_pruned", "agg_hll_sketch_merge",
+    "train_temperature_mixture", "train_decontaminate",
+    "train_e2e_pipeline", "datetime_gap_fill",
+    "funnel_view_click_purchase", "text_char_entropy",
+    "events_retention_cohorts", "events_anomaly_zscore",
+    "sim_hyperplane_lsh", "src_text_logparse", "events_attribution_linear",
+    "events_markov_transitions", "sql_recursive_region_walk",
+    "src_xml_extract", "sql_q2_min_cost_supplier", "search_bm25_topk",
+    "train_incremental_dedup", "train_quality_gopher_gate",
+    "search_hybrid_rrf", "graph_pagerank", "graph_label_propagation",
+    "dq_constraint_audit", "sink_zorder_write", "dq_drift_psi",
+    # 9 stalest: last green round 10 (registration order)
+    "setop_intersect_all", "setop_except_all", "text_lang_profile",
+    "text_word_topk", "text_fingerprint", "text_bpe_token_counts",
+    "text_repetition_score", "udtf_chunk_expand", "text_length_histogram",
 ]
 
 

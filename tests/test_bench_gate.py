@@ -134,14 +134,18 @@ def _mk_wrapper(path: Path, total: float, queries: dict) -> None:
 def _mk_raw_capture(path: Path, total: float, queries: dict,
                     start_load: float | None,
                     probe: float | None = None,
-                    loadavg_list: list | None = None) -> None:
+                    loadavg_list: list | None = None,
+                    mt_probe: float | None = None) -> None:
     lines = []
-    if start_load is not None or loadavg_list is not None or probe:
+    if (start_load is not None or loadavg_list is not None or probe
+            or mt_probe):
         start = {"loadavg": (loadavg_list if loadavg_list is not None
                              else [start_load, 1.0, 1.0]),
                  "cpus": 32, "env": {}}
         if probe is not None:
             start["cpu_probe_ms"] = probe
+        if mt_probe is not None:
+            start["mt_probe_ms"] = mt_probe
         lines.append(json.dumps(
             {"detail": "bench_spread_and_cold",
              "telemetry_start": start,
@@ -284,6 +288,84 @@ def test_per_query_flag_stays_hard_under_load(tmp_path):
         r = _run_gate(bad, hist)
         assert r.returncode == 1, r.stdout + r.stderr
         assert "FLAG query a" in r.stdout
+
+
+def _four_query_history(tmp_path: Path, probe: float = 20.0) -> Path:
+    """Three comparable 4-query rounds; per-query best-ever 5.0,
+    median total 20.4."""
+    hist = tmp_path / "hist4"
+    hist.mkdir()
+    for i, tot in enumerate([20.0, 20.4, 20.6], start=1):
+        _mk_raw_capture(hist / f"BENCH_r0{i}.json", tot,
+                        {q: tot / 4 for q in "abcd"},
+                        start_load=0.2, probe=probe)
+    return hist
+
+
+def test_contended_uniform_capture_demotes_by_arithmetic(tmp_path):
+    """Round-15 (r14 verdict item 2): a capture whose OWN all-core
+    probe proves sustained contention (mt factor > 3x; the r14 host
+    class the single-core probe read as normal) and whose suite shows
+    the uniform-inflation signature (median per-query ratio >= 1.2)
+    demotes BOTH the total-band flag (contention-calibrated bound) and
+    a borderline per-query 2x flag whose median-normalised ratio is
+    back under the gate — the exact r14 judge adjudication
+    (dedup_cdc_chunks 2.15x raw / ~1.43x normalised, untouched code)
+    as arithmetic. The same timings on a FAST host (mt factor inside
+    threshold) stay hard exit-1 flags."""
+    hist = _four_query_history(tmp_path)
+    # uniform 1.5x (b,c,d) + one query at 2.2x raw = 1.47x normalised;
+    # total 33.5 = +13.1 over median 20.4.
+    queries = {"a": 11.0, "b": 7.5, "c": 7.5, "d": 7.5}
+
+    slow_host = tmp_path / "contended.txt"
+    # probe 20 (normal single-core) / mt 180 -> factor 9x; bound
+    # 3.0 + 1.9*(9-3) = 14.4 >= 13.1 -> total demotes.
+    _mk_raw_capture(slow_host, 33.5, queries, start_load=0.3,
+                    probe=20.0, mt_probe=180.0)
+    r = _run_gate(slow_host, hist)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "WARN (demoted) query a" in r.stdout
+    assert "normalised ratio 1.47" in r.stdout
+    assert "WARN (demoted) total" in r.stdout
+    assert "contention-calibrated bound" in r.stdout
+    assert "demoted query warning" in r.stdout
+
+    fast_host = tmp_path / "fast.txt"
+    _mk_raw_capture(fast_host, 33.5, queries, start_load=0.3,
+                    probe=20.0, mt_probe=24.0)  # factor 1.2x: healthy
+    r2 = _run_gate(fast_host, hist)
+    assert r2.returncode == 1, r2.stdout + r2.stderr
+    assert "FLAG query a" in r2.stdout
+    assert "FLAG total" in r2.stdout
+
+
+def test_contended_capture_keeps_genuine_regressions_hard(tmp_path):
+    """The two ways a contended host must NOT launder a real
+    regression: (a) a single-query 3x spike WITHOUT the uniform
+    signature (suite median ~1.0 — code regressions don't move the
+    other queries) stays a hard flag even at mt factor 9x; (b) with
+    the uniform signature present, a query whose median-normalised
+    ratio still exceeds the 2x gate (3.2x raw / ~2.13x normalised)
+    stays hard."""
+    hist = _four_query_history(tmp_path)
+
+    spike = tmp_path / "spike.txt"
+    _mk_raw_capture(spike, 30.3, {"a": 15.0, "b": 5.1, "c": 5.1,
+                                  "d": 5.1},
+                    start_load=0.3, probe=20.0, mt_probe=180.0)
+    r = _run_gate(spike, hist)
+    assert r.returncode == 1, r.stdout + r.stderr
+    assert "FLAG query a" in r.stdout
+    assert "WARN (demoted) query" not in r.stdout
+
+    beyond = tmp_path / "beyond.txt"
+    _mk_raw_capture(beyond, 38.5, {"a": 16.0, "b": 7.5, "c": 7.5,
+                                   "d": 7.5},
+                    start_load=0.3, probe=20.0, mt_probe=180.0)
+    r2 = _run_gate(beyond, hist)
+    assert r2.returncode == 1, r2.stdout + r2.stderr
+    assert "FLAG query a" in r2.stdout
 
 
 def test_creep_warning_is_nonfatal(tmp_path):

@@ -331,9 +331,9 @@ print(chr(10).join(registry.registration_order()))
     )
 
 
-def test_rotate_front_reproduces_shipped_r14_front():
-    """The SHIPPED round-14 `_FRONT` must equal the stalest-50
-    recomputation from the committed CORRECTNESS_r01–r13 files — the
+def test_rotate_front_reproduces_shipped_r15_front():
+    """The SHIPPED round-15 `_FRONT` must equal the stalest-50
+    recomputation from the committed CORRECTNESS_r01–r14 files — the
     exact check each round's judge performs by hand, made a gate. Uses
     the frozen REGISTRATION_ORDER.txt for the tie-break (what
     rotate_front.py reads), so this runs correctly even under pytest's
@@ -354,8 +354,8 @@ def test_rotate_front_reproduces_shipped_r14_front():
     assert len(paths) >= 12, "committed correctness history missing"
     for path in paths:
         rnd = int(path.name.rsplit("_r", 1)[1].split(".")[0])
-        if rnd > 13:
-            continue  # pin to the inputs the r14 rotation was computed from
+        if rnd > 14:
+            continue  # pin to the inputs the r15 rotation was computed from
         for name, row in json.load(open(path)).items():
             if _green(row):
                 last[name] = max(last.get(name, 0), rnd)
@@ -653,13 +653,15 @@ def test_compat_accessors_classic_and_connect_fallback(spark):
         application_id(stopped)
 
 
-def test_seeded_spot_check_sample_reproduces_r14_draw():
+def test_seeded_spot_check_sample_reproduces_r15_draw():
     """check_oracle --sample/--seed/--non-front pins the judges'
     spot-check protocol mechanically (it was hand-rolled r12-r14). The
-    r14 round record (COVERAGE.md round-14 delta) drew seed 1514, n 24,
-    non-front over the r14 front — this asserts the tool reproduces
-    that committed draw bit-for-bit, so a pool/ordering change that
-    would silently re-map historical seeds fails here instead."""
+    r15 round record (COVERAGE.md round-15 delta) draws seed 1716
+    (sequence 1312/1514/1716), n 24, non-front over the r15 front —
+    this asserts the tool reproduces that committed draw bit-for-bit,
+    so a pool/ordering change that would silently re-map historical
+    seeds fails here instead. Re-pinned each rotation round: the
+    non-front pool is defined against the CURRENT front."""
     import sys as _sys
     from pathlib import Path as _Path
 
@@ -670,18 +672,19 @@ def test_seeded_spot_check_sample_reproduces_r14_draw():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    got = sample_queries(qs, oracles, 24, 1514, non_front=True)
+    got = sample_queries(qs, oracles, 24, 1716, non_front=True)
     assert got == [
-        "a1_a5_enrich_family", "dedup_cdc_chunks",
-        "sink_compacted_roundtrip", "orders_basket_lift",
-        "graph_bfs_frontier", "setop_intersect_all",
-        "sim_udaf_mean_norm", "string_funcs_profile", "dq_drift_psi",
-        "sim_sq8_topk", "window_range_7day_spend",
-        "train_fuzzy_decontaminate", "train_cap_per_source",
-        "search_bm25_topk", "train_token_packing", "train_dataset_card",
-        "graph_copurchase_edges", "sql_parameterized_args",
-        "src_csv_roundtrip", "stats_chi2_total", "ps_pandas_api_rollup",
-        "src_json_roundtrip", "sim_kmeans_step_exact", "t6_project_drop",
+        "agg_approx_sketches", "stream_cdc_upsert", "agg_trimmed_mean",
+        "dedup_semantic_clusters", "train_profile_documents",
+        "setop_intersect", "mm_resize_stub", "books_standardise",
+        "events_cusum_changepoint", "json_variant_props",
+        "text_unigram_logprob", "q1_pricing_summary",
+        "sim_bruteforce_topk", "asof_join_salted",
+        "sql_q21_waiting_supplier", "train_build_vocab",
+        "agg_median_percentiles", "sql_q9_product_profit",
+        "stream_state_inspect", "stream_dedup_users",
+        "window_rank_lag_lead", "events_max_drawdown",
+        "sink_ctas_insert", "grouping_sets_orders",
     ]
     # no query may appear in both the draw and the driver's front
     from orchestrated_etl_spark import registry
@@ -705,3 +708,39 @@ def test_read_schema_field_count_handles_parenthesized_types():
         "a:struct<x:int,y:decimal(10,2)>,b:int>"
     ) == 2
     assert _read_schema_field_count("") == 0
+
+
+def test_check_oracle_int_flag_rejects_malformed_values():
+    """Round-14 ADVICE: `--first --5` crashed int() with a traceback
+    (the exact failure mode the guard was added to prevent) and
+    `--first -5` silently sliced the pool from the END. Both, plus any
+    non-numeric value and a missing value, must be the rc-2 usage
+    error — returned by argv parsing BEFORE any Spark/DuckDB work
+    starts, so the subprocess exits in well under a second."""
+    import subprocess
+
+    for bad in (["--first", "--5"], ["--first", "-5"], ["--first", "x"],
+                ["--sample", "-3"], ["--first"]):
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "tools" / "check_oracle.py"), *bad],
+            capture_output=True, text=True, timeout=120,
+        )
+        assert proc.returncode == 2, (bad, proc.stdout, proc.stderr)
+        assert "integer" in proc.stderr, (bad, proc.stderr)
+
+
+def test_sample_queries_oversized_draw_is_usage_error():
+    """Round-14 ADVICE: --sample N exceeding the (possibly non-front-
+    shrunk) oracle pool must follow the tool's rc-2 usage convention —
+    a SystemExit naming the pool size — not an unhandled
+    random.Random.sample ValueError traceback."""
+    from check_oracle import sample_queries
+
+    qs = {"a": None, "b": None, "c": None}
+    oracles = {"a": "", "b": ""}
+    with pytest.raises(SystemExit, match=r"exceeds the oracle pool size 2"):
+        sample_queries(qs, oracles, 3, 0, non_front=False)
+    # boundary: n == pool size is a valid draw of the whole pool
+    assert set(sample_queries(qs, oracles, 2, 0, non_front=False)) == {
+        "a", "b",
+    }

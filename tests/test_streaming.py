@@ -703,17 +703,47 @@ def test_books_stream_restart_after_heal_never_duplicates(
     finally:
         q.stop()
 
-    # restart from the same checkpoint, injection still configured
+    # restart from the same checkpoint, injection still configured.
+    # A healthy restarted stream plans only NO-DATA batches (the
+    # ratchet holds), and Spark throttles no-data progress events to
+    # one per noDataProgressEventInterval — lower it so the poll below
+    # observes triggers promptly instead of waiting out the 10 s
+    # default on a contended host.
+    progress_conf = "spark.sql.streaming.noDataProgressEventInterval"
+    saved_interval = spark.conf.get(progress_conf, None)
+    spark.conf.set(progress_conf, "500ms")
     q2, _, _ = _run_books_stream(
         spark, tmp_path, "heal_restart", {"processingTime": "0 seconds"},
         fail_page=1, fail_attempts=2, on_error="stop",
     )
     try:
-        time.sleep(8)  # several triggers on the restarted run
+        # Witness actual post-restart triggers instead of a fixed
+        # sleep (round-14 ADVICE: on a contended host a fixed 8 s can
+        # elapse before the restarted query fires at all, making the
+        # assertions vacuously pass). recentProgress is per-query-
+        # instance, so each entry is a completed post-restart trigger;
+        # a duplicate-emitting replan would surface in the FIRST
+        # post-restart batch (latestOffset is consulted immediately),
+        # so two completed triggers prove the ratchet held.
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if q2.exception() is not None:
+                break
+            if len(q2.recentProgress) >= 2:
+                break
+            time.sleep(0.2)
+        else:
+            raise AssertionError(
+                "restarted stream completed no observable trigger in 120s"
+            )
         exc = q2.exception()
         assert exc is None or "offset regression" in str(exc), exc
     finally:
         q2.stop()
+        if saved_interval is None:
+            spark.conf.unset(progress_conf)
+        else:
+            spark.conf.set(progress_conf, saved_interval)
     out = spark.read.parquet(target)
     assert out.count() == 300, "restart re-emitted committed pages"
     assert out.select("title").distinct().count() == 300

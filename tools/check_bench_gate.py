@@ -47,11 +47,31 @@ mechanical and self-contained:
      SCALING.md round-11 entry). A loaded capture whose delta exceeds
      what that calibration can explain stays a hard flag.
 
-  The per-query 2x check stays hard-fail regardless of load (a real
-  single-query regression shows up under any load), and a total flag
-  on an IDLE capture with a normal probe (or no telemetry recorded)
-  stays hard-fail. Whenever the target carries a probe, the decision
-  line cites it (ratio vs the history median) so the adjudication is
+  3. *sustained multi-core contention* (round-15, calibrated from the
+     four r14/r15 contended captures in SCALING.md) — the capture's own
+     ``mt_probe_ms / cpu_probe_ms`` contention factor exceeds
+     ``--mt-threshold`` (ideal ≈1x on idle cores; the r14 host class
+     read 4.9-6.5x while benching ~25-28 s vs the 20.9 s history) AND
+     the delta is inside ``band + --mt-tax * (factor - threshold)``.
+     This is the signal the single-core probe is blind to: the r14
+     driver capture's single-core probe ratio was NORMAL while the
+     all-core probe read 6.5x ideal.
+
+  The per-query 2x check stays hard-fail under LOAD and under a slow
+  single-core probe (a real single-query regression shows up under
+  any load). The ONE bounded exception (round-15): a contended-host
+  capture (mt factor over threshold) whose suite shows the UNIFORM
+  inflation signature — the suite-median per-query ratio vs best-ever
+  at or above ``--uniformity`` — demotes a per-query flag to WARN iff
+  the query's ratio NORMALISED by that suite median is back under the
+  ratio gate. That is precisely the r14 adjudication arithmetic
+  (dedup_cdc_chunks at 2.15x raw inside a suite uniformly at ~1.5x =
+  1.43x normalised, untouched code) made mechanical. A genuinely
+  regressed query stays hard: code regressions do not move the
+  all-core probe, and a single-query regression does not move the
+  suite median. A total flag on an IDLE capture with normal probes
+  (or no telemetry recorded) stays hard-fail. Whenever the target
+  carries probes, the decision line cites them so the adjudication is
   arithmetic on record, not inference;
 - emits a non-fatal CREEP warning whenever the total exceeds the BEST
   comparable total plus the band, even when the median band is clean:
@@ -222,18 +242,19 @@ def evaluate(
                 "delta": round(delta, 3),
                 "band": band,
             }
+    ratios = {
+        name: round(sec / best[name][0], 3)
+        for name, sec in target["queries"].items()
+        if best[name][0] > 0
+    }
     return {
         "flagged_queries": flagged_queries,
         "total_flag": total_flag,
         "total_ctx": total_ctx,
         "comparable_rounds": [r["label"] for r in comparable],
+        "ratios": ratios,
         "max_ratio": max(
-            (
-                round(sec / best[name][0], 2)
-                for name, sec in target["queries"].items()
-                if best[name][0] > 0
-            ),
-            default=0.0,
+            (round(r, 2) for r in ratios.values()), default=0.0
         ),
     }
 
@@ -269,6 +290,25 @@ def main(argv: list[str] | None = None) -> int:
                     help="cpu_probe_ms own relative spread on one host "
                          "(SCALING.md round-12: ~±10%%); probe ratios "
                          "inside it carry no machine-speed signal")
+    ap.add_argument("--mt-threshold", type=float, default=3.0,
+                    help="mt_probe_ms/cpu_probe_ms contention factor "
+                         "above which the all-core demotion applies "
+                         "(ideal ~1x on idle cores; the r14/r15 "
+                         "contended captures read 4.9-6.5x, SCALING.md)")
+    ap.add_argument("--mt-tax", type=float, default=1.9,
+                    help="measured contention tax in seconds PER UNIT "
+                         "factor above --mt-threshold (calibrated from "
+                         "the r14/r15 contended captures: deltas "
+                         "+4.5/+6.5/+7.5s at factors 6.5/4.9/5.5 each "
+                         "need tax >= 0.4/1.8/1.8 — SCALING.md "
+                         "round-15 calibration)")
+    ap.add_argument("--uniformity", type=float, default=1.2,
+                    help="suite-median per-query ratio vs best-ever at "
+                         "or above which a contended capture shows the "
+                         "uniform-inflation signature (r14: 12+ "
+                         "queries at 1.5-1.9x simultaneously); below "
+                         "it per-query flags stay hard even on a "
+                         "contended host")
     args = ap.parse_args(argv)
 
     paths = sorted(Path(args.history_dir).glob("BENCH_r*.json"))
@@ -320,28 +360,54 @@ def main(argv: list[str] | None = None) -> int:
     elif target_probe is not None:
         print(f"probe: target cpu_probe_ms {target_probe} — no committed "
               f"capture carries one yet, no normalisation possible")
-    # Sustained all-core probe (r14+): informational until enough
-    # history exists to calibrate a demotion bound — the r14 host
-    # showed ~27 s idle totals with a NORMAL single-core probe but a
-    # 5-7x-ideal all-core probe (SCALING.md round-14), so this line is
-    # the data a future drift verdict needs on record.
+    # Sustained all-core probe (r14+): the capture's OWN contention
+    # factor mt/single — the signal the one-shot single-core probe is
+    # blind to (SCALING.md round-14: normal single-core probe, 6.5x
+    # all-core, ~25-28 s totals on untouched code). Since round-15 the
+    # demotion arithmetic keys on it directly; the history median is
+    # printed as context.
     mt = _start_probe(target, "mt_probe_ms")
+    mt_factor = None
+    if mt is not None and target_probe:
+        mt_factor = round(mt / target_probe, 2)
     if mt is not None:
         mt_hist = sorted(
             p for p in (_start_probe(r, "mt_probe_ms") for r in history)
             if p is not None
         )
-        if mt_hist:
-            mt_ref = _median(mt_hist)
-            print(f"mt-probe: target all-core {mt}ms vs history median "
-                  f"{mt_ref}ms over {len(mt_hist)} capture(s) "
-                  f"(informational — no demotion keyed on it yet)")
-        else:
-            print(f"mt-probe: target all-core {mt}ms (single-core "
-                  f"{target_probe}ms; ratio "
-                  f"{round(mt / target_probe, 1) if target_probe else '?'}x"
-                  f" — ideal ≈1x on idle cores); no committed history yet")
+        hist_note = (
+            f"history median {_median(mt_hist)}ms over "
+            f"{len(mt_hist)} capture(s)" if mt_hist
+            else "no committed history yet"
+        )
+        print(f"mt-probe: target all-core {mt}ms (single-core "
+              f"{target_probe}ms; contention factor "
+              f"{mt_factor if mt_factor is not None else '?'}x — ideal "
+              f"≈1x on idle cores; demotion threshold "
+              f"{args.mt_threshold}x); {hist_note}")
+    # Uniform-inflation signature: the suite-median per-query ratio vs
+    # best-ever. A host factor inflates EVERY query; a code regression
+    # inflates its own query and leaves the median alone.
+    suite_ratios = sorted(verdict["ratios"].values())
+    median_ratio = _median(suite_ratios) if suite_ratios else None
+    contended = mt_factor is not None and mt_factor > args.mt_threshold
+    hard_queries = []
     for f in verdict["flagged_queries"]:
+        norm = (
+            round(f["ratio"] / median_ratio, 2)
+            if contended and median_ratio and median_ratio >= args.uniformity
+            else None
+        )
+        if norm is not None and norm <= args.ratio:
+            print(f"WARN (demoted) query {f['query']}: {f['sec']}s is "
+                  f"{f['ratio']}x best-ever {f['best']}s ({f['best_in']}) "
+                  f"— but the capture is contended (mt factor "
+                  f"{mt_factor}x > {args.mt_threshold}x) and the suite "
+                  f"is uniformly inflated (median ratio {median_ratio}); "
+                  f"normalised ratio {norm} is under the {args.ratio} "
+                  f"gate (r14 adjudication arithmetic, SCALING.md)")
+            continue
+        hard_queries.append(f)
         print(f"FLAG query {f['query']}: {f['sec']}s is {f['ratio']}x "
               f"best-ever {f['best']}s ({f['best_in']})")
     tf = verdict["total_flag"]
@@ -381,6 +447,20 @@ def main(argv: list[str] | None = None) -> int:
                     f"inside the load-calibrated bound {args.band}+{tax}s "
                     f"(~{args.load_tax}s tax at loadavg 7, SCALING.md "
                     f"round-11 adjudication)")
+        # (3) sustained multi-core contention: the capture's own
+        # all-core probe proves the host class the single-core probe
+        # reads as normal (round-15, calibrated from the r14/r15
+        # contended captures in SCALING.md).
+        if reason is None and contended:
+            mt_tax = round(
+                args.mt_tax * (mt_factor - args.mt_threshold), 3)
+            if tf["delta"] <= args.band + mt_tax:
+                reason = (
+                    f"capture's all-core contention factor {mt_factor}x "
+                    f"> {args.mt_threshold}x and delta {tf['delta']}s is "
+                    f"inside the contention-calibrated bound "
+                    f"{args.band}+{mt_tax}s ({args.mt_tax}s tax per unit "
+                    f"factor, SCALING.md round-15 calibration)")
         kind = "WARN (demoted)" if reason else "FLAG"
         print(f"{kind} total: {tf['total']}s is +{tf['delta']}s over the "
               f"median comparable-suite total {tf['median_total']}s "
@@ -406,7 +486,7 @@ def main(argv: list[str] | None = None) -> int:
                  if tf else
                  " though inside the median band — cumulative drift, "
                  "not a gate failure"))
-    if verdict["flagged_queries"] or (tf and not total_demoted):
+    if hard_queries or (tf and not total_demoted):
         tel = target.get("telemetry")
         print("telemetry of flagged run: "
               + (json.dumps(tel) if tel else
@@ -416,8 +496,14 @@ def main(argv: list[str] | None = None) -> int:
               "change, (b) is the delta outside the query's own spread, "
               "(c) does it reproduce in a fresh session?")
         return 1
-    if total_demoted:
-        print("clean (with demoted total warning): no hard flags")
+    demoted_q = len(verdict["flagged_queries"]) - len(hard_queries)
+    if total_demoted or demoted_q:
+        parts = []
+        if total_demoted:
+            parts.append("demoted total warning")
+        if demoted_q:
+            parts.append(f"{demoted_q} demoted query warning(s)")
+        print(f"clean (with {' + '.join(parts)}): no hard flags")
     else:
         print("clean: no query above the ratio gate, total inside the band")
     return 0

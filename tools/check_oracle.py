@@ -59,6 +59,7 @@ stayed green. Run both modes before shipping a new oracle.
 from __future__ import annotations
 
 import math
+import re
 import sys
 import time
 from collections import Counter
@@ -167,6 +168,15 @@ def sample_queries(
 
         front = set(registry._FRONT)
         pool = [name for name in pool if name not in front]
+    if n > len(pool):
+        # rc-2 usage error (not a ValueError traceback) — easiest to
+        # hit when --non-front shrinks the pool below --sample N
+        # (round-14 ADVICE).
+        raise SystemExit(
+            f"usage: --sample {n} exceeds the "
+            f"{'non-front ' if non_front else ''}oracle pool size "
+            f"{len(pool)}"
+        )
     return random.Random(seed).sample(sorted(pool), n)
 
 
@@ -180,14 +190,16 @@ def main() -> int:
         argv.remove("--vanilla")
     def _int_flag(flag: str):
         """Pop `flag N` from argv with the same usage contract --conf
-        has: a missing or non-integer value is a usage error (rc 2),
-        not a traceback (round-14 review)."""
+        has: a missing, non-integer, or negative value is a usage error
+        (rc 2), not a traceback. Strictly ``\\d+``: the old
+        lstrip('-').isdigit() accepted '--5' (then crashed int()) and
+        '-5' (silently sliced the pool from the end) — round-14 ADVICE."""
         if flag not in argv:
             return None
         i = argv.index(flag)
-        if i + 1 >= len(argv) or not argv[i + 1].lstrip("-").isdigit():
+        if i + 1 >= len(argv) or not re.fullmatch(r"\d+", argv[i + 1]):
             raise SystemExit(
-                f"usage: {flag} requires an integer argument"
+                f"usage: {flag} requires a non-negative integer argument"
             ) from None
         v = int(argv[i + 1])
         del argv[i : i + 2]
@@ -262,7 +274,11 @@ def main() -> int:
         sample = [n for n in qs if n in oracles][:first_n]
         qs = {n: qs[n] for n in sample}
     if sample_n is not None:
-        names = sample_queries(qs, oracles, sample_n, seed, non_front)
+        try:
+            names = sample_queries(qs, oracles, sample_n, seed, non_front)
+        except SystemExit as e:
+            print(e, file=sys.stderr)
+            return 2
         print(f"# seeded sample: n={sample_n} seed={seed} "
               f"non_front={non_front} -> {names}")
         qs = {n: qs[n] for n in names}
