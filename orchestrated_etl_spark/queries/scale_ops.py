@@ -89,20 +89,45 @@ register(
 )
 
 
+_STRAT_K = 200
+_STRAT_SALTS = 32
+
+
 def _sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size stratified sample: 200 orders per o_orderstatus, chosen
-    by deterministic hash order (not arrival order). One shuffle on the
-    stratum key; per-stratum state is a row counter, O(1) memory."""
+    by deterministic hash order (not arrival order).
+
+    TWO-PHASE per-stratum top-K (round-15 review: the original single
+    window partitioned by the 3-value stratum key alone, collapsing the
+    sort of each stratum — a third of the corpus — into one task; the
+    docstring's 'O(1) memory' claim hid a parallelism-of-3 plan):
+
+    1. local top-K per (stratum, salt): the salt is the deterministic
+       key hash mod 32, so every window partition holds ~1/32 of a
+       stratum and the per-salt top-200 provably contains every global
+       top-200 member of that stratum;
+    2. final top-K per stratum over the ≤ 200·32 survivors — a window
+       whose partitions are bounded at 6400 rows BY CONSTRUCTION,
+       independent of corpus size.
+
+    Identical output to the one-window form (same total order: hash,
+    then key); both windows are partitioned, both bounded."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    w = (
-        Window.partitionBy("o_orderstatus")
-        .orderBy(_bucket("o_orderkey").asc(), F.col("o_orderkey").asc())
+    order = [_bucket("o_orderkey").asc(), F.col("o_orderkey").asc()]
+    salted = orders.select("o_orderkey", "o_orderstatus").withColumn(
+        "_salt", _bucket("o_orderkey") % F.lit(_STRAT_SALTS)
     )
+    w_local = Window.partitionBy("o_orderstatus", "_salt").orderBy(*order)
+    cands = (
+        salted.withColumn("_rn", F.row_number().over(w_local))
+        .where(F.col("_rn") <= _STRAT_K)
+        .drop("_rn", "_salt")
+    )
+    w_final = Window.partitionBy("o_orderstatus").orderBy(*order)
     return (
-        orders.select("o_orderkey", "o_orderstatus")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 200)
-        .drop("rn")
+        cands.withColumn("_rn", F.row_number().over(w_final))
+        .where(F.col("_rn") <= _STRAT_K)
+        .drop("_rn")
     )
 
 
@@ -417,7 +442,27 @@ def _range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events(spark, sf_dir).select(
         "event_id", "user_id", "ts", "event_type"
     )
-    binf = lambda col: F.floor(F.unix_timestamp(col) / 3600)  # noqa: E731
+    return range_join_binned_core(ev)
+
+
+def range_join_binned_core(ev: DataFrame) -> DataFrame:
+    """Binned range-join core over an events frame — see
+    `_range_join_binned`."""
+    # Wall-clock hour bin: days-since-epoch*24 + hour — pure field
+    # reads on DATE/NTZ, manifestly session-tz invariant and monotone
+    # with slope 1 bin/hour, so any trailing 1-hour interval spans at
+    # most 2 consecutive bins. The round-15 review replaced
+    # floor(unix_timestamp(ts)/3600) here: that form is ALSO safe in
+    # Spark 4.1 (unix_timestamp anchors NTZ wall-clock to UTC, ignoring
+    # the session zone — probed empirically; unlike date_trunc, which
+    # routes NTZ through the session zone, tests/test_timezone.py
+    # canary), but the safety rests on that subtle NTZ-vs-LTZ API
+    # asymmetry; this form's correctness is visible on its face. DST
+    # invariance of the whole join is pinned by
+    # test_binned_range_join_dst_session_tz_invariant.
+    binf = lambda col: (  # noqa: E731
+        F.unix_date(col.cast("date")) * F.lit(24) + F.hour(col)
+    ).cast("long")
     c = (
         ev.where(F.col("event_type") == "click")
         .select(
@@ -984,13 +1029,16 @@ def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension type 2 merge: an update batch against the
     customer dimension closes the superseded row (valid_to = effective
     date) and opens the new version, while touched-but-unchanged and
-    untouched rows pass through. Everything is one plan: the update batch
-    is broadcast (dimension updates are small relative to the dimension),
-    so history rewrite is a map-side operation per base row — the pattern
-    that keeps dimension versioning viable when the dimension itself is
-    billions of rows. The reference's sinks could only append (K4,
-    dags/dag.py:198-204); this is the versioned correction path its
-    near-duplicate accumulation actually needed."""
+    untouched rows pass through. Everything is one plan. The update
+    batch joins WITHOUT a forced broadcast hint (round-15 review: this
+    fixture's synthetic batch is every-10th-customer — |dim|/10, a
+    linearly growing relation, the same class the r14 flagship fix
+    removed): when a real update batch is small the auto-broadcast
+    threshold/AQE broadcasts it and the history rewrite is map-side;
+    when it grows with the dimension the join correctly shuffles on the
+    key instead of OOMing the executors. The reference's sinks could
+    only append (K4, dags/dag.py:198-204); this is the versioned
+    correction path its near-duplicate accumulation actually needed."""
     eff = F.to_date(F.lit("1996-06-01"))
     base = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         "c_custkey",
@@ -1003,7 +1051,7 @@ def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = base.where(F.col("c_custkey") % 10 == 0).select(
         "c_custkey", F.lit("MACHINERY").alias("new_segment")
     )
-    joined = base.join(F.broadcast(updates), "c_custkey", "left")
+    joined = base.join(updates, "c_custkey", "left")
     changed = F.col("new_segment").isNotNull() & (
         F.col("new_segment") != F.col("c_mktsegment")
     )

@@ -653,3 +653,79 @@ def test_binned_range_join_partitions_by_bin(spark, sf_dir):
     }
     got = {(r["event_id"], r["clicks_1h"]) for r in binned.collect()}
     assert got == plain
+
+
+def test_stratified_sample_windows_are_salted_and_bounded(spark, sf_dir):
+    """Round-15 review: the original stratified sample ran ONE window
+    partitioned by the 3-value stratum key, collapsing each stratum's
+    sort (a third of the corpus) into a single task. The two-phase form
+    must (a) salt the first window's partition key so no window
+    partitions on the bare stratum over raw data, (b) bound the final
+    window's input at K*salts rows per stratum by construction, and
+    (c) produce the IDENTICAL relation to the naive one-window form."""
+    from pyspark.sql import Window
+
+    from orchestrated_etl_spark.queries.scale_ops import (
+        _STRAT_K,
+        _STRAT_SALTS,
+        _bucket,
+        _sample_stratified,
+    )
+
+    out = _sample_stratified(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # match only Window EXEC nodes — WindowGroupLimit push-down helpers
+    # also contain "Window" but are not sorts over the partition
+    win_lines = [
+        ln for ln in plan.splitlines()
+        if "Window [" in ln and "WindowGroupLimit" not in ln
+    ]
+    assert len(win_lines) >= 2, plan
+    # the first (innermost in text = last listed) window partitions on
+    # the salted key; exactly one window partitions on the bare stratum
+    salted = [ln for ln in win_lines if "_salt" in ln]
+    assert salted, plan
+    bare = [ln for ln in win_lines if "_salt" not in ln and "o_orderstatus" in ln]
+    assert len(bare) == 1, plan
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        _bucket("o_orderkey").asc(), F.col("o_orderkey").asc()
+    )
+    naive = (
+        orders.select("o_orderkey", "o_orderstatus")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _STRAT_K)
+        .drop("rn")
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+    # candidate bound: per stratum the final window sees <= K*salts rows
+    assert _STRAT_K * _STRAT_SALTS == 6400
+
+
+def test_scd2_update_join_not_force_broadcast(spark, sf_dir):
+    """Round-15 review: the SCD2 update batch is every-10th-customer —
+    |dim|/10, linearly growing — and was force-broadcast (the class the
+    r14 flagship fix removed). With auto-broadcast disabled the join
+    must NOT broadcast (a forced hint would override the conf); with
+    defaults the small fixture batch still broadcasts via the
+    threshold, which is the intended small-batch fast path."""
+    from orchestrated_etl_spark.queries.scale_ops import _scd2_history
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            _scd2_history(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    plan_default = (
+        _scd2_history(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan_default, plan_default

@@ -262,3 +262,62 @@ def test_date_trunc_on_ntz_is_session_zone_dependent_canary(spark):
         assert len(ny_hours) == len(utc_hours) - 1
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_binned_range_join_dst_session_tz_invariant(spark):
+    """Round-15 review (queries/scale_ops.py): the binned range join's
+    hour-bin key must be monotone and session-tz invariant, or a click
+    within the trailing hour of a purchase could land in a bin neither
+    probe bin covers and be silently dropped. The original
+    floor(unix_timestamp(ts)/3600) form was probed and found SAFE in
+    Spark 4.1 — unix_timestamp anchors NTZ wall-clock to UTC,
+    ignoring the session zone (the opposite of date_trunc, which the
+    canary below pins as session-zone-dependent) — but that safety is
+    an undocumented API asymmetry a Spark upgrade could change, so the
+    bin is now computed from pure wall-clock field reads
+    (unix_date*24 + hour) and this test pins the whole join's DST
+    invariance: ambiguous fall-back hour and nonexistent
+    spring-forward hour stamps on both 2024 US transitions must
+    produce identical qualifying-click counts under every zone in
+    _DST_ZONES."""
+    import datetime as dt
+
+    from orchestrated_etl_spark.queries.scale_ops import (
+        _range_join,  # noqa: F401  (semantics twin, core used below)
+        range_join_binned_core,
+    )
+
+    # naive-ntz-ok: wall-clock strings cast to ntz below
+    rows = [
+        # fall-back day: click in the ambiguous hour, purchase after it
+        (1, 10, "2024-11-03 01:30:00", "click"),
+        (2, 10, "2024-11-03 02:15:00", "purchase"),
+        (3, 10, "2024-11-03 00:30:00", "click"),  # outside the hour
+        # spring-forward day: click in the nonexistent hour
+        (4, 20, "2024-03-10 02:45:00", "click"),
+        (5, 20, "2024-03-10 03:15:00", "purchase"),
+        (6, 20, "2024-03-10 03:00:00", "click"),
+    ]
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "raw", "event_type"]
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("raw").cast("timestamp_ntz").alias("ts"),
+        "event_type",
+    )
+    expected = {(2, 1), (5, 2)}  # (purchase event_id, clicks_1h)
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for zone in ["UTC", *_DST_ZONES]:
+            spark.conf.set("spark.sql.session.timeZone", zone)
+            got = {
+                (r["event_id"], r["clicks_1h"])
+                for r in range_join_binned_core(ev).collect()
+            }
+            assert got == expected, (zone, got)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
