@@ -148,23 +148,24 @@ def _hits_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact instead of ε-guarded like graph_pagerank's.
 
     Scale: each iteration is one equi-join of the edge list against the
-    previous O(V) score vector plus one aggregate — the score side
-    broadcasts at bench scale (node-sized, not edge-sized); past the
-    broadcast threshold (billions of nodes) drop the hint and let the
-    join go shuffle-hash on the edge layout, exactly as bfs_distances
-    does. The edge list is never broadcast and never re-derived
-    (cached_edges materializes it once per session)."""
+    previous O(V) score vector plus one aggregate. The score side
+    carries NO forced broadcast hint (round-15 review: it is node-sized
+    — linearly growing — and a hint never falls back past the
+    threshold): at bench scale the threshold/AQE broadcast it anyway;
+    at billions of nodes the join goes shuffle-hash on the edge layout,
+    exactly as bfs_distances does. The edge list is never broadcast and
+    never re-derived (cached_edges materializes it once per session)."""
     edges = cached_edges(spark, sf_dir, min_weight=2).select(
         F.col("part_a").alias("src"), F.col("part_b").alias("dst")
     )
     auth1 = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("auth_1"))
     hub1 = (
-        edges.join(F.broadcast(auth1), "dst")
+        edges.join(auth1, "dst")
         .groupBy("src")
         .agg(F.sum("auth_1").alias("hub_1"))
     )
     auth2 = (
-        edges.join(F.broadcast(hub1), "src")
+        edges.join(hub1, "src")
         .groupBy("dst")
         .agg(F.sum("hub_1").alias("auth_2"))
     )
@@ -618,8 +619,12 @@ def _cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_docs") >= 2)
         .select("h")
     )
+    # No forced broadcast (round-15 review): `shared` is the set of
+    # chunk hashes seen in >=2 docs — corpus-proportional, not bounded.
+    # The threshold/AQE broadcast it while it is small; at 100 TB the
+    # join correctly shuffles on the hash.
     marked = chunk_stream.join(
-        F.broadcast(shared.withColumn("_s", F.lit(1))), "h", "left"
+        shared.withColumn("_s", F.lit(1)), "h", "left"
     )
     return marked.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
@@ -1514,9 +1519,17 @@ def _gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue), so the final quotient is one IEEE division of
     bit-identical operands: no rounding policy.
 
-    Scale: one custkey aggregate (fact-sized shuffle), one broadcast
-    dim join, one nation-partitioned window over the customer-sized
-    relation — no global sort anywhere."""
+    Scale (round-15 review rework): one custkey aggregate (fact-sized
+    shuffle); the customer-dimension join carries NO forced broadcast
+    hint (the dimension is 150k·SF rows — linearly growing, the r14
+    flagship class; threshold/AQE broadcast it while small, shuffle
+    past that). The per-nation rank is a TWO-PHASE global ranking on
+    (nation, x, custkey) — range partition + per-partition row_number +
+    broadcast P-row offsets — re-based per nation by subtracting the
+    nation's min global rank (a 25-row broadcast, nation-domain
+    bounded). The former nation-partitioned window sorted each
+    nation's whole customer population in ONE task (parallelism 25
+    forever); no stage sorts more than a range partition now."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         "c_custkey", "c_nationkey"
@@ -1527,15 +1540,24 @@ def _gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("x")
     )
     by_nation = rev.join(
-        F.broadcast(cust), rev.o_custkey == cust.c_custkey
+        cust, rev.o_custkey == cust.c_custkey
     ).select("c_nationkey", "c_custkey", "x")
-    w = Window.partitionBy("c_nationkey").orderBy("x", "c_custkey")
-    wn = Window.partitionBy("c_nationkey")
-    ranked = by_nation.select(
+    granked = global_rank_two_phase(
+        by_nation,
+        [F.asc("c_nationkey"), F.asc("x"), F.asc("c_custkey")],
+        rank_col="_g",
+    )
+    offsets = granked.groupBy(F.col("c_nationkey").alias("_nk")).agg(
+        F.min("_g").alias("_g0"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ranked = granked.join(
+        F.broadcast(offsets), F.col("c_nationkey") == F.col("_nk")
+    ).select(
         "c_nationkey",
         "x",
-        F.row_number().over(w).alias("i"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+        (F.col("_g") - F.col("_g0") + F.lit(1)).alias("i"),
+        "n",
     )
     terms = ranked.select(
         "c_nationkey",
@@ -1980,9 +2002,11 @@ def _scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-key version counts are what keep SCD2 joins tractable at any
     scale. Revenue accumulates in exact DECIMAL.
 
-    Scale: dimension versions are dimension-sized (broadcast here,
-    shuffle-hash past the threshold); the fact table shuffles once on
-    the join key at most."""
+    Scale: dimension versions are dimension-sized — linearly growing,
+    so the join carries NO forced broadcast hint (round-15 review; a
+    hint never falls back past the threshold): threshold/AQE broadcast
+    the small fixture history, shuffle-hash takes over at scale; the
+    fact table shuffles once on the join key at most."""
     eff = F.to_date(F.lit("1996-06-01"))
     base = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         "c_custkey", "c_mktsegment"
@@ -2012,7 +2036,7 @@ def _scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
     )
     joined = orders.join(
-        F.broadcast(dim), orders.o_custkey == dim.c_custkey
+        dim, orders.o_custkey == dim.c_custkey
     ).where(
         (F.col("od") >= F.col("valid_from"))
         & (F.col("valid_to").isNull() | (F.col("od") < F.col("valid_to")))
@@ -2240,19 +2264,27 @@ def _bot_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one user-partitioned sort shared by the lag and the RANGE
     window, one grouped aggregate. The flag threshold (>= 2 events in
     60 s) is where this fixture's organic traffic thins out; real
-    deployments tune it per surface."""
+    deployments tune it per surface.
+
+    The lag window orders by (us, event_id) — a TOTAL order (round-15
+    review): on bare `us`, two same-microsecond events for one user
+    would make the inter-arrival multiset tie-ORDER-dependent and the
+    engines could legally disagree; the current fixture has no per-user
+    microsecond ties, but a regenerated one may. The RANGE burst frame
+    keys on `us` alone by construction (range frames include all ties
+    regardless of sort position)."""
     ev = read_events(spark, sf_dir).where(F.col("user_id").isNotNull())
     us = F.expr(
         "timestampdiff(MICROSECOND,"
         " TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
     )
-    w = Window.partitionBy("user_id").orderBy("us")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
     wr = (
         Window.partitionBy("user_id")
         .orderBy("us")
         .rangeBetween(-59_999_999, Window.currentRow)
     )
-    seq = ev.select("user_id", us.alias("us")).select(
+    seq = ev.select("user_id", "event_id", us.alias("us")).select(
         "user_id",
         "us",
         (F.col("us") - F.lag("us").over(w)).alias("iat_us"),
@@ -2275,14 +2307,15 @@ register(
     _bot_cadence,
     """
     WITH seq AS (
-        SELECT user_id,
+        SELECT user_id, event_id,
                epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')
                    AS us
         FROM events WHERE user_id IS NOT NULL
     ),
     iat AS (
         SELECT user_id, us,
-               us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+               us - lag(us) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id)
                    AS iat_us,
                CAST(count(*) OVER (PARTITION BY user_id ORDER BY us
                    RANGE BETWEEN 59999999 PRECEDING AND CURRENT ROW)
@@ -2609,8 +2642,10 @@ def _basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: pair counts come from the once-per-session co-purchase
     edge store (functions/graph.py derivation — never a self-join);
-    per-part counts are one fact aggregate broadcast onto the
-    edge-sized relation; N is a 1-row broadcast
+    per-part counts are one fact aggregate joined onto the edge-sized
+    relation WITHOUT a forced broadcast hint (round-15 review: the
+    part domain is 200k·SF — linearly growing; threshold/AQE broadcast
+    it while small, shuffle past that); N is a 1-row broadcast
     (plan_audit SCALAR_BROADCAST_OK). Output is a TakeOrdered top-k,
     never a global sort."""
     li = (
@@ -2628,8 +2663,8 @@ def _basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ca = per_part.select(F.col("p").alias("part_a"), F.col("c").alias("c_a"))
     cb = per_part.select(F.col("p").alias("part_b"), F.col("c").alias("c_b"))
     scored = (
-        edges.join(F.broadcast(ca), "part_a")
-        .join(F.broadcast(cb), "part_b")
+        edges.join(ca, "part_a")
+        .join(cb, "part_b")
         .crossJoin(F.broadcast(n_orders))
         .select(
             "part_a",
@@ -2857,9 +2892,12 @@ def _pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     da = uni.select(F.col("w").alias("word_a"), F.col("df").alias("n_a"))
     db = uni.select(F.col("w").alias("word_b"), F.col("df").alias("n_b"))
+    # No forced broadcast on the unigram tables (round-15 review): the
+    # vocabulary grows with the corpus. Threshold/AQE broadcast them
+    # while small; the co-occurrence join shuffles on the word past it.
     scored = (
-        co.join(F.broadcast(da), "word_a")
-        .join(F.broadcast(db), "word_b")
+        co.join(da, "word_a")
+        .join(db, "word_b")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "word_a",
@@ -3347,9 +3385,12 @@ def _graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     lb = labels.select(
         F.col("node").alias("part_b"), F.col("community").alias("cb")
     )
+    # No forced broadcast on the label vector (round-15 review): it is
+    # O(V) — node-sized, linearly growing. Threshold/AQE broadcast it
+    # at bench scale; the joins shuffle on the node id past that.
     intra = (
-        edges.join(F.broadcast(la), "part_a")
-        .join(F.broadcast(lb), "part_b")
+        edges.join(la, "part_a")
+        .join(lb, "part_b")
         .where(F.col("ca") == F.col("cb"))
         .agg(F.count(F.lit(1)).alias("e_in"))
     )
@@ -3357,7 +3398,7 @@ def _graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = (
         degrees(edges)
         .join(
-            F.broadcast(labels.withColumnRenamed("community", "c")), "node"
+            labels.withColumnRenamed("community", "c"), "node"
         )
         .groupBy("c")
         .agg(F.sum("degree").alias("d_c"))

@@ -443,3 +443,49 @@ def test_nfd_packing_planted(spark, tmp_path):
     assert r["bins_used"] == 3
     assert r["bins_lower_bound"] == 2
     assert r["fill_efficiency"] == 912.0 / (3 * 512)
+
+
+def test_growing_relation_joins_not_force_broadcast(spark, sf_dir):
+    """Round-15 review: seven wave-15 queries force-broadcast linearly
+    growing relations (O(V) HITS score vectors, corpus-proportional
+    shared CDC hashes, the customer dimension twice, |parts| counts,
+    vocabulary tables, O(V) community labels) while their docstrings
+    promised 'shuffle past the threshold' — a forced hint never falls
+    back. With auto-broadcast disabled, each plan must contain exactly
+    its BOUNDED-hint broadcast joins and nothing more (gini keeps
+    three in the PRINTED initial plan: the 25-row nation offsets plus
+    the 32-row two-phase-rank offsets join, which appears twice
+    because the lazy localCheckpoint subtree prints under both of its
+    consumers; scalar crossJoin broadcasts surface as
+    BroadcastNestedLoopJoin, which this check deliberately ignores)."""
+    from orchestrated_etl_spark.queries.wave15_round4 import (
+        _basket_lift,
+        _cdc_chunks,
+        _gini_revenue,
+        _graph_modularity,
+        _hits_2iter,
+        _pmi_collocations,
+        _scd2_point_in_time,
+    )
+
+    expected = [
+        (_hits_2iter, 0),
+        (_cdc_chunks, 0),
+        (_scd2_point_in_time, 0),
+        (_basket_lift, 0),
+        (_pmi_collocations, 0),
+        (_graph_modularity, 0),
+        (_gini_revenue, 3),
+    ]
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for fn, n_bounded in expected:
+            plan = (
+                fn(spark, sf_dir)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            got = plan.count("BroadcastHashJoin")
+            assert got == n_bounded, (fn.__name__, got, plan[:4000])
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -148,6 +148,12 @@ GLOBAL_WINDOW_OK: dict[str, tuple[int, str]] = {
     # <=num_range_partitions per-partition aggregate rows.
     "events_pareto_8020": (1, "offset window over <=32 _pid rows"),
     "text_zipf_slope": (1, "offset window over <=32 _pid rows"),
+    # round-15: gini moved from a nation-partitioned window (parallelism
+    # pinned at 25 nations forever) to the two-phase rank on
+    # (nation, x, custkey); the offsets window prints TWICE because the
+    # lazy localCheckpoint subtree appears under both of its consumers
+    # (the rank join and the per-nation min-rank aggregate).
+    "agg_gini_revenue": (2, "2x printed offset window over <=32 _pid rows"),
     # two-phase global rank x3 (r/f/m dimensions, see rfm_ntile_core):
     # three offset scans over <=32 _pid rows each — the ntile buckets
     # themselves are computed map-side from the ranks.
