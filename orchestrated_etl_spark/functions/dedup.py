@@ -455,14 +455,17 @@ def minhash_lsh_dedup(
     pb = sets.select(F.col("_id").alias("id_b"), F.col("_set").alias("_sb"))
     shared = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
     union = F.size("_sa") + F.size("_sb") - shared
-    # Broadcast the doc-set legs: |sets| ≤ 2·|cands| by construction — LSH
-    # guarantees it is candidate-sized, not corpus-sized — so both joins
-    # stay shuffle-free regardless of corpus size. (If a pathological
-    # corpus ever made cands huge, AQE's size check would refuse the
-    # broadcast and fall back to shuffle joins — correctness unaffected.)
+    # The doc-set legs are candidate-sized (|sets| <= 2·|cands| by
+    # construction), NOT corpus-sized — but candidate volume still grows
+    # with the corpus, so the joins carry NO forced broadcast hint
+    # (round-15 review: a hint is honored unconditionally — AQE does not
+    # refuse an over-sized user hint, it OOMs; the earlier comment
+    # claiming otherwise was wrong). Threshold/AQE broadcast the legs
+    # while they are small and shuffle on the id past that — correctness
+    # unaffected either way.
     return (
-        cands.join(F.broadcast(pa), "id_a")
-        .join(F.broadcast(pb), "id_b")
+        cands.join(pa, "id_a")
+        .join(pb, "id_b")
         .withColumn("jaccard", F.round(shared / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -538,9 +541,11 @@ def incremental_minhash_flags(
     )
     shared = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
     union = F.size("_sa") + F.size("_sb") - shared
+    # candidate-sized legs, no forced broadcast — same reasoning as the
+    # batch verifier above (round-15 review).
     verified = (
-        cands.join(F.broadcast(sa), "in_id")
-        .join(F.broadcast(sb), "hist_id")
+        cands.join(sa, "in_id")
+        .join(sb, "hist_id")
         .withColumn("jaccard", F.round(shared / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .groupBy("in_id")

@@ -322,7 +322,9 @@ def _a_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select("l_orderkey", "l_quantity", "l_discount", "l_extendedprice")
         .join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
         .join(
-            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            # no forced hint: customer is 150k·SF rows (round-15 review,
+            # the r14 flagship class); threshold/AQE decide
+            customer.select("c_custkey", "c_mktsegment"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
     )
@@ -470,7 +472,10 @@ def _j1_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select("l_orderkey", "l_extendedprice", "l_discount")
         .join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
         .join(
-            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            # no forced hint on the GROWING dim (customer is 150k·SF —
+            # round-15 review); nation/region below keep theirs (fixed
+            # 25/5-row domains, broadcastable at any scale)
+            customer.select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(

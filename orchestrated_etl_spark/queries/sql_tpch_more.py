@@ -54,7 +54,7 @@ def _q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lineitem.where(F.col("l_returnflag") == "R")
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(
             F.col("c_custkey").alias("custkey"),
             F.col("c_name").alias("name"),
@@ -105,7 +105,7 @@ def _q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo_rev = F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("double")
     return (
         lineitem.join(
-            F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+            part, F.col("l_partkey") == F.col("p_partkey")
         )
         # trunc()->DATE->NTZ stays wall-clock across session timezones
         .groupBy(
@@ -170,7 +170,7 @@ def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.join(big.withColumnRenamed("l_orderkey", "bigkey"),
                       F.col("l_orderkey") == F.col("bigkey"), "left_semi")
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(
             F.col("c_name").alias("name"),
             F.col("c_custkey").alias("custkey"),
@@ -217,7 +217,7 @@ def _q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     j = lineitem.join(
-        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+        part, F.col("l_partkey") == F.col("p_partkey")
     )
     q, s, t = F.col("l_quantity"), F.col("p_size"), F.col("p_type")
     cond = (

@@ -79,9 +79,9 @@ def _q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
-            F.broadcast(customer),
+            customer,
             (F.col("o_custkey") == F.col("c_custkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -194,8 +194,8 @@ def _q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
         .where(pair)
@@ -264,12 +264,12 @@ def _q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # double and lose the exact-decimal accumulation; sum skips NULLs.
     nation_rev = F.sum(F.when(F.col("supp_nation") == "NATION_3", _rev()))
     return (
-        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(region), F.col("cn_rkey") == F.col("r_regionkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -331,9 +331,9 @@ def _q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     part = _t(spark, sf_dir, "part").where(F.col("p_name").contains("red"))
     return (
-        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -444,7 +444,7 @@ def _q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
         .join(
-            F.broadcast(supplier), F.col("supplier_no") == F.col("s_suppkey")
+            supplier, F.col("supplier_no") == F.col("s_suppkey")
         )
         .select(
             F.col("s_suppkey").alias("suppkey"),
@@ -518,7 +518,7 @@ def _q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("r2_suppkey") != F.col("l_suppkey")),
             "left_anti",
         )
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("s_name").alias("name"))
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "name")

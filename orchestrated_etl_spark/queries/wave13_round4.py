@@ -297,7 +297,9 @@ def bloom_prefilter_core(sup: DataFrame, li: DataFrame) -> DataFrame:
     pruned = probe.where(hit).drop("_bloom")
     # --- exact join + aggregate (decides the final result) ---
     return (
-        pruned.join(F.broadcast(sup), pruned.l_suppkey == sup.s_suppkey)
+        # no forced hint: supplier is 10k·SF rows (round-15 review);
+        # threshold/AQE broadcast it while small, shuffle past that
+        pruned.join(sup, pruned.l_suppkey == sup.s_suppkey)
         .groupBy("s_suppkey")
         .agg(
             F.count(F.lit(1)).alias("n_items"),

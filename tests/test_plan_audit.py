@@ -744,3 +744,39 @@ def test_sample_queries_oversized_draw_is_usage_error():
     assert set(sample_queries(qs, oracles, 2, 0, non_front=False)) == {
         "a", "b",
     }
+
+
+def test_growing_dim_joins_not_force_broadcast_repo_wide(spark, sf_dir):
+    """Round-15 repo-wide sweep of the forced-broadcast class (after
+    the wave15 pass found nine sites, every remaining F.broadcast in
+    the engine was classified): TPC-H supplier/customer/part hints,
+    the star-join and A-family customer hints, the bloom-join supplier
+    hint, and the MinHash verify legs (candidate-sized, which still
+    grows with the corpus — the old comment claiming AQE would refuse
+    an oversized hint was wrong; hints are honored unconditionally)
+    are all dropped. With auto-broadcast disabled each plan must
+    contain exactly its FIXED-DOMAIN hinted joins (nation 25 rows /
+    region 5 rows) and nothing more."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    expected = {
+        "j1_star_join_revenue": 2,   # nation + region keep their hints
+        "a1_a5_enrich_family": 0,
+        "join_bloom_prefilter": 0,   # bloom row is a BNLJ crossJoin
+        "sql_q5_local_supplier_volume": 2,  # nation + region
+        "dedup_minhash_lsh": 0,
+        "train_incremental_dedup": 0,
+    }
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, n_bounded in expected.items():
+            plan = (
+                qs[name](spark, sf_dir)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            got = plan.count("BroadcastHashJoin")
+            assert got == n_bounded, (name, got, plan[:4000])
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
