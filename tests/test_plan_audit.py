@@ -24,7 +24,7 @@ REPO = Path(__file__).resolve().parents[1]
 PKG = REPO / "orchestrated_etl_spark"
 sys.path.insert(0, str(REPO / "tools"))
 
-from plan_audit import count_global_windows  # noqa: E402
+from plan_audit import count_global_windows, count_low_card_windows  # noqa: E402
 
 from orchestrated_etl_spark.operators.relational import (  # noqa: E402
     global_rank_two_phase,
@@ -69,6 +69,85 @@ def test_mixed_plan_counts_only_global(spark):
         F.row_number().over(Window.orderBy("id")).alias("r"),
     )
     assert count_global_windows(_plan(df)) == 1
+
+
+def _status_base(spark):
+    return spark.range(100).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("o_orderstatus")
+    )
+
+
+def test_flags_bounded_domain_window_partition(spark):
+    """The round-16 rule: a window partitioned ONLY by a bounded-domain
+    column (here the 3-value o_orderstatus) pins parallelism at the
+    domain size — the r15 verdict's 'weak at 100 TB' class (it flagged
+    8 registered queries on the r15 tree before their rework)."""
+    df = _status_base(spark).select(
+        F.row_number()
+        .over(Window.partitionBy("o_orderstatus").orderBy("id"))
+        .alias("r")
+    )
+    assert count_low_card_windows(_plan(df)) == 1
+
+
+def test_flags_bounded_domain_partition_only_window(spark):
+    df = _status_base(spark).select(
+        F.count(F.lit(1))
+        .over(Window.partitionBy("o_orderstatus"))
+        .alias("n")
+    )
+    assert count_low_card_windows(_plan(df)) == 1
+
+
+def test_salted_bounded_partition_not_flagged(spark):
+    """A salt (or any unrecognised co-key) in the partition spec lifts
+    the parallelism cap — the sanctioned two-phase fix — so mixed
+    specs must not flag."""
+    df = (
+        _status_base(spark)
+        .withColumn("_salt", F.col("id") % 32)
+        .select(
+            F.row_number()
+            .over(Window.partitionBy("o_orderstatus", "_salt").orderBy("id"))
+            .alias("r")
+        )
+    )
+    assert count_low_card_windows(_plan(df)) == 0
+
+
+def test_high_card_partition_not_flagged(spark):
+    df = _base(spark).select(
+        F.row_number().over(Window.partitionBy("g").orderBy("id")).alias("r")
+    )
+    assert count_low_card_windows(_plan(df)) == 0
+
+
+def test_unpartitioned_window_not_counted_as_low_card(spark):
+    """An empty partition spec is count_global_windows' finding; the
+    low-card counter must not double-report it."""
+    df = _base(spark).select(
+        F.row_number().over(Window.orderBy("id")).alias("r")
+    )
+    assert count_low_card_windows(_plan(df)) == 0
+    assert count_global_windows(_plan(df)) == 1
+
+
+def test_expression_partition_is_a_documented_blind_spot(spark):
+    """KNOWN LIMIT, pinned so a behaviour change is noticed: Catalyst
+    projects an EXPRESSION partition key into a generated ``_w0#N``
+    column before the Window node, erasing the base column name — the
+    detector only sees direct column references (the shape every
+    registered query uses). If Spark ever starts printing the original
+    expression here, this pin flips and the detector docstring should
+    drop the caveat."""
+    df = _status_base(spark).select(
+        F.row_number()
+        .over(Window.partitionBy(F.upper("o_orderstatus")).orderBy("id"))
+        .alias("r")
+    )
+    plan = _plan(df)
+    assert "_w0" in plan  # the projection that hides the base name
+    assert count_low_card_windows(plan) == 0
 
 
 def test_two_phase_rank_has_single_bounded_global_window(spark):
@@ -199,6 +278,9 @@ def test_allowlists_reference_registered_queries():
         assert names <= qs, (listname, sorted(names - qs))
     assert set(pa.GLOBAL_WINDOW_OK) <= qs, sorted(
         set(pa.GLOBAL_WINDOW_OK) - qs
+    )
+    assert set(pa.LOW_CARD_WINDOW_OK) <= qs, sorted(
+        set(pa.LOW_CARD_WINDOW_OK) - qs
     )
 
 

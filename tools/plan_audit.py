@@ -16,6 +16,13 @@ Flags the plan shapes that break at 100 TB:
   <=K-row relations) — each allowlisted with the bound and a reason,
   and with the EXACT expected count so an extra global window sneaking
   into an allowlisted query still flags.
+- ``Window`` nodes whose partition spec is made ONLY of bounded-domain
+  columns (3 order statuses, 25 nations, ~20 sources, …) — parallelism
+  is pinned at the domain size forever, so each task sorts O(fact /
+  domain) rows at 100 TB (round-15 verdict's "weak" class). Allowed
+  only where the window's INPUT is itself bounded (a daily spine, a
+  histogram, a top-K survivor set) — each allowlisted with the bound
+  and the EXACT expected count.
 - Fixture-table parquet scans with no pushed filter AND no column
   pruning (ReadSchema covers every table column while PushedFilters is
   empty): at 100 TB an accidental select-* pipeline reads the whole
@@ -201,6 +208,87 @@ def count_global_windows(plan: str) -> int:
     return n
 
 
+# Columns whose value DOMAIN is bounded (fixture categoricals and
+# construction-fixed derived keys). A Window partitioned ONLY by these
+# caps WindowExec parallelism at the domain size forever — correct and
+# fast at sf0.1, a 3-to-25-task ceiling over a data-sized input at
+# 100 TB (the round-15 verdict's "weak" class: window_ntile_deciles,
+# train_cap_per_source, train_token_packing, train_e2e_pipeline). A
+# salt / _pid / high-card co-key in the partition spec lifts the cap,
+# so mixed specs never flag.
+LOW_CARD_COLS = {
+    # TPC-H categoricals (domain size in parens)
+    "o_orderstatus",      # 3
+    "o_orderpriority",    # 5
+    "l_returnflag",       # 3
+    "l_linestatus",       # 2
+    "l_shipmode",         # 7
+    "l_shipinstruct",     # 4
+    "c_mktsegment",       # 5
+    "n_nationkey", "c_nationkey", "s_nationkey", "n_name",  # 25
+    "n_regionkey", "r_regionkey", "r_name",                 # 5
+    "p_mfgr",             # 5
+    "p_brand",            # 25
+    "p_container",        # 40
+    # fixture categoricals beyond TPC-H
+    "event_type",         # ~6
+    "source",             # ~20 crawl dumps
+    "lang",               # ~10
+    # construction-fixed derived keys used by registered queries
+    "dim",                # 3 RFM dimensions
+    "prev_type",          # event-type domain
+    "epoch",              # 2 (train_epoch_shuffle)
+    "shard",              # 8 (train_epoch_shuffle)
+}
+
+# Queries allowed to carry bounded-domain-partitioned Window nodes,
+# mapped to the EXACT expected count and the reason the window is safe:
+# in every entry the window's INPUT relation is itself bounded (a
+# date-domain daily rollup, a value-domain histogram, a top-K survivor
+# set), so the per-partition sort is O(bounded), not O(fact). Any count
+# above the entry — or any such window in an unlisted query — flags.
+LOW_CARD_WINDOW_OK: dict[str, tuple[int, str]] = {
+    # ≤ K·#salts survivors from the salted phase-1 window (phase 1
+    # itself partitions by (status, _salt) and never flags).
+    "sample_stratified_fixed": (1, "final top-K over ≤6400 salted survivors"),
+    # daily per-type rollups: O(date-domain × #types) rows, never O(fact).
+    "events_anomaly_zscore": (1, "7-day stats over the daily spine"),
+    "events_seasonal_decompose": (2, "trend + seasonal over the daily spine"),
+    # transition-matrix share: input is the (prev_type, next_type)
+    # count relation — type-domain², dozens of rows.
+    "events_markov_transitions": (1, "share over the type×type count grid"),
+    # cumulative histogram per RFM dim: input is the (dim, value)
+    # histogram — O(distinct integer values), sub-linear in the corpus.
+    "events_rfm_quantile_cutoffs": (1, "cumulation over the value histogram"),
+}
+
+
+def count_low_card_windows(plan: str) -> int:
+    """Window nodes whose partition spec is non-empty and made ONLY of
+    LOW_CARD_COLS columns (by base name, `col#id` refs). Any
+    unrecognised column in the spec (salt, _pid, user_id, …) makes the
+    partitioning data-scaled and the node clean. KNOWN LIMIT (pinned in
+    tests): an EXPRESSION partition key is projected into a generated
+    ``_w0#N`` column before the Window node, erasing the base name —
+    only direct column references are detectable."""
+    n = 0
+    for line in plan.splitlines():
+        m = re.search(r"\bWindow(InPandas)? \[", line)
+        if not m:
+            continue
+        groups = _window_bracket_groups(line[m.start() :])
+        if len(groups) >= 3:
+            part = groups[1]
+        elif len(groups) == 2 and not re.search(r" (ASC|DESC) ", groups[1]):
+            part = groups[1]  # partition-only window
+        else:
+            continue  # unpartitioned — count_global_windows' job
+        cols = set(re.findall(r"([A-Za-z_]\w*)#\d+", part))
+        if cols and cols <= LOW_CARD_COLS:
+            n += 1
+    return n
+
+
 # Queries that semantically consume EVERY column of a fixture table with
 # no pushable predicate — the full scan IS the operator.
 FULL_SCAN_OK = {
@@ -370,6 +458,13 @@ def audit(spark, name, fn, sf_dir, full_cols):
     if n_global_win > allowed:
         smells.append(
             f"unpartitioned window x{n_global_win} (allowed {allowed})"
+        )
+    n_lc_win = count_low_card_windows(plan)
+    lc_allowed, _lc_reason = LOW_CARD_WINDOW_OK.get(name, (0, ""))
+    if n_lc_win > lc_allowed:
+        smells.append(
+            f"bounded-domain window partition x{n_lc_win} "
+            f"(allowed {lc_allowed})"
         )
     n_exchange = plan.count("Exchange hashpartitioning")
     n_scan = plan.count("Scan parquet")
