@@ -171,6 +171,79 @@ def exact_ntile_expr(rank_col: Column, n_col: Column, k: int) -> Column:
     )
 
 
+def grouped_rank_two_phase(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    rank_col: str = "rnk",
+    n_col: str | None = None,
+    running_sum_expr: Column | None = None,
+    running_sum_col: str = "cum",
+    num_range_partitions: int = 32,
+    broadcast_offsets: bool = False,
+) -> DataFrame:
+    """Per-group ordering (1-based row_number, optional group size and
+    inclusive running sum) WITHOUT ``Window.partitionBy(<group key>)`` —
+    the scale-safe replacement when the group key's DOMAIN is bounded
+    (3 order statuses, ~20 sources, 2x8 epoch/shard): a window
+    partitioned by such a key pins WindowExec parallelism at the domain
+    size, so each task sorts O(fact/domain) rows at 100 TB (the
+    round-15 verdict's "weak" class, now flagged structurally by
+    tools/plan_audit.py's bounded-domain rule).
+
+    Shape (the agg_gini_revenue recipe generalised): rank the whole
+    relation ONCE with :func:`global_rank_two_phase` on
+    ``group_cols + order_cols`` — every shuffle range/hash-balanced,
+    no stage sorts more than a range partition — then re-base per group
+    by subtracting the group's minimum global rank (and, for the
+    running sum, the group's exclusive global prefix), both obtained
+    from ONE per-group aggregate joined back on the group key.
+
+    ``broadcast_offsets`` forces the per-group offset relation onto the
+    broadcast path. Set it ONLY when the group-key domain is provably
+    bounded (a forced hint never falls back past the threshold — the
+    repo's forced-broadcast rule); with the default False the offsets
+    relation is one row per observed group and threshold/AQE decide.
+
+    ``running_sum_expr`` must be non-negative wherever non-null (token
+    counts, row counts, …): the group's exclusive prefix is recovered
+    as ``min(inclusive_cum - term)`` over the group, which is only the
+    group-start prefix when terms cannot decrease the running sum.
+    Returns all input columns plus ``rank_col`` (long, 1-based within
+    group), ``n_col`` (group size, long) when requested, and
+    ``running_sum_col`` (within-group INCLUSIVE running sum) when
+    ``running_sum_expr`` is given.
+    """
+    order = [F.asc(c) for c in group_cols] + list(order_cols)
+    g = global_rank_two_phase(
+        df,
+        order,
+        num_range_partitions=num_range_partitions,
+        rank_col="_grp2p_g",
+        running_sum_expr=running_sum_expr,
+        running_sum_col="_grp2p_cum",
+    )
+    aggs = [F.min("_grp2p_g").alias("_grp2p_g0")]
+    if n_col is not None:
+        aggs.append(F.count(F.lit(1)).cast("long").alias(n_col))
+    if running_sum_expr is not None:
+        aggs.append(
+            F.min(F.col("_grp2p_cum") - running_sum_expr).alias("_grp2p_c0")
+        )
+    offsets = g.groupBy(*group_cols).agg(*aggs)
+    if broadcast_offsets:
+        offsets = F.broadcast(offsets)
+    out = g.join(offsets, group_cols).withColumn(
+        rank_col,
+        (F.col("_grp2p_g") - F.col("_grp2p_g0") + F.lit(1)).cast("long"),
+    )
+    if running_sum_expr is not None:
+        out = out.withColumn(
+            running_sum_col, F.col("_grp2p_cum") - F.col("_grp2p_c0")
+        ).drop("_grp2p_cum", "_grp2p_c0")
+    return out.drop("_grp2p_g", "_grp2p_g0")
+
+
 def tumbling_window_agg(
     df: DataFrame,
     ts_col: str,

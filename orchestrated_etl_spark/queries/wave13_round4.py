@@ -815,18 +815,34 @@ def _lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-nation top-2 suppliers by account balance via a correlated
     LATERAL subquery — the SQL-standard alternative to the row_number()
     window (window_topk_per_group). Catalyst rewrites the correlated
-    LATERAL LIMIT into a partitioned window internally, so the physical
-    plan is one shuffle on the correlation key, same as the window twin
-    — LATERAL is surface, not a nested-loop execution. Deterministic
-    tie-break on s_suppkey; DuckDB runs the IDENTICAL statement."""
+    LATERAL LIMIT into a window partitioned by the correlation key —
+    which is the 25-value nation key over the GROWING supplier table,
+    the r15 verdict's parallelism-ceiling class. Round-16 rework: a
+    salted phase-1 top-2 per (nation, s_suppkey%32) — pure SQL, every
+    window partition ~1/32 of a nation, and the per-salt top-2
+    provably contains every global top-2 member — bounds the LATERAL's
+    input to ≤ 2·32 survivors per nation, so the rewrite window sorts
+    ≤ 64 rows per nation BY CONSTRUCTION at any corpus size while the
+    LATERAL surface (the thing this query demonstrates) is unchanged.
+    Deterministic tie-break on s_suppkey; DuckDB runs the single-pass
+    statement (identical result: same total order both phases)."""
     spark.read.parquet(f"{sf_dir}/supplier.parquet").createOrReplaceTempView(
         "v_supplier_lat"
     )
     return spark.sql(
         """
+        WITH cand AS (
+            SELECT s_nationkey, s_suppkey, s_acctbal
+            FROM (SELECT s_nationkey, s_suppkey, s_acctbal,
+                         row_number() OVER (
+                             PARTITION BY s_nationkey, s_suppkey % 32
+                             ORDER BY s_acctbal DESC, s_suppkey) AS rn
+                  FROM v_supplier_lat)
+            WHERE rn <= 2
+        )
         SELECT n.s_nationkey, t.s_suppkey, t.s_acctbal
-        FROM (SELECT DISTINCT s_nationkey FROM v_supplier_lat) n,
-        LATERAL (SELECT s_suppkey, s_acctbal FROM v_supplier_lat s
+        FROM (SELECT DISTINCT s_nationkey FROM cand) n,
+        LATERAL (SELECT s_suppkey, s_acctbal FROM cand s
                  WHERE s.s_nationkey = n.s_nationkey
                  ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) t
         """

@@ -185,6 +185,70 @@ def test_two_phase_rank_matches_global_window_semantics(spark):
     assert act == exp
 
 
+def test_grouped_rank_two_phase_matches_partitioned_window_semantics(spark):
+    """The round-16 operator behind the bounded-domain-window reworks:
+    per-group row_number, group size, and inclusive running sum must be
+    bit-identical to the Window.partitionBy(group) form it replaces."""
+    from orchestrated_etl_spark.operators.relational import (
+        grouped_rank_two_phase,
+    )
+
+    df = spark.range(200).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 7 % 13).alias("v"),
+    )
+    order = [F.desc("v"), F.asc("id")]
+    w = Window.partitionBy("g").orderBy(*order)
+    expected = df.select(
+        "id",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("n"),
+        F.sum("v")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    got = grouped_rank_two_phase(
+        df,
+        ["g"],
+        order,
+        rank_col="rnk",
+        n_col="n",
+        running_sum_expr=F.col("v"),
+        running_sum_col="cum",
+        num_range_partitions=4,
+    ).select("id", "rnk", "n", "cum")
+    exp = {(r.id, r.rnk, r.n, r.cum) for r in expected.collect()}
+    act = {(r.id, r.rnk, r.n, r.cum) for r in got.collect()}
+    assert act == exp
+
+
+def test_round16_reworked_queries_have_no_bounded_domain_windows(spark, sf_dir):
+    """The r15 verdict's weak class, pinned closed: the seven reworked
+    queries' physical plans carry ZERO bounded-domain-partitioned
+    windows and at most the two-phase operator's 2x-printed ≤32-row
+    _pid offset window (counts mirror plan_audit's allowlists, so a
+    regression fails here before the registry audit)."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    expect_global = {
+        "window_ntile_deciles": 2,
+        "window_distribution_ranks": 2,
+        "train_cap_per_source": 0,
+        "train_token_packing": 2,
+        "train_epoch_shuffle": 2,
+        "sql_lateral_correlated_topk": 0,
+    }
+    for name, n_glob in expect_global.items():
+        plan = _plan(qs[name](spark, sf_dir))
+        # salted final/rewrite windows stay allowlisted LOW-CARD cases
+        allowed_lc = {"train_cap_per_source": 1,
+                      "sql_lateral_correlated_topk": 1}.get(name, 0)
+        assert count_low_card_windows(plan) <= allowed_lc, name
+        assert count_global_windows(plan) == n_glob, name
+
+
 def test_full_scan_detector(spark, sf_dir):
     from plan_audit import full_scan_smells
 
@@ -849,6 +913,22 @@ def test_growing_dim_joins_not_force_broadcast_repo_wide(spark, sf_dir):
         "sql_q5_local_supplier_volume": 2,  # nation + region
         "dedup_minhash_lsh": 0,
         "train_incremental_dedup": 0,
+        # round-16 bounded-domain-window reworks: every surviving hint
+        # is bounded — the two-phase ≤32-row _pid offsets (whose lazy
+        # localCheckpoint subtree PRINTS under both consumers, so the
+        # internal hinted join counts twice) plus the re-base offsets
+        # where the group domain is construction-fixed (3 statuses /
+        # 2×8 epoch-shard / 3-row per-status totals). The per-source
+        # re-bases carry NO hint (source count grows with the dump
+        # inventory) — under disabled auto-broadcast they fall back to
+        # shuffle joins, which is exactly what these counts pin.
+        "window_ntile_deciles": 3,        # 2x _pid + 3-row status offsets
+        "window_distribution_ranks": 4,   # 2x _pid + status offsets + totals
+        "train_cap_per_source": 0,        # salted windows, no join at all
+        "train_token_packing": 2,         # 2x _pid; source re-base unhinted
+        "train_e2e_pipeline": 2,          # 2x _pid; source re-base unhinted
+        "train_epoch_shuffle": 3,         # 2x _pid + 16-row epoch×shard
+        "sql_lateral_correlated_topk": 0,  # salted SQL windows, no join
     }
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

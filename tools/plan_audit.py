@@ -165,6 +165,15 @@ GLOBAL_WINDOW_OK: dict[str, tuple[int, str]] = {
     # three offset scans over <=32 _pid rows each — the ntile buckets
     # themselves are computed map-side from the ranks.
     "events_rfm_segmentation": (3, "3x offset windows over <=32 _pid rows"),
+    # round-16: the five bounded-domain-window reworks (grouped_rank_
+    # two_phase — the gini recipe generalised). Same 2x print as
+    # agg_gini_revenue: the lazy localCheckpoint subtree appears under
+    # BOTH consumers (the re-base offsets aggregate and the rank join).
+    "window_ntile_deciles": (2, "2x printed offset window over <=32 _pid rows"),
+    "window_distribution_ranks": (2, "2x printed offset window over <=32 _pid rows"),
+    "train_token_packing": (2, "2x printed offset window over <=32 _pid rows"),
+    "train_e2e_pipeline": (2, "2x printed offset window over <=32 _pid rows"),
+    "train_epoch_shuffle": (2, "2x printed offset window over <=32 _pid rows"),
 }
 
 
@@ -251,6 +260,14 @@ LOW_CARD_WINDOW_OK: dict[str, tuple[int, str]] = {
     # ≤ K·#salts survivors from the salted phase-1 window (phase 1
     # itself partitions by (status, _salt) and never flags).
     "sample_stratified_fixed": (1, "final top-K over ≤6400 salted survivors"),
+    "train_cap_per_source": (1, "final top-15 over ≤480 salted survivors/source"),
+    # Catalyst rewrites the correlated LATERAL LIMIT into a nation-
+    # partitioned window — its input is the salted phase-1 survivor
+    # set, ≤ 2·32 rows per nation by construction.
+    "sql_lateral_correlated_topk": (1, "LATERAL rewrite over ≤64 survivors/nation"),
+    # dimension-bounded window input: the lead() edge list runs over
+    # the 25-row nation table itself.
+    "sql_recursive_region_walk": (1, "lead edge-list over the 25-row nation dim"),
     # daily per-type rollups: O(date-domain × #types) rows, never O(fact).
     "events_anomaly_zscore": (1, "7-day stats over the daily spine"),
     "events_seasonal_decompose": (2, "trend + seasonal over the daily spine"),
