@@ -314,30 +314,99 @@ def test_contended_uniform_capture_demotes_by_arithmetic(tmp_path):
     as arithmetic. The same timings on a FAST host (mt factor inside
     threshold) stay hard exit-1 flags."""
     hist = _four_query_history(tmp_path)
-    # uniform 1.5x (b,c,d) + one query at 2.2x raw = 1.47x normalised;
-    # total 33.5 = +13.1 over median 20.4.
+    # uniform 1.5x (b,c,d) + one query at 2.2x raw = 1.47x normalised
+    # (leave-one-out median over b,c,d = 1.5); total 30.5 = +10.1 over
+    # median 20.4.
     queries = {"a": 11.0, "b": 7.5, "c": 7.5, "d": 7.5}
 
     slow_host = tmp_path / "contended.txt"
-    # probe 20 (normal single-core) / mt 180 -> factor 9x; bound
-    # 3.0 + 1.9*(9-3) = 14.4 >= 13.1 -> total demotes.
-    _mk_raw_capture(slow_host, 33.5, queries, start_load=0.3,
+    # probe 20 (normal single-core) / mt 180 -> factor 9x, CAPPED at
+    # 7x (r16 advice); bound 3.0 + 1.9*(7-3) = 10.6 >= 10.1 -> total
+    # demotes.
+    _mk_raw_capture(slow_host, 30.5, queries, start_load=0.3,
                     probe=20.0, mt_probe=180.0)
     r = _run_gate(slow_host, hist)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "WARN (demoted) query a" in r.stdout
     assert "normalised ratio 1.47" in r.stdout
+    assert "leave-one-out" in r.stdout
     assert "WARN (demoted) total" in r.stdout
     assert "contention-calibrated bound" in r.stdout
+    assert "(capped at 7.0x)" in r.stdout
     assert "demoted query warning" in r.stdout
 
     fast_host = tmp_path / "fast.txt"
-    _mk_raw_capture(fast_host, 33.5, queries, start_load=0.3,
+    _mk_raw_capture(fast_host, 30.5, queries, start_load=0.3,
                     probe=20.0, mt_probe=24.0)  # factor 1.2x: healthy
     r2 = _run_gate(fast_host, hist)
     assert r2.returncode == 1, r2.stdout + r2.stderr
     assert "FLAG query a" in r2.stdout
     assert "FLAG total" in r2.stdout
+
+
+def test_mt_tax_capped_beyond_calibration_range(tmp_path):
+    """Round-16 advice (medium): the contention tax is capped at
+    --mt-cap (7x, just above the r14/r15 calibration range 4.9-6.5x).
+    The r15 settled capture's own 15.1x factor would have earned
+    ~23 s of slack under the uncapped linear tax — enough to
+    self-demote a genuine suite-wide regression on any heavily
+    contended host. A delta the CAPPED bound (10.6 s) cannot explain
+    must stay a hard flag at factor 15x."""
+    hist = _four_query_history(tmp_path)
+    queries = {"a": 11.0, "b": 7.5, "c": 7.5, "d": 7.5}
+    beyond = tmp_path / "supercontended.txt"
+    # factor 15x; delta 33.5-20.4 = 13.1 > capped bound 10.6
+    # (uncapped would be 3.0 + 1.9*12 = 25.8 and wave it through).
+    _mk_raw_capture(beyond, 33.5, queries, start_load=0.3,
+                    probe=20.0, mt_probe=300.0)
+    r = _run_gate(beyond, hist)
+    assert r.returncode == 1, r.stdout + r.stderr
+    assert "FLAG total" in r.stdout
+
+
+def test_per_query_normalisation_median_is_leave_one_out(tmp_path):
+    """Round-16 advice: the normalisation median must EXCLUDE the
+    flagged query's own inflated ratio. 3-query suite, a at exactly
+    3.0x with b,c at 1.5x/1.2x: the full-suite median (1.5, raised by
+    a's own 3.0 entry) would normalise a to exactly 2.0 and demote it;
+    the leave-one-out median (1.35) normalises to 2.22 — hard."""
+    hist = tmp_path / "hist3"
+    hist.mkdir()
+    for i, tot in enumerate([15.0, 15.3, 15.45], start=1):
+        _mk_raw_capture(hist / f"BENCH_r0{i}.json", tot,
+                        {q: tot / 3 for q in "abc"},
+                        start_load=0.2, probe=20.0)
+    # best-ever per query 5.0; ratios: a 3.0, b 1.5, c 1.2
+    t = tmp_path / "loo.txt"
+    _mk_raw_capture(t, 28.5, {"a": 15.0, "b": 7.5, "c": 6.0},
+                    start_load=0.3, probe=20.0, mt_probe=180.0)
+    r = _run_gate(t, hist)
+    assert r.returncode == 1, r.stdout + r.stderr
+    assert "FLAG query a" in r.stdout
+    assert "WARN (demoted) query" not in r.stdout
+
+
+def test_demotion_compare_is_unrounded(tmp_path):
+    """Round-16 advice: the normalised ratio is compared against the
+    gate UNROUNDED. a at 3.006x over a leave-one-out median of 1.5
+    normalises to 2.004 — display-rounds to 2.0, but must stay a hard
+    flag; a at 2.999x (normalised 1.999) demotes."""
+    hist = _four_query_history(tmp_path)
+    eps_above = tmp_path / "eps_above.txt"
+    _mk_raw_capture(eps_above, 30.5,
+                    {"a": 15.03, "b": 7.5, "c": 7.5, "d": 7.5},
+                    start_load=0.3, probe=20.0, mt_probe=180.0)
+    r = _run_gate(eps_above, hist)
+    assert r.returncode == 1, r.stdout + r.stderr
+    assert "FLAG query a" in r.stdout
+
+    eps_below = tmp_path / "eps_below.txt"
+    _mk_raw_capture(eps_below, 30.5,
+                    {"a": 14.995, "b": 7.5, "c": 7.5, "d": 7.5},
+                    start_load=0.3, probe=20.0, mt_probe=180.0)
+    r2 = _run_gate(eps_below, hist)
+    assert r2.returncode == 0, r2.stdout + r2.stderr
+    assert "WARN (demoted) query a" in r2.stdout
 
 
 def test_contended_capture_keeps_genuine_regressions_hard(tmp_path):

@@ -52,24 +52,37 @@ mechanical and self-contained:
      ``mt_probe_ms / cpu_probe_ms`` contention factor exceeds
      ``--mt-threshold`` (ideal ≈1x on idle cores; the r14 host class
      read 4.9-6.5x while benching ~25-28 s vs the 20.9 s history) AND
-     the delta is inside ``band + --mt-tax * (factor - threshold)``.
-     This is the signal the single-core probe is blind to: the r14
-     driver capture's single-core probe ratio was NORMAL while the
-     all-core probe read 6.5x ideal.
+     the delta is inside ``band + --mt-tax * (min(factor, --mt-cap) -
+     threshold)``. This is the signal the single-core probe is blind
+     to: the r14 driver capture's single-core probe ratio was NORMAL
+     while the all-core probe read 6.5x ideal. The tax factor is
+     CAPPED at ``--mt-cap`` (default 7.0, just above the r14/r15
+     calibration range 4.9-6.5x — round-16 advice): the uncapped
+     linear tax let the r15 capture's own 15.1x factor earn ~23 s of
+     slack on a ~20 s suite, so a genuine suite-wide regression
+     coincident with any heavily contended host would have
+     self-demoted; beyond the calibration range the slope is unbacked
+     extrapolation, and whatever the capped bound cannot explain
+     stays a hard flag.
 
   The per-query 2x check stays hard-fail under LOAD and under a slow
   single-core probe (a real single-query regression shows up under
   any load). The ONE bounded exception (round-15): a contended-host
   capture (mt factor over threshold) whose suite shows the UNIFORM
-  inflation signature — the suite-median per-query ratio vs best-ever
-  at or above ``--uniformity`` — demotes a per-query flag to WARN iff
-  the query's ratio NORMALISED by that suite median is back under the
-  ratio gate. That is precisely the r14 adjudication arithmetic
-  (dedup_cdc_chunks at 2.15x raw inside a suite uniformly at ~1.5x =
-  1.43x normalised, untouched code) made mechanical. A genuinely
-  regressed query stays hard: code regressions do not move the
-  all-core probe, and a single-query regression does not move the
-  suite median. A total flag on an IDLE capture with normal probes
+  inflation signature — the LEAVE-ONE-OUT suite-median per-query
+  ratio vs best-ever (excluding the flagged query itself; round-16
+  advice — on small suites the flagged query's own inflated ratio
+  materially raised the median it is divided by) at or above
+  ``--uniformity`` — demotes a per-query flag to WARN iff the query's
+  UNROUNDED ratio NORMALISED by that leave-one-out median is back
+  under the ratio gate (round-16 advice: rounding before the compare
+  let a query epsilon above the gate demote on rounding alone; all
+  demotion arithmetic now runs unrounded, display-only rounding).
+  That is precisely the r14 adjudication arithmetic (dedup_cdc_chunks
+  at 2.15x raw inside a suite uniformly at ~1.5x = 1.43x normalised,
+  untouched code) made mechanical. A genuinely regressed query stays
+  hard: code regressions do not move the all-core probe, and a single
+  regression does not move the leave-one-out suite median at all. A total flag on an IDLE capture with normal probes
   (or no telemetry recorded) stays hard-fail. Whenever the target
   carries probes, the decision line cites them so the adjudication is
   arithmetic on record, not inference;
@@ -198,9 +211,13 @@ def evaluate(
         b, where = best[name]
         r = sec / b if b > 0 else 1.0
         if r > ratio:
+            # ratio_exact carries the unrounded value for downstream
+            # arithmetic (round-16 advice: a 2dp-rounded quotient
+            # compared <= gate demoted queries sitting epsilon above
+            # it on rounding alone); "ratio" stays rounded for display.
             flagged_queries.append(
                 {"query": name, "sec": sec, "best": b, "best_in": where,
-                 "ratio": round(r, 2)}
+                 "ratio": round(r, 2), "ratio_exact": r}
             )
     suite = set(target["queries"])
     comparable = [
@@ -242,8 +259,8 @@ def evaluate(
                 "delta": round(delta, 3),
                 "band": band,
             }
-    ratios = {
-        name: round(sec / best[name][0], 3)
+    ratios_exact = {
+        name: sec / best[name][0]
         for name, sec in target["queries"].items()
         if best[name][0] > 0
     }
@@ -252,9 +269,12 @@ def evaluate(
         "total_flag": total_flag,
         "total_ctx": total_ctx,
         "comparable_rounds": [r["label"] for r in comparable],
-        "ratios": ratios,
+        "ratios": {n: round(r, 3) for n, r in ratios_exact.items()},
+        # unrounded ratios for the demotion arithmetic (round-16
+        # advice: round only for display)
+        "ratios_exact": ratios_exact,
         "max_ratio": max(
-            (round(r, 2) for r in ratios.values()), default=0.0
+            (round(r, 2) for r in ratios_exact.values()), default=0.0
         ),
     }
 
@@ -302,6 +322,13 @@ def main(argv: list[str] | None = None) -> int:
                          "+4.5/+6.5/+7.5s at factors 6.5/4.9/5.5 each "
                          "need tax >= 0.4/1.8/1.8 — SCALING.md "
                          "round-15 calibration)")
+    ap.add_argument("--mt-cap", type=float, default=7.0,
+                    help="contention factor above which the mt tax stops "
+                         "growing (round-16 advice: the r14/r15 "
+                         "calibration observed factors 4.9-6.5x; beyond "
+                         "~7x the linear tax is unbacked extrapolation — "
+                         "a 15x host must not earn 23s of slack on a "
+                         "20s suite)")
     ap.add_argument("--uniformity", type=float, default=1.2,
                     help="suite-median per-query ratio vs best-ever at "
                          "or above which a contended capture shows the "
@@ -387,24 +414,35 @@ def main(argv: list[str] | None = None) -> int:
               f"{args.mt_threshold}x); {hist_note}")
     # Uniform-inflation signature: the suite-median per-query ratio vs
     # best-ever. A host factor inflates EVERY query; a code regression
-    # inflates its own query and leaves the median alone.
-    suite_ratios = sorted(verdict["ratios"].values())
-    median_ratio = _median(suite_ratios) if suite_ratios else None
+    # inflates its own query and leaves the median alone. The median
+    # used to normalise a flagged query is computed LEAVE-ONE-OUT
+    # (round-16 advice: including the flagged query's own inflated
+    # ratio raised the median it is divided by, materially easing its
+    # own demotion on small suites — excluding it also makes the
+    # 'a single regression does not move the suite median' claim
+    # exactly true). All arithmetic runs on UNROUNDED ratios; values
+    # are rounded only for display (round-16 advice item 3).
+    ratios_exact = verdict["ratios_exact"]
     contended = mt_factor is not None and mt_factor > args.mt_threshold
     hard_queries = []
     for f in verdict["flagged_queries"]:
+        loo = sorted(
+            r for n, r in ratios_exact.items() if n != f["query"]
+        )
+        loo_median = _median(loo) if loo else None
         norm = (
-            round(f["ratio"] / median_ratio, 2)
-            if contended and median_ratio and median_ratio >= args.uniformity
+            f["ratio_exact"] / loo_median
+            if contended and loo_median and loo_median >= args.uniformity
             else None
         )
         if norm is not None and norm <= args.ratio:
             print(f"WARN (demoted) query {f['query']}: {f['sec']}s is "
                   f"{f['ratio']}x best-ever {f['best']}s ({f['best_in']}) "
                   f"— but the capture is contended (mt factor "
-                  f"{mt_factor}x > {args.mt_threshold}x) and the suite "
-                  f"is uniformly inflated (median ratio {median_ratio}); "
-                  f"normalised ratio {norm} is under the {args.ratio} "
+                  f"{mt_factor}x > {args.mt_threshold}x) and the rest of "
+                  f"the suite is uniformly inflated (leave-one-out "
+                  f"median ratio {round(loo_median, 3)}); normalised "
+                  f"ratio {round(norm, 2)} is under the {args.ratio} "
                   f"gate (r14 adjudication arithmetic, SCALING.md)")
             continue
         hard_queries.append(f)
@@ -452,15 +490,28 @@ def main(argv: list[str] | None = None) -> int:
         # reads as normal (round-15, calibrated from the r14/r15
         # contended captures in SCALING.md).
         if reason is None and contended:
+            # The tax factor is CAPPED at the largest calibrated
+            # contention factor (round-16 advice: the linear tax was
+            # unbounded — the r15 settled capture's own 15.1x factor
+            # would have earned ~23s of slack on a ~20s suite, so a
+            # genuine suite-wide regression coincident with any heavily
+            # contended host would self-demote; beyond the r14/r15
+            # calibration range [4.9, 6.5]x there is no measurement
+            # backing the line's slope, so extrapolation stops at
+            # --mt-cap and anything it cannot explain stays hard).
+            eff_factor = min(mt_factor, args.mt_cap)
             mt_tax = round(
-                args.mt_tax * (mt_factor - args.mt_threshold), 3)
+                args.mt_tax * (eff_factor - args.mt_threshold), 3)
+            capped = " (capped at {:.1f}x)".format(args.mt_cap) \
+                if mt_factor > args.mt_cap else ""
             if tf["delta"] <= args.band + mt_tax:
                 reason = (
-                    f"capture's all-core contention factor {mt_factor}x "
-                    f"> {args.mt_threshold}x and delta {tf['delta']}s is "
-                    f"inside the contention-calibrated bound "
-                    f"{args.band}+{mt_tax}s ({args.mt_tax}s tax per unit "
-                    f"factor, SCALING.md round-15 calibration)")
+                    f"capture's all-core contention factor {mt_factor}x"
+                    f"{capped} > {args.mt_threshold}x and delta "
+                    f"{tf['delta']}s is inside the contention-calibrated "
+                    f"bound {args.band}+{mt_tax}s ({args.mt_tax}s tax per "
+                    f"unit factor up to the {args.mt_cap}x calibration "
+                    f"ceiling, SCALING.md round-15 calibration)")
         kind = "WARN (demoted)" if reason else "FLAG"
         print(f"{kind} total: {tf['total']}s is +{tf['delta']}s over the "
               f"median comparable-suite total {tf['median_total']}s "
