@@ -67,28 +67,30 @@ def _load_all() -> None:
 # bit-for-bit from r01..r07 inputs (pytest-pinned):
 #   sorted(oracle_names, key=lambda n: (last_green_round[n], reg_order[n]))[:50]
 _FRONT = [
-    # 41 stalest: last green round 9 (registration order)
-    "dedup_minhash_lsh", "dedup_containment", "dedup_cluster_components",
-    "sim_ivf_topk", "sim_sq8_topk", "sim_mrl_prefix_topk",
-    "mm_frame_sample", "mm_fake_embed_topk", "mm_scene_cut",
-    "stream_tumbling_daily", "stream_stream_join",
-    "asof_join_purchase_click", "sink_merge_upsert",
-    "src_python_datasource", "sink_scd2_history",
-    "join_dpp_partition_pruned", "agg_hll_sketch_merge",
-    "train_temperature_mixture", "train_decontaminate",
-    "train_e2e_pipeline", "datetime_gap_fill",
-    "funnel_view_click_purchase", "text_char_entropy",
-    "events_retention_cohorts", "events_anomaly_zscore",
-    "sim_hyperplane_lsh", "src_text_logparse", "events_attribution_linear",
-    "events_markov_transitions", "sql_recursive_region_walk",
-    "src_xml_extract", "sql_q2_min_cost_supplier", "search_bm25_topk",
-    "train_incremental_dedup", "train_quality_gopher_gate",
-    "search_hybrid_rrf", "graph_pagerank", "graph_label_propagation",
-    "dq_constraint_audit", "sink_zorder_write", "dq_drift_psi",
-    # 9 stalest: last green round 10 (registration order)
-    "setop_intersect_all", "setop_except_all", "text_lang_profile",
-    "text_word_topk", "text_fingerprint", "text_bpe_token_counts",
-    "text_repetition_score", "udtf_chunk_expand", "text_length_histogram",
+    # 41 stalest: last green round 10 (registration order)
+    "text_url_parse_profile", "train_incremental_minhash",
+    "dedup_ngram_jaccard", "dedup_levenshtein_blocked", "dedup_simhash",
+    "dedup_embedding_cosine", "dedup_minhash_mllib",
+    "dedup_semantic_clusters", "mm_vad_segments", "stream_cdc_upsert",
+    "asof_join_salted", "range_join_clicks_before_purchase",
+    "sessionize_events_30m", "sink_ctas_insert", "train_profile_documents",
+    "train_oov_rate", "events_rfm_quantile_cutoffs", "events_ewma_fold",
+    "sql_session_variables", "sql_group_by_all", "sql_identifier_clause",
+    "sql_lateral_alias", "sql_try_functions", "sql_q11_important_stock",
+    "sql_q16_supplier_diversity", "sql_q20_excess_availability",
+    "text_tfidf_keywords", "text_unigram_logprob",
+    "graph_copurchase_edges", "graph_degree_distribution",
+    "graph_triangle_count", "graph_triangle_orient",
+    "graph_walk_centrality", "graph_link_prediction",
+    "graph_assortativity", "sink_compacted_roundtrip",
+    "sink_clustered_write", "src_file_lineage",
+    "sink_dynamic_partition_overwrite", "window_locf_ignore_nulls",
+    "agg_approx_percentile_bounds",
+    # 9 stalest: last green round 11 (registration order)
+    "train_fuzzy_decontaminate", "sim_bruteforce_topk",
+    "sim_ivf_topk_nprobe2", "sim_vector_norms", "sim_normalize_embeddings",
+    "sim_udaf_mean_norm", "sim_groupmap_zscore", "sim_mapinarrow_norms",
+    "sim_tree_assign_agreement",
 ]
 
 

@@ -477,9 +477,9 @@ print(chr(10).join(registry.registration_order()))
     )
 
 
-def test_rotate_front_reproduces_shipped_r15_front():
-    """The SHIPPED round-15 `_FRONT` must equal the stalest-50
-    recomputation from the committed CORRECTNESS_r01–r14 files — the
+def test_rotate_front_reproduces_shipped_r16_front():
+    """The SHIPPED round-16 `_FRONT` must equal the stalest-50
+    recomputation from the committed CORRECTNESS_r01–r15 files — the
     exact check each round's judge performs by hand, made a gate. Uses
     the frozen REGISTRATION_ORDER.txt for the tie-break (what
     rotate_front.py reads), so this runs correctly even under pytest's
@@ -500,8 +500,8 @@ def test_rotate_front_reproduces_shipped_r15_front():
     assert len(paths) >= 12, "committed correctness history missing"
     for path in paths:
         rnd = int(path.name.rsplit("_r", 1)[1].split(".")[0])
-        if rnd > 14:
-            continue  # pin to the inputs the r15 rotation was computed from
+        if rnd > 15:
+            continue  # pin to the inputs the r16 rotation was computed from
         for name, row in json.load(open(path)).items():
             if _green(row):
                 last[name] = max(last.get(name, 0), rnd)
@@ -799,12 +799,12 @@ def test_compat_accessors_classic_and_connect_fallback(spark):
         application_id(stopped)
 
 
-def test_seeded_spot_check_sample_reproduces_r15_draw():
+def test_seeded_spot_check_sample_reproduces_r16_draw():
     """check_oracle --sample/--seed/--non-front pins the judges'
     spot-check protocol mechanically (it was hand-rolled r12-r14). The
-    r15 round record (COVERAGE.md round-15 delta) draws seed 1716
-    (sequence 1312/1514/1716), n 24, non-front over the r15 front —
-    this asserts the tool reproduces that committed draw bit-for-bit,
+    r16 round record (COVERAGE.md round-16 delta) draws seed 1918
+    (sequence 1312/1514/1716/1918), n 24, non-front over the r16 front
+    — this asserts the tool reproduces that committed draw bit-for-bit,
     so a pool/ordering change that would silently re-map historical
     seeds fails here instead. Re-pinned each rotation round: the
     non-front pool is defined against the CURRENT front."""
@@ -818,19 +818,19 @@ def test_seeded_spot_check_sample_reproduces_r15_draw():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    got = sample_queries(qs, oracles, 24, 1716, non_front=True)
+    got = sample_queries(qs, oracles, 24, 1918, non_front=True)
     assert got == [
-        "agg_approx_sketches", "stream_cdc_upsert", "agg_trimmed_mean",
-        "dedup_semantic_clusters", "train_profile_documents",
-        "setop_intersect", "mm_resize_stub", "books_standardise",
-        "events_cusum_changepoint", "json_variant_props",
-        "text_unigram_logprob", "q1_pricing_summary",
-        "sim_bruteforce_topk", "asof_join_salted",
-        "sql_q21_waiting_supplier", "train_build_vocab",
-        "agg_median_percentiles", "sql_q9_product_profit",
-        "stream_state_inspect", "stream_dedup_users",
-        "window_rank_lag_lead", "events_max_drawdown",
-        "sink_ctas_insert", "grouping_sets_orders",
+        "agg_listagg_lines", "sql_q17_below_avg_qty",
+        "events_anomaly_mad", "sink_scd2_history",
+        "funnel_view_click_purchase", "events_attribution_linear",
+        "j1_star_join_revenue", "dedup_minhash_lsh", "j_left_join",
+        "text_repetition_score", "join_bucketed_colocated",
+        "events_pareto_8020", "events_dau_wau", "json_map_entries",
+        "s3_completeness_filter", "graph_clustering_coefficient",
+        "train_cap_per_source", "stream_sliding_2h", "graph_modularity",
+        "train_e2e_incremental_refresh", "obs_standardise_metrics",
+        "search_hybrid_rrf", "train_token_packing",
+        "train_split_assignment",
     ]
     # no query may appear in both the draw and the driver's front
     from orchestrated_etl_spark import registry
