@@ -190,12 +190,16 @@ register(
 def _tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (stopwords excluded, idf =
     ln(N/df)). Plan: the (doc,term) aggregate reuses the posting shape,
-    doc-frequency is a second aggregate on term, joined back with an
-    explicit BROADCAST hint (the vocabulary is dimension-sized even at
-    100 TB — it grows with the language, not the corpus). Issued as SQL
-    text so the corpus size N plans as a ScalarSubquery literal rather
-    than a 1-row nested-loop join (plan-audit clean). Per-doc ranking is
-    a window over the doc_id partitioning the first aggregate already
+    doc-frequency is a second aggregate on term joined back WITHOUT a
+    forced broadcast hint (round-16 review: the df relation is the raw
+    token VOCABULARY — Heaps'-law-unbounded, the same growing-relation
+    class whose PMI-vocabulary hint the r15 sweep dropped; the old
+    docstring's "grows with the language, not the corpus" held only for
+    a curated lexicon, not raw tokens. Threshold/AQE broadcast it while
+    small, shuffle on the term key past that). Issued as SQL text so
+    the corpus size N plans as a ScalarSubquery literal rather than a
+    1-row nested-loop join (plan-audit clean). Per-doc ranking is a
+    window over the doc_id partitioning the first aggregate already
     established — no extra exchange. Rank ties (equal tf and df) break
     alphabetically, so both engines emit the same rank-1..3 rows."""
     from orchestrated_etl_spark.functions.text import STOPWORDS
@@ -215,7 +219,7 @@ def _tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         df AS (SELECT term, count(*) AS df FROM terms GROUP BY 1),
         scored AS (
-            SELECT /*+ BROADCAST(df) */ doc_id, term,
+            SELECT doc_id, term,
                    round(tf * ln(CAST((SELECT count(*) FROM docs_tfidf)
                                       AS DOUBLE) / df.df), 6) AS score
             FROM terms JOIN df USING (term)

@@ -929,6 +929,10 @@ def test_growing_dim_joins_not_force_broadcast_repo_wide(spark, sf_dir):
         "train_e2e_pipeline": 2,          # 2x _pid; source re-base unhinted
         "train_epoch_shuffle": 3,         # 2x _pid + 16-row epoch×shard
         "sql_lateral_correlated_topk": 0,  # salted SQL windows, no join
+        # round-16 review: the TF-IDF doc-frequency join lost its hint
+        # (the df relation is the Heaps'-law-unbounded raw vocabulary,
+        # the same class as the r15-dropped PMI vocabulary hint).
+        "text_tfidf_keywords": 0,
     }
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
