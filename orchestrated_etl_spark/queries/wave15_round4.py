@@ -2523,13 +2523,25 @@ def _pack_nfd_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The fold carries a (bins, last_load) STRUCT accumulator over the
     sorted token array — sequential by nature (bin state depends on
-    every prior document), so the exact form is the per-key ordered
-    fold (events_ewma_fold contract; per-source arrays are shard-
-    bounded). Seeded with last_load = cap so the first document
-    provably opens bin 1. All outputs are exact integers or quotients
-    of exact integers; the oracle unrolls the same recurrence as a
-    recursive CTE (the DuckDB struct-fold hazard events_holt_linear
-    documents)."""
+    every prior document). Seeded with last_load = cap so the first
+    document provably opens bin 1. All outputs are exact integers or
+    quotients of exact integers; the oracle unrolls the same
+    recurrence as a recursive CTE (the DuckDB struct-fold hazard
+    events_holt_linear documents).
+
+    Scale honesty (round-16 review — the old text claimed the
+    per-source array was "shard-bounded"; a source is a crawl dump,
+    i.e. O(corpus/#sources), NOT bounded like events_ewma_fold's
+    per-user arrays): exact NFD over a whole source is inherently
+    sequential, so this exact form buffers one source per aggregate
+    group and is only safe up to sources that fit an executor. The
+    100 TB path keeps the SAME code shape but packs per
+    (source, hash(doc_id) % n_shards) — each shard's fold is bounded
+    by construction and the packing quality loss is at most one
+    partially-filled bin per shard (amortised to nothing at
+    shard ≫ cap), with per-source metrics recovered by summing shard
+    rows. The oracle pins the exact per-source form at fixture
+    scale."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = docs.select(
         "source",

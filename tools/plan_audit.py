@@ -23,6 +23,14 @@ Flags the plan shapes that break at 100 TB:
   only where the window's INPUT is itself bounded (a daily spine, a
   histogram, a top-K survivor set) — each allowlisted with the bound
   and the EXACT expected count.
+  KNOWN BLIND SPOT (round-16 review, documented): a Window evaluated
+  INSIDE an eager ``localCheckpoint`` executes at query-BUILD time, so
+  the returned frame's plan shows a checkpoint scan and the audit never
+  sees the window (e.g. skyline_price_size's ~#bands-row prefix-min —
+  verified bounded by hand). Round-16 sweep of all 54 eager-checkpoint
+  sites: every window computed before a checkpoint is partitioned by a
+  high-cardinality key or runs over a bounded relation; re-sweep when
+  adding checkpointed builders.
 - Fixture-table parquet scans with no pushed filter AND no column
   pruning (ReadSchema covers every table column while PushedFilters is
   empty): at 100 TB an accidental select-* pipeline reads the whole
