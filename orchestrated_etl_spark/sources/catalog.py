@@ -92,9 +92,13 @@ def read_orc(spark: SparkSession, path: str, schema, **options) -> DataFrame:
 class Catalog:
     """All fixture tables of one scale factor, lazily loaded and cached.
 
-    ``cat.lineitem`` / ``cat['lineitem']`` return the DataFrame; dimension
-    tables (schemas.BROADCAST_TABLES) are returned with a broadcast hint
-    from ``cat.dim(name)`` so star-schema joins skip the shuffle.
+    ``cat.lineitem`` / ``cat['lineitem']`` return the DataFrame;
+    ``cat.dim(name)`` returns a FIXED-DOMAIN dimension (nation/region —
+    schemas.BROADCAST_TABLES) with a broadcast hint. Growing dimensions
+    (supplier/customer/part) are deliberately NOT eligible: a forced
+    hint never falls back past the threshold, so at 100 TB it OOMs
+    executors — read them plain and let threshold/AQE pick broadcast
+    while they are actually small (the r14-r16 forced-broadcast rule).
     """
 
     def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):

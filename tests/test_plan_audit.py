@@ -892,6 +892,19 @@ def test_sample_queries_oversized_draw_is_usage_error():
     }
 
 
+def test_broadcast_tables_are_fixed_domain():
+    """schemas.BROADCAST_TABLES feeds Catalog.dim()'s forced broadcast
+    hint, so membership IS a standing claim that the table's row count
+    is fixed by the schema domain. Until round 16 it also listed
+    supplier/customer/part — linearly-growing dimensions, the exact
+    class the r14/r15 hint sweeps removed from every query — leaving a
+    blessed API path to reintroduce the OOM-at-scale hint. Only the
+    genuinely fixed domains may ever be members."""
+    from orchestrated_etl_spark import schemas
+
+    assert schemas.BROADCAST_TABLES == frozenset({"region", "nation"})
+
+
 def test_growing_dim_joins_not_force_broadcast_repo_wide(spark, sf_dir):
     """Round-15 repo-wide sweep of the forced-broadcast class (after
     the wave15 pass found nine sites, every remaining F.broadcast in
