@@ -628,3 +628,58 @@ def test_exact_ntile_expr_exact_past_2_53(spark):
         != F.col("want")
     ).count()
     assert bad == 0
+
+
+# rows: (group, order-value, non-negative term) — adversarial in the ways
+# the fixture is not: single-row groups, all-tied order values, zero
+# terms, one group holding everything.
+_grouped_rows_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(min_value=-5, max_value=5),
+        st.integers(min_value=0, max_value=5),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(**_SETTINGS)
+@given(_grouped_rows_strategy)
+def test_grouped_rank_two_phase_matches_python_model(spark, rows):
+    """The round-16 bounded-domain-window replacement must equal the
+    trivially-correct Python computation — per-group 1-based rank under
+    (v DESC, id ASC), group size, and inclusive running sum of the
+    non-negative term — on arbitrary small inputs (ties, zero terms,
+    singleton groups). Four range partitions force real re-basing
+    across partition boundaries even on tiny data."""
+    from orchestrated_etl_spark.operators.relational import (
+        grouped_rank_two_phase,
+    )
+
+    data = [(i, g, v, t) for i, (g, v, t) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, g string, v long, t long")
+    got = {
+        (r.id, r.rnk, r.n, r.cum)
+        for r in grouped_rank_two_phase(
+            df,
+            ["g"],
+            [F.desc("v"), F.asc("id")],
+            rank_col="rnk",
+            n_col="n",
+            running_sum_expr=F.col("t"),
+            running_sum_col="cum",
+            num_range_partitions=4,
+        ).collect()
+    }
+    want = set()
+    by_group: dict[str, list] = {}
+    for i, g, v, t in data:
+        by_group.setdefault(g, []).append((i, v, t))
+    for g, members in by_group.items():
+        members.sort(key=lambda m: (-m[1], m[0]))
+        cum = 0
+        for rank, (i, v, t) in enumerate(members, start=1):
+            cum += t
+            want.add((i, rank, len(members), cum))
+    assert got == want
