@@ -92,8 +92,11 @@ def _pack_bins(toks: DataFrame, budget: int = 2048) -> DataFrame:
     offsets, re-based per source by the group's exclusive prefix — a
     one-row-per-source aggregate joined back WITHOUT a forced
     broadcast hint: the source count grows with the dump inventory,
-    so threshold/AQE decide). n_tokens ≥ 1 satisfies the helper's
-    non-negative-term contract. No stage sorts more than a range
+    so threshold/AQE decide). n_tokens is non-negative wherever
+    non-null, which satisfies the helper's non-negative-term contract;
+    a NULL n_tokens (NULL `text` — the column is schema-nullable)
+    yields a NULL running sum and bin_id on that row ONLY, identical
+    to the window form it replaced. No stage sorts more than a range
     partition; bin assignment is map-side arithmetic."""
     from orchestrated_etl_spark.operators.relational import (
         grouped_rank_two_phase,

@@ -24,9 +24,12 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # --- python boundary ----------------------------------------------
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # --- broadcast: dimension tables (region/nation/customer/supplier)
-    # stay broadcast-able well past sf0.1; 64 MB threshold keeps them on
-    # the broadcast path at bench scale without risking driver OOM.
+    # --- broadcast: the construction-FIXED dims (region: 5 rows,
+    # nation: 25 — schemas.BROADCAST_TABLES) are the only relations the
+    # engine force-broadcasts; customer/supplier GROW with sf, so they
+    # reach the broadcast path only while their actual size is under
+    # this threshold (AQE/threshold decide, never a forced hint). 64 MB
+    # keeps small actuals broadcast at bench scale without driver OOM.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # --- scan sizing: 128 MB splits are the parquet sweet spot ---------
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
