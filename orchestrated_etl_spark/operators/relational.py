@@ -20,6 +20,8 @@ Scale notes per operator family:
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -205,6 +207,11 @@ def grouped_rank_two_phase(
     repo's forced-broadcast rule); with the default False the offsets
     relation is one row per observed group and threshold/AQE decide.
 
+    NULL group keys form their own group, exactly as
+    ``Window.partitionBy`` treats them (the re-base join is null-safe
+    ``<=>`` — round-16 advice: a name-list equi-join silently DROPPED
+    null-keyed rows; callers group by schema-nullable columns).
+
     ``running_sum_expr`` must be non-negative wherever non-null (token
     counts, row counts, …): the group's exclusive prefix is recovered
     as ``min(inclusive_cum - term)`` over the group, which is only the
@@ -231,9 +238,22 @@ def grouped_rank_two_phase(
             F.min(F.col("_grp2p_cum") - running_sum_expr).alias("_grp2p_c0")
         )
     offsets = g.groupBy(*group_cols).agg(*aggs)
+    # NULL-keyed groups: a name-list equi-join drops rows whose group
+    # key is NULL (round-16 advice — Window.partitionBy gives nulls
+    # their own partition, so the rework must too). Join with null-safe
+    # equality (<=>) on RENAMED offset keys: EqualNullSafe is still a
+    # hash-join key, so the broadcast/shuffle-hash physical strategies
+    # are unchanged — only null matching differs.
+    key_map = {c: f"_grp2p_k{i}" for i, c in enumerate(group_cols)}
+    for c, kc in key_map.items():
+        offsets = offsets.withColumnRenamed(c, kc)
     if broadcast_offsets:
         offsets = F.broadcast(offsets)
-    out = g.join(offsets, group_cols).withColumn(
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(c).eqNullSafe(F.col(kc)) for c, kc in key_map.items()],
+    )
+    out = g.join(offsets, cond).drop(*key_map.values()).withColumn(
         rank_col,
         (F.col("_grp2p_g") - F.col("_grp2p_g0") + F.lit(1)).cast("long"),
     )

@@ -832,12 +832,17 @@ def _epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="_rnk",
         broadcast_offsets=True,  # epoch×shard domain fixed at 2×8=16
     )
+    # shard_rank stays LONG (round-16 advice): per-(epoch, shard) rank
+    # is corpus/8 rows at the 100 TB design point this rework targets,
+    # which approaches int32; a non-ANSI long->int cast would wrap
+    # silently — the exact failure mode the two-phase rework exists to
+    # avoid.
     return ranked.select(
         "epoch",
         "shard",
         "doc_id",
         "order_key",
-        F.col("_rnk").cast("int").alias("shard_rank"),
+        F.col("_rnk").alias("shard_rank"),
     )
 
 
@@ -855,7 +860,7 @@ register(
     )
     SELECT epoch, shard, doc_id, order_key,
            CAST(row_number() OVER (PARTITION BY epoch, shard
-                 ORDER BY order_key, doc_id) AS INTEGER) AS shard_rank
+                 ORDER BY order_key, doc_id) AS BIGINT) AS shard_rank
     FROM keyed
     """,
 )

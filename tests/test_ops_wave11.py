@@ -159,15 +159,26 @@ def test_clustered_read_prunes_files(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def test_lineage_one_file_per_partition(spark, sf_dir):
+def test_lineage_one_file_per_leaf_partition(spark, sf_dir):
+    """Round-17 sharded staging layout: one file per (order_year,
+    lineage_shard) LEAF directory — the determinism the read-back
+    accounting needs — and per-year n_files equals the shard-directory
+    count (= count(DISTINCT o_orderkey % S), what the oracle computes).
+    The write clusters on both keys, so parallelism is years × S, not
+    the r16-flagged ~7."""
     rows = _src_file_lineage(spark, sf_dir).collect()
-    assert rows and all(r["n_files"] == 1 for r in rows), rows
+    assert rows and all(1 <= r["n_files"] <= 8 for r in rows), rows
     base = _scratch("lineage", sf_dir)
-    dirs = glob.glob(f"{base}/orders_by_year/order_year=*")
-    assert len(dirs) == len(rows)
-    for d in dirs:
-        files = glob.glob(f"{d}/part-*.parquet")
-        assert len(files) == 1, (d, files)
+    year_dirs = glob.glob(f"{base}/orders_by_year/order_year=*")
+    assert len(year_dirs) == len(rows)
+    by_year = {r["order_year"]: r["n_files"] for r in rows}
+    for yd in year_dirs:
+        year = int(yd.rsplit("=", 1)[1])
+        shard_dirs = glob.glob(f"{yd}/lineage_shard=*")
+        assert len(shard_dirs) == by_year[year], (yd, shard_dirs)
+        for d in shard_dirs:
+            files = glob.glob(f"{d}/part-*.parquet")
+            assert len(files) == 1, (d, files)
 
 
 # ---------------------------------------------------------------------------

@@ -133,13 +133,15 @@ def test_unpartitioned_window_not_counted_as_low_card(spark):
 
 
 def test_expression_partition_is_a_documented_blind_spot(spark):
-    """KNOWN LIMIT, pinned so a behaviour change is noticed: Catalyst
-    projects an EXPRESSION partition key into a generated ``_w0#N``
-    column before the Window node, erasing the base column name — the
-    detector only sees direct column references (the shape every
-    registered query uses). If Spark ever starts printing the original
-    expression here, this pin flips and the detector docstring should
-    drop the caveat."""
+    """KNOWN LIMIT of the PLAN-level rule, pinned so a behaviour change
+    is noticed: Catalyst projects an EXPRESSION partition key into a
+    generated ``_w0#N`` column before the Window node, erasing the base
+    column name — the plan detector only sees direct column references.
+    Round 17 closed the hole at the SOURCE level
+    (source_window_expr_findings, tested below); this pin stays so the
+    two detectors' division of labour is explicit. If Spark ever starts
+    printing the original expression here, this pin flips and the plan
+    detector docstring should drop the caveat."""
     df = _status_base(spark).select(
         F.row_number()
         .over(Window.partitionBy(F.upper("o_orderstatus")).orderBy("id"))
@@ -148,6 +150,161 @@ def test_expression_partition_is_a_documented_blind_spot(spark):
     plan = _plan(df)
     assert "_w0" in plan  # the projection that hides the base name
     assert count_low_card_windows(plan) == 0
+
+
+# ---------------------------------------------------------------------------
+# round-17 rules: bounded-key repartition Exchanges (plan + source) and
+# expression window partition keys (source) — the Exchange-side sibling
+# of the bounded-domain-window class plus the _w0#N detector hole.
+# ---------------------------------------------------------------------------
+
+
+def test_plan_flags_bounded_key_repartition_exchange(spark):
+    """df.repartition(<bounded key>) hash-clusters the full relation
+    into ≤|domain| non-empty partitions whatever N is requested — the
+    r16 verdict's src_file_lineage class, now machine-flagged. Both the
+    key-only and the explicit-N forms must flag."""
+    from plan_audit import count_low_card_repartition_exchanges
+
+    base = _status_base(spark)
+    assert (
+        count_low_card_repartition_exchanges(
+            _plan(base.repartition("o_orderstatus"))
+        )
+        == 1
+    )
+    assert (
+        count_low_card_repartition_exchanges(
+            _plan(base.repartition(200, "o_orderstatus"))
+        )
+        == 1
+    )
+    assert (
+        count_low_card_repartition_exchanges(
+            _plan(base.repartitionByRange(8, "o_orderstatus"))
+        )
+        == 1
+    )
+
+
+def test_plan_passes_legitimate_exchanges(spark):
+    """NOT the class: a salt/high-card co-key lifts the cap; a groupBy
+    on a bounded key exchanges per-task PARTIAL rows (bounded by
+    #tasks×domain), not the relation — ENSURE_REQUIREMENTS origins
+    never flag; round-robin repartition(N) has no key at all."""
+    from plan_audit import count_low_card_repartition_exchanges
+
+    base = _status_base(spark)
+    salted = base.withColumn("_salt", F.col("id") % 32)
+    assert (
+        count_low_card_repartition_exchanges(
+            _plan(salted.repartition("o_orderstatus", "_salt"))
+        )
+        == 0
+    )
+    assert (
+        count_low_card_repartition_exchanges(
+            _plan(
+                base.groupBy("o_orderstatus").agg(
+                    F.count(F.lit(1)).alias("n")
+                )
+            )
+        )
+        == 0
+    )
+    assert (
+        count_low_card_repartition_exchanges(_plan(base.repartition(8)))
+        == 0
+    )
+    assert (
+        count_low_card_repartition_exchanges(
+            _plan(base.repartition(8, "id"))
+        )
+        == 0
+    )
+
+
+def test_source_rule_flags_bounded_key_repartition():
+    """The source scan exists for EAGER staging writes the plan audit
+    structurally cannot see (the write executes at build time; the
+    returned plan shows only the read-back scan). The historical
+    src_file_lineage form is the red fixture."""
+    from plan_audit import source_repartition_findings
+
+    # the exact shape the r16 verdict flagged (ops_wave11.py:456)
+    red = '(\n    orders.repartition("order_year")\n' \
+          '    .write.mode("overwrite")\n)\n'
+    got = source_repartition_findings(red, "f.py")
+    assert got == [("f.py", 2, ("order_year",))]
+
+    # explicit N does not lift the flag: ≤7 non-empty partitions anyway
+    got = source_repartition_findings(
+        'df.repartition(200, "o_orderstatus")', "f.py"
+    )
+    assert len(got) == 1 and got[0][2] == ("o_orderstatus",)
+
+    # multi-line call with a parallelism expression + F.col form
+    got = source_repartition_findings(
+        'df.repartition(\n    default_parallelism(spark), F.col("source")\n)',
+        "f.py",
+    )
+    assert len(got) == 1 and got[0][2] == ("source",)
+
+    # clean shapes: round-robin, high-card key, variable key (unresolvable),
+    # star-args, range-partition on a date, docstring prose
+    for src in [
+        "df.repartition(64)",
+        'df.repartition(default_parallelism(spark), F.col("doc_id"))',
+        "df.repartition(par, F.col(id_col))",
+        "df.repartitionByRange(num_range_partitions, *order_cols)",
+        'df.repartitionByRange(8, "o_orderdate")',
+        '"""docstring: use df.repartition("order_year") instead"""',
+        '# comment: df.repartition("order_year")',
+    ]:
+        assert source_repartition_findings(src, "f.py") == [], src
+
+
+def test_source_rule_flags_expression_window_partition_key():
+    """Closes the _w0#N hole: an EXPRESSION partition key over a
+    bounded-domain column erases the base name from the plan, so only
+    source inspection can see it."""
+    from plan_audit import source_window_expr_findings
+
+    got = source_window_expr_findings(
+        'w = Window.partitionBy(F.upper(F.col("o_orderstatus")))'
+        '.orderBy("id")',
+        "f.py",
+    )
+    assert got == [("f.py", 1, ("o_orderstatus",))]
+
+    got = source_window_expr_findings(
+        'Window.partitionBy(F.substring("n_name", 1, 2)).orderBy("x")',
+        "f.py",
+    )
+    assert len(got) == 1 and got[0][2] == ("n_name",)
+
+    # plain refs are the plan-level rule's jurisdiction; splats and
+    # variables are unresolvable; high-card expressions are fine
+    for src in [
+        'Window.partitionBy("o_orderstatus").orderBy("id")',
+        'Window.partitionBy(F.col("o_orderstatus"))',
+        "Window.partitionBy(*partition_cols)",
+        "Window.partitionBy(keycol)",
+        'Window.partitionBy(F.year("o_orderdate"))',
+        '"""prose: Window.partitionBy(F.upper("o_orderstatus"))"""',
+    ]:
+        assert source_window_expr_findings(src, "f.py") == [], src
+
+
+def test_source_audit_clean_on_shipped_tree():
+    """The shipped engine package carries ZERO un-allowlisted bounded-
+    key repartitions and ZERO expression window keys over bounded
+    columns. Red-baseline provenance: at the rule's introduction this
+    audit flagged exactly ops_wave11.py:456 (repartition("order_year")
+    — the r16 verdict's finding) before the lineage_shard rework."""
+    from plan_audit import run_source_audit
+
+    assert run_source_audit(REPO) == []
 
 
 def test_two_phase_rank_has_single_bounded_global_window(spark):
@@ -221,6 +378,70 @@ def test_grouped_rank_two_phase_matches_partitioned_window_semantics(spark):
     exp = {(r.id, r.rnk, r.n, r.cum) for r in expected.collect()}
     act = {(r.id, r.rnk, r.n, r.cum) for r in got.collect()}
     assert act == exp
+
+
+def test_grouped_rank_two_phase_keeps_null_keyed_groups(spark):
+    """Round-16 advice (medium): the re-base join used a name-list
+    equi-join, so rows whose group key is NULL vanished (4 in, 2 out) —
+    diverging from Window.partitionBy, which gives nulls their own
+    partition. Callers group by schema-nullable columns
+    (documents.source, orders.o_orderstatus); the fixtures happen to
+    contain zero null keys, so only this pin catches a regression.
+    Exercises single AND multi-column keys, with the running sum."""
+    from orchestrated_etl_spark.operators.relational import (
+        grouped_rank_two_phase,
+    )
+
+    df = spark.createDataFrame(
+        [(0, None, 3), (1, "a", 1), (2, None, 2), (3, "a", 5)],
+        "id long, g string, v long",
+    )
+    order = [F.asc("id")]
+    w = Window.partitionBy("g").orderBy(*order)
+    expected = df.select(
+        "id",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("n"),
+        F.sum("v")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    got = grouped_rank_two_phase(
+        df,
+        ["g"],
+        order,
+        rank_col="rnk",
+        n_col="n",
+        running_sum_expr=F.col("v"),
+        running_sum_col="cum",
+        num_range_partitions=4,
+    ).select("id", "rnk", "n", "cum")
+    exp = {(r.id, r.rnk, r.n, r.cum) for r in expected.collect()}
+    act = {(r.id, r.rnk, r.n, r.cum) for r in got.collect()}
+    assert len(act) == 4, "null-keyed rows dropped by the re-base join"
+    assert act == exp
+
+    # multi-column key with NULLs in either component
+    df2 = spark.createDataFrame(
+        [(0, None, "x"), (1, "a", None), (2, None, "x"), (3, "a", None),
+         (4, None, None), (5, "a", "x")],
+        "id long, g1 string, g2 string",
+    )
+    w2 = Window.partitionBy("g1", "g2").orderBy("id")
+    exp2 = {
+        (r.id, r.rnk)
+        for r in df2.select(
+            "id", F.row_number().over(w2).alias("rnk")
+        ).collect()
+    }
+    act2 = {
+        (r.id, r.rnk)
+        for r in grouped_rank_two_phase(
+            df2, ["g1", "g2"], [F.asc("id")], rank_col="rnk",
+            num_range_partitions=4,
+        ).select("id", "rnk").collect()
+    }
+    assert len(act2) == 6 and act2 == exp2
 
 
 def test_round16_reworked_queries_have_no_bounded_domain_windows(spark, sf_dir):

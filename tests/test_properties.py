@@ -632,10 +632,12 @@ def test_exact_ntile_expr_exact_past_2_53(spark):
 
 # rows: (group, order-value, non-negative term) — adversarial in the ways
 # the fixture is not: single-row groups, all-tied order values, zero
-# terms, one group holding everything.
+# terms, one group holding everything, NULL group keys (round-16 advice:
+# the re-base join silently dropped null-keyed rows; Window.partitionBy
+# gives nulls their own partition and the operator must too).
 _grouped_rows_strategy = st.lists(
     st.tuples(
-        st.sampled_from(["a", "b", "c"]),
+        st.sampled_from(["a", "b", "c", None]),
         st.integers(min_value=-5, max_value=5),
         st.integers(min_value=0, max_value=5),
     ),

@@ -256,6 +256,8 @@ LOW_CARD_COLS = {
     "prev_type",          # event-type domain
     "epoch",              # 2 (train_epoch_shuffle)
     "shard",              # 8 (train_epoch_shuffle)
+    "order_year",         # ~7 (year(o_orderdate) — src_file_lineage)
+    "lineage_shard",      # 8 (o_orderkey % _LINEAGE_SHARDS — src_file_lineage)
 }
 
 # Queries allowed to carry bounded-domain-partitioned Window nodes,
@@ -288,6 +290,41 @@ LOW_CARD_WINDOW_OK: dict[str, tuple[int, str]] = {
 }
 
 
+# Queries allowed to carry REPARTITION-origin exchanges keyed ONLY by
+# bounded-domain columns, mapped to the EXACT expected count and the
+# reason. The Exchange-side sibling of the bounded-domain-window class
+# (round-16 verdict): `df.repartition(<bounded key>)` hash-clusters the
+# FULL relation into at most |domain| non-empty partitions — ~7 write
+# tasks for a fact table — no matter how many partitions were requested.
+LOW_CARD_EXCHANGE_OK: dict[str, tuple[int, str]] = {}
+
+
+def count_low_card_repartition_exchanges(plan: str) -> int:
+    """REPARTITION-origin Exchange nodes (user-requested
+    ``df.repartition(...)`` / ``repartitionByRange(...)`` — shuffle
+    origin ``REPARTITION_BY_COL`` / ``REPARTITION_BY_NUM``) whose key
+    set is non-empty and made ONLY of LOW_CARD_COLS columns. Hash (or
+    range) clustering on a bounded domain leaves at most |domain|
+    non-empty partitions regardless of the requested partition count —
+    the Exchange-side sibling of count_low_card_windows.
+
+    ENSURE_REQUIREMENTS exchanges are deliberately NOT counted: an
+    aggregation/join exchange on a bounded key moves per-task PARTIAL
+    rows (bounded by #tasks x domain), not the full relation — only a
+    user-forced repartition reclusters all data onto the bounded key."""
+    n = 0
+    for line in plan.splitlines():
+        if "REPARTITION_BY_COL" not in line and "REPARTITION_BY_NUM" not in line:
+            continue
+        m = re.search(r"Exchange (?:hash|range)partitioning\((.*)\)", line)
+        if not m:
+            continue
+        cols = set(re.findall(r"([A-Za-z_]\w*)#\d+", m.group(1)))
+        if cols and cols <= LOW_CARD_COLS:
+            n += 1
+    return n
+
+
 def count_low_card_windows(plan: str) -> int:
     """Window nodes whose partition spec is non-empty and made ONLY of
     LOW_CARD_COLS columns (by base name, `col#id` refs). Any
@@ -312,6 +349,209 @@ def count_low_card_windows(plan: str) -> int:
         if cols and cols <= LOW_CARD_COLS:
             n += 1
     return n
+
+
+# ---------------------------------------------------------------------------
+# SOURCE-level rules (round 17). Two classes the PLAN audit structurally
+# cannot see:
+#
+# 1. Bounded-key repartition inside an EAGER staging step: queries that
+#    write a fixture derivative at build time (src_file_lineage's
+#    partitioned write) execute the repartition before the audited
+#    DataFrame exists — the returned plan shows only the read-back scan
+#    (same blind spot as eager localCheckpoint). Caught here by scanning
+#    the SOURCE for `.repartition(...)`/`.repartitionByRange(...)` whose
+#    resolvable key names are non-empty and all in LOW_CARD_COLS. A
+#    numPartitions argument does NOT lift the flag: hash-clustering on a
+#    ~7-value key leaves ≤7 non-empty partitions whatever N is.
+#
+# 2. EXPRESSION window partition keys: Catalyst projects an expression
+#    key into a generated `_w0#N` column before the Window node, erasing
+#    the base name from the plan (the count_low_card_windows documented
+#    blind spot, round-16 verdict). Caught here by flagging
+#    `Window.partitionBy(...)` arguments that are NOT plain references
+#    (string literal / F.col("x") / bare name / *splat) but mention a
+#    LOW_CARD_COLS name.
+#
+# DOCUMENTED LIMITS: star-args (`*cols`) and bare-variable keys are
+# statically unresolvable and pass — the plan-level rules remain the
+# backstop for every LAZY plan; this scan exists for eager staging code
+# and expression keys, where the plan rules are blind.
+
+# (relpath, key names tuple) -> (exact expected count, reason). The
+# same exact-count machinery as the window allowlists: an EXTRA
+# bounded-key repartition in an allowlisted file still flags.
+SOURCE_REPARTITION_OK: dict[tuple[str, tuple[str, ...]], tuple[int, str]] = {
+    # src_file_lineage staging write (round-17 rework of the r16
+    # verdict's red-baseline finding, which was repartition("order_year")
+    # alone — ~7 write tasks): clustering on (order_year, lineage_shard)
+    # pins one file per leaf directory (the oracle-expressible
+    # determinism the query's answer needs) while write parallelism is
+    # years × _LINEAGE_SHARDS — S is the documented fan-out knob,
+    # fixture-pinned at 8 only because the DuckDB oracle must name the
+    # same constant.
+    (
+        "orchestrated_etl_spark/queries/ops_wave11.py",
+        ("lineage_shard", "order_year"),
+    ): (1, "partitioned-write staging; fan-out knob _LINEAGE_SHARDS"),
+}
+
+SOURCE_SCAN_DIRS = ("orchestrated_etl_spark",)
+SOURCE_SCAN_EXCLUDE = ("_vendor",)
+
+_STR_LIT_ARG = re.compile(r'^["\']([A-Za-z_]\w*)["\']$')
+_COL_REF_ARG = re.compile(r'^(?:F\.)?col\(\s*["\']([A-Za-z_]\w*)["\']\s*\)$')
+_INT_ARG = re.compile(r"^\d+$")
+
+
+def _strip_docstrings_and_comments(text: str) -> str:
+    """Blank out triple-quoted strings and # comments, preserving line
+    numbers, so prose mentioning repartition(...) can't flag."""
+    def _keep_newlines(m: re.Match) -> str:
+        return "\n" * m.group(0).count("\n")
+
+    text = re.sub(r'"""(?:[^"\\]|\\.|"(?!""))*"""', _keep_newlines, text)
+    text = re.sub(r"'''(?:[^'\\]|\\.|'(?!''))*'''", _keep_newlines, text)
+    return re.sub(r"#[^\n]*", "", text)
+
+
+def _balanced_paren_args(text: str, open_idx: int) -> str:
+    """Text between the paren at open_idx and its match (quote-aware)."""
+    depth, quote = 0, None
+    for i in range(open_idx, len(text)):
+        ch = text[i]
+        if quote:
+            if ch == quote and text[i - 1] != "\\":
+                quote = None
+        elif ch in "\"'":
+            quote = ch
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+            if depth == 0:
+                return text[open_idx + 1 : i]
+    return text[open_idx + 1 :]
+
+
+def _split_top_level_args(argtext: str) -> list[str]:
+    parts: list[str] = []
+    depth, quote, cur = 0, None, []
+    for i, ch in enumerate(argtext):
+        if quote:
+            cur.append(ch)
+            if ch == quote and argtext[i - 1] != "\\":
+                quote = None
+        elif ch in "\"'":
+            quote = ch
+            cur.append(ch)
+        elif ch in "([{":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")]}":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+def _plain_col_name(arg: str) -> str | None:
+    arg = " ".join(arg.split())
+    m = _STR_LIT_ARG.match(arg) or _COL_REF_ARG.match(arg)
+    return m.group(1) if m else None
+
+
+def source_repartition_findings(text: str, relpath: str) -> list[tuple]:
+    """(relpath, lineno, key-names) for every bounded-key repartition."""
+    out = []
+    clean = _strip_docstrings_and_comments(text)
+    for m in re.finditer(r"\.repartition(?:ByRange)?\s*\(", clean):
+        open_idx = clean.index("(", m.end() - 1)
+        args = _split_top_level_args(_balanced_paren_args(clean, open_idx))
+        names: list[str] = []
+        unresolvable_key = False
+        for pos, a in enumerate(args):
+            if _INT_ARG.match(a):
+                continue  # numPartitions literal
+            name = _plain_col_name(a)
+            if name is not None:
+                names.append(name)
+            elif pos == 0:
+                continue  # leading non-column expression = numPartitions
+            else:
+                unresolvable_key = True  # variable/expression key: unknown
+        if names and not unresolvable_key and set(names) <= LOW_CARD_COLS:
+            lineno = clean[: m.start()].count("\n") + 1
+            out.append((relpath, lineno, tuple(sorted(set(names)))))
+    return out
+
+
+def source_window_expr_findings(text: str, relpath: str) -> list[tuple]:
+    """(relpath, lineno, names) for Window.partitionBy args that are
+    EXPRESSIONS over a bounded-domain column name."""
+    out = []
+    clean = _strip_docstrings_and_comments(text)
+    for m in re.finditer(r"\bWindow\.partitionBy\s*\(", clean):
+        open_idx = clean.index("(", m.end() - 1)
+        args = _split_top_level_args(_balanced_paren_args(clean, open_idx))
+        for a in args:
+            if not a or a.startswith("*"):
+                continue  # splat: unresolvable, plan rule is the backstop
+            if _plain_col_name(a) or re.fullmatch(r"[A-Za-z_]\w*", a):
+                continue  # plain ref: plan-level rule sees the base name
+            hits = sorted(
+                c
+                for c in LOW_CARD_COLS
+                if re.search(rf'["\']{c}["\']', a)
+            )
+            if hits:
+                lineno = clean[: m.start()].count("\n") + 1
+                out.append((relpath, lineno, tuple(hits)))
+    return out
+
+
+def run_source_audit(repo_root) -> list[str]:
+    """Scan engine sources; return human-readable un-allowlisted smells."""
+    from pathlib import Path
+
+    root = Path(repo_root)
+    findings: list[str] = []
+    repart: dict[tuple[str, tuple[str, ...]], list[int]] = {}
+    for d in SOURCE_SCAN_DIRS:
+        for path in sorted((root / d).rglob("*.py")):
+            rel = str(path.relative_to(root))
+            if any(x in rel for x in SOURCE_SCAN_EXCLUDE):
+                continue
+            text = path.read_text()
+            for relpath, lineno, names in source_repartition_findings(
+                text, rel
+            ):
+                repart.setdefault((relpath, names), []).append(lineno)
+            for relpath, lineno, names in source_window_expr_findings(
+                text, rel
+            ):
+                findings.append(
+                    f"{relpath}:{lineno}: Window.partitionBy EXPRESSION "
+                    f"over bounded-domain column(s) {list(names)} — "
+                    "projects into _w0#N and escapes the plan-level rule"
+                )
+    for (relpath, names), linenos in sorted(repart.items()):
+        allowed, _reason = SOURCE_REPARTITION_OK.get((relpath, names), (0, ""))
+        if len(linenos) > allowed:
+            findings.append(
+                f"{relpath}:{linenos}: repartition keyed ONLY by "
+                f"bounded-domain column(s) {list(names)} — ≤|domain| "
+                f"non-empty partitions at any scale "
+                f"(found {len(linenos)}, allowed {allowed})"
+            )
+    return findings
 
 
 # Queries that semantically consume EVERY column of a fixture table with
@@ -491,12 +731,27 @@ def audit(spark, name, fn, sf_dir, full_cols):
             f"bounded-domain window partition x{n_lc_win} "
             f"(allowed {lc_allowed})"
         )
+    n_lc_ex = count_low_card_repartition_exchanges(plan)
+    ex_allowed, _ex_reason = LOW_CARD_EXCHANGE_OK.get(name, (0, ""))
+    if n_lc_ex > ex_allowed:
+        smells.append(
+            f"bounded-key repartition exchange x{n_lc_ex} "
+            f"(allowed {ex_allowed})"
+        )
     n_exchange = plan.count("Exchange hashpartitioning")
     n_scan = plan.count("Scan parquet")
     return smells, n_exchange, n_scan
 
 
 def main() -> None:
+    repo_root = __import__("pathlib").Path(__file__).resolve().parents[1]
+    src_findings = run_source_audit(repo_root)
+    for f in src_findings:
+        print(f"SMELL source: {f}")
+    if "--source-only" in sys.argv:
+        print("\nsource audit " + ("FAILED" if src_findings else "clean"))
+        sys.exit(1 if src_findings else 0)
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
@@ -522,7 +777,7 @@ def main() -> None:
         print(f"error: unknown query name(s): {sorted(unknown)}",
               file=sys.stderr)
         sys.exit(2)
-    failures = []
+    failures = [f"source:{f.split(':', 1)[0]}" for f in src_findings]
     # Streaming coverage first: every stream_* query must carry a batch
     # twin (which the loop below audits) or a written exemption; named
     # twins must exist in the registry and not themselves be skipped.
