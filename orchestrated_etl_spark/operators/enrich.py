@@ -61,11 +61,16 @@ def flagship(spark, sf_dir: str) -> DataFrame:
     weighted by l_quantity plays Average_rating; avg(l_extendedprice) plays
     Average_price.
 
-    Scale posture: the three dimension joins broadcast (orders is the only
-    large probe side and it joins lineitem on its natural key); the single
-    aggregate shuffles once on the final small key (25 nations). Catalyst
-    prunes lineitem's scan to 5 of 11 columns and pushes the null filters
-    into parquet.
+    Scale posture (doc matches code — r17 review): only NATION carries a
+    forced broadcast hint (25 rows, construction-fixed —
+    schemas.BROADCAST_TABLES). The customer and orders projections reach
+    the broadcast path ONLY while their actual size is under
+    autoBroadcastJoinThreshold (true at bench scale; threshold/AQE
+    decide — no hint, per the forced-broadcast rule); past it,
+    lineitem⋈orders and ⋈customer degrade gracefully to key-partitioned
+    shuffle joins. The single aggregate shuffles its partial rows once
+    on the final small key (25 nations). Catalyst prunes lineitem's
+    scan to 5 of 11 columns and pushes the null filters into parquet.
     """
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")

@@ -59,38 +59,36 @@ def _load_all() -> None:
 # STALENESS: each round fronts the 50 queries whose last GREEN driver
 # sample is oldest (ties broken by raw registration order — the
 # committed REGISTRATION_ORDER.txt artifact, not queries() iteration
-# order). ROUND-15 FRONT = the 41 remaining last-green-r9 queries plus
-# the 9 oldest last-green-r10 queries (last-green histogram over the 291
-# oracles after the r14 50/50-green sample: {9: 41, 10: 50, 11: 50,
-# 12: 50, 13: 50, 14: 50}). Recomputed by tools/rotate_front.py from
-# CORRECTNESS_r01..r14; the tool reproduces the shipped r8 list
+# order). ROUND-17 FRONT = the 41 remaining last-green-r11 queries plus
+# the 9 oldest last-green-r12 queries (last-green histogram over the 291
+# oracles after the r16 50/50-green sample: {11: 41, 12: 50, 13: 50,
+# 14: 50, 15: 50, 16: 50}). Recomputed by tools/rotate_front.py from
+# CORRECTNESS_r01..r16; the tool reproduces the shipped r8 list
 # bit-for-bit from r01..r07 inputs (pytest-pinned):
 #   sorted(oracle_names, key=lambda n: (last_green_round[n], reg_order[n]))[:50]
 _FRONT = [
-    # 41 stalest: last green round 10 (registration order)
-    "text_url_parse_profile", "train_incremental_minhash",
-    "dedup_ngram_jaccard", "dedup_levenshtein_blocked", "dedup_simhash",
-    "dedup_embedding_cosine", "dedup_minhash_mllib",
-    "dedup_semantic_clusters", "mm_vad_segments", "stream_cdc_upsert",
-    "asof_join_salted", "range_join_clicks_before_purchase",
-    "sessionize_events_30m", "sink_ctas_insert", "train_profile_documents",
-    "train_oov_rate", "events_rfm_quantile_cutoffs", "events_ewma_fold",
-    "sql_session_variables", "sql_group_by_all", "sql_identifier_clause",
-    "sql_lateral_alias", "sql_try_functions", "sql_q11_important_stock",
-    "sql_q16_supplier_diversity", "sql_q20_excess_availability",
-    "text_tfidf_keywords", "text_unigram_logprob",
-    "graph_copurchase_edges", "graph_degree_distribution",
-    "graph_triangle_count", "graph_triangle_orient",
-    "graph_walk_centrality", "graph_link_prediction",
-    "graph_assortativity", "sink_compacted_roundtrip",
-    "sink_clustered_write", "src_file_lineage",
-    "sink_dynamic_partition_overwrite", "window_locf_ignore_nulls",
-    "agg_approx_percentile_bounds",
-    # 9 stalest: last green round 11 (registration order)
-    "train_fuzzy_decontaminate", "sim_bruteforce_topk",
-    "sim_ivf_topk_nprobe2", "sim_vector_norms", "sim_normalize_embeddings",
-    "sim_udaf_mean_norm", "sim_groupmap_zscore", "sim_mapinarrow_norms",
-    "sim_tree_assign_agreement",
+    # 41 stalest: last green round 11 (registration order)
+    "sim_brp_lsh_mllib", "sim_kmeans_step_exact", "mm_binary_metadata",
+    "mm_decode_stub", "mm_resize_stub", "stream_sliding_2h",
+    "stream_session_windows", "stream_dedup_users",
+    "stream_foreachbatch_sink", "stream_static_join", "stream_books_pages",
+    "stream_state_inspect", "stream_binary_files",
+    "stream_tumbling_multibatch", "sample_hash_deterministic",
+    "sample_stratified_fixed", "agg_exact_percentiles",
+    "agg_approx_sketches", "range_join_binned", "src_csv_roundtrip",
+    "src_json_roundtrip", "sink_partitioned_parquet",
+    "join_bucketed_colocated", "window_session_builtin",
+    "src_binary_file_source", "agg_salted_twophase", "src_orc_roundtrip",
+    "obs_standardise_metrics", "sample_weighted_deterministic",
+    "train_cap_per_source", "train_token_packing", "join_null_safe_eq",
+    "graph_bfs_frontier", "table_snapshot_diff", "join_bloom_prefilter",
+    "er_match_blocked_parts", "events_cep_conversion",
+    "skyline_price_size", "graph_shortest_path_weighted",
+    "events_interval_coverage", "sql_pipe_syntax_rollup",
+    # 9 stalest: last green round 12 (registration order)
+    "flagship", "books_standardise", "books_enrich",
+    "s3_completeness_filter", "s5_limit", "t2_dedup_by_key",
+    "train_mixture_sampling", "train_chunk_documents", "train_build_vocab",
 ]
 
 

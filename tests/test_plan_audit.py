@@ -698,9 +698,9 @@ print(chr(10).join(registry.registration_order()))
     )
 
 
-def test_rotate_front_reproduces_shipped_r16_front():
-    """The SHIPPED round-16 `_FRONT` must equal the stalest-50
-    recomputation from the committed CORRECTNESS_r01–r15 files — the
+def test_rotate_front_reproduces_shipped_r17_front():
+    """The SHIPPED round-17 `_FRONT` must equal the stalest-50
+    recomputation from the committed CORRECTNESS_r01–r16 files — the
     exact check each round's judge performs by hand, made a gate. Uses
     the frozen REGISTRATION_ORDER.txt for the tie-break (what
     rotate_front.py reads), so this runs correctly even under pytest's
@@ -721,8 +721,8 @@ def test_rotate_front_reproduces_shipped_r16_front():
     assert len(paths) >= 12, "committed correctness history missing"
     for path in paths:
         rnd = int(path.name.rsplit("_r", 1)[1].split(".")[0])
-        if rnd > 15:
-            continue  # pin to the inputs the r16 rotation was computed from
+        if rnd > 16:
+            continue  # pin to the inputs the r17 rotation was computed from
         for name, row in json.load(open(path)).items():
             if _green(row):
                 last[name] = max(last.get(name, 0), rnd)
@@ -1020,15 +1020,15 @@ def test_compat_accessors_classic_and_connect_fallback(spark):
         application_id(stopped)
 
 
-def test_seeded_spot_check_sample_reproduces_r16_draw():
+def test_seeded_spot_check_sample_reproduces_r17_draw():
     """check_oracle --sample/--seed/--non-front pins the judges'
     spot-check protocol mechanically (it was hand-rolled r12-r14). The
-    r16 round record (COVERAGE.md round-16 delta) draws seed 1918
-    (sequence 1312/1514/1716/1918), n 24, non-front over the r16 front
-    — this asserts the tool reproduces that committed draw bit-for-bit,
-    so a pool/ordering change that would silently re-map historical
-    seeds fails here instead. Re-pinned each rotation round: the
-    non-front pool is defined against the CURRENT front."""
+    r17 round record (COVERAGE.md round-17 delta) draws seed 2120
+    (sequence 1312/1514/1716/1918/2120), n 24, non-front over the r17
+    front — this asserts the tool reproduces that committed draw
+    bit-for-bit, so a pool/ordering change that would silently re-map
+    historical seeds fails here instead. Re-pinned each rotation round:
+    the non-front pool is defined against the CURRENT front."""
     import sys as _sys
     from pathlib import Path as _Path
 
@@ -1039,19 +1039,18 @@ def test_seeded_spot_check_sample_reproduces_r16_draw():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    got = sample_queries(qs, oracles, 24, 1918, non_front=True)
+    got = sample_queries(qs, oracles, 24, 2120, non_front=True)
     assert got == [
-        "agg_listagg_lines", "sql_q17_below_avg_qty",
-        "events_anomaly_mad", "sink_scd2_history",
-        "funnel_view_click_purchase", "events_attribution_linear",
-        "j1_star_join_revenue", "dedup_minhash_lsh", "j_left_join",
-        "text_repetition_score", "join_bucketed_colocated",
-        "events_pareto_8020", "events_dau_wau", "json_map_entries",
-        "s3_completeness_filter", "graph_clustering_coefficient",
-        "train_cap_per_source", "stream_sliding_2h", "graph_modularity",
-        "train_e2e_incremental_refresh", "obs_standardise_metrics",
-        "search_hybrid_rrf", "train_token_packing",
-        "train_split_assignment",
+        "sql_pagination_offset", "setop_except", "events_cohort_ltv",
+        "datetime_daily_rollup", "sql_recursive_region_walk",
+        "search_bm25_store_bucketed", "dedup_containment",
+        "orders_basket_lift", "mm_fake_embed_topk", "events_max_drawdown",
+        "graph_assortativity", "graph_pagerank", "j_semi_join",
+        "sim_bruteforce_topk", "sql_q13_order_count_distribution",
+        "events_rfm_segmentation", "sql_named_window_nulls",
+        "sql_q11_important_stock", "events_pareto_8020", "json_field_agg",
+        "sql_q20_excess_availability", "train_epoch_shuffle",
+        "agg_gini_revenue", "sim_vector_norms",
     ]
     # no query may appear in both the draw and the driver's front
     from orchestrated_etl_spark import registry
