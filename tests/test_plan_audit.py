@@ -264,6 +264,36 @@ def test_source_rule_flags_bounded_key_repartition():
         assert source_repartition_findings(src, "f.py") == [], src
 
 
+def test_expression_repartition_key_is_a_documented_limit():
+    """KNOWN LIMIT, pinned (the honesty pattern of the r16 _w0 pin): a
+    repartition keyed by an expression whose BOUNDEDNESS comes from the
+    function, not the column — repartition(F.year("o_orderdate")) has a
+    ~7-value key over an unbounded column — escapes BOTH layers: the
+    plan extracts only the base attr `o_orderdate` (not in
+    LOW_CARD_COLS), and the source scan treats a leading non-plain arg
+    as numPartitions. Static boundedness of arbitrary expressions is
+    not decidable; the repo convention (materialize the derived key as
+    a NAMED column first, e.g. order_year) keeps such keys in
+    LOW_CARD_COLS reach — zero registered queries use the inline form
+    (grepped at pin time)."""
+    from plan_audit import (
+        count_low_card_repartition_exchanges,
+        source_repartition_findings,
+    )
+
+    assert source_repartition_findings(
+        'df.repartition(F.year("o_orderdate"))', "f.py"
+    ) == []
+    # plan side: demonstrated structurally in
+    # test_plan_flags_bounded_key_repartition_exchange's inverse — here
+    # just pin the extraction logic on a synthetic plan line.
+    line = (
+        "Exchange hashpartitioning(year(o_orderdate#7), 32), "
+        "REPARTITION_BY_COL, [plan_id=5]"
+    )
+    assert count_low_card_repartition_exchanges(line) == 0
+
+
 def test_source_rule_flags_expression_window_partition_key():
     """Closes the _w0#N hole: an EXPRESSION partition key over a
     bounded-domain column erases the base name from the plan, so only
@@ -294,6 +324,72 @@ def test_source_rule_flags_expression_window_partition_key():
         '"""prose: Window.partitionBy(F.upper("o_orderstatus"))"""',
     ]:
         assert source_window_expr_findings(src, "f.py") == [], src
+
+
+def test_capture_eager_plans_sees_checkpoints_and_writes(spark, tmp_path):
+    """The round-17 hidden-plan layer: plans that EXECUTE during query
+    construction (eager localCheckpoint inputs, batch writes) must be
+    captured for the structural rules — the returned frame's plan shows
+    only a checkpoint/file scan (the r16-documented blind spot, now
+    closed). Lazy checkpoints must NOT be captured (their subtree still
+    prints inside consumer plans — capturing would double-count), and
+    the patches must restore on exit. Patches the CONCRETE classic
+    DataFrame class — a base-class patch captures nothing (pinned by
+    the count below)."""
+    from plan_audit import capture_eager_plans, count_global_windows
+
+    base = _base(spark)
+    with capture_eager_plans() as hidden:
+        base.select(
+            F.row_number().over(Window.orderBy("id")).alias("r")
+        ).localCheckpoint(eager=True)
+        n_after_ckpt = len(hidden)
+        base.localCheckpoint(eager=False)
+        n_after_lazy = len(hidden)
+        base.write.mode("overwrite").parquet(str(tmp_path / "w"))
+    assert n_after_ckpt == 1, "eager checkpoint input plan not captured"
+    assert count_global_windows(hidden[0]) == 1, "captured plan lost nodes"
+    assert n_after_lazy == 1, "lazy checkpoint must not be captured"
+    assert len(hidden) == 2, "write plan not captured"
+    # patches restored: nothing further lands in the list
+    base.localCheckpoint(eager=True)
+    base.write.mode("overwrite").parquet(str(tmp_path / "w2"))
+    assert len(hidden) == 2
+
+
+def test_hidden_plan_smells_flags_and_upper_bounds():
+    """Hidden-plan rules share the query-level pairwise/scalar/python
+    allowlists and use UPPER-bound count allowlists (module-level
+    caches make hidden counts audit-order-dependent)."""
+    from plan_audit import hidden_plan_smells
+
+    win = "Window [row_number() windowspecdefinition(id#1L ASC NULLS FIRST)], [id#1L ASC NULLS FIRST]"
+    ex = (
+        "Exchange hashpartitioning(o_orderstatus#3, 32), "
+        "REPARTITION_BY_COL, [plan_id=9]"
+    )
+    assert hidden_plan_smells("some_query", [win]) == [
+        "hidden unpartitioned window x1 (allowed 0)"
+    ]
+    assert hidden_plan_smells("some_query", [ex]) == [
+        "hidden bounded-key repartition exchange x1 (allowed 0)"
+    ]
+    # the allowlisted lineage staging write: exactly one bounded-key
+    # exchange tolerated, a second one still flags
+    lineage_ex = (
+        "Exchange hashpartitioning(order_year#5, lineage_shard#6L, 32), "
+        "REPARTITION_BY_COL, [plan_id=2]"
+    )
+    assert hidden_plan_smells("src_file_lineage", [lineage_ex]) == []
+    assert hidden_plan_smells(
+        "src_file_lineage", [lineage_ex, lineage_ex]
+    ) == ["hidden bounded-key repartition exchange x2 (allowed 1)"]
+    # scalar-broadcast queries keep their pairwise exemption hidden too
+    bnlj = "BroadcastNestedLoopJoin BuildRight, Cross"
+    assert hidden_plan_smells("sink_zorder_write", [bnlj]) == []
+    assert hidden_plan_smells("some_query", [bnlj]) == [
+        "hidden cartesian/nested-loop join x1"
+    ]
 
 
 def test_source_audit_clean_on_shipped_tree():
