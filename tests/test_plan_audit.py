@@ -392,6 +392,24 @@ def test_hidden_plan_smells_flags_and_upper_bounds():
     ]
 
 
+def test_source_rule_flags_small_literal_coalesce():
+    """DataFrame.coalesce(1) has no shuffle barrier — it caps the WHOLE
+    upstream stage, not just the write (the write_jdbc round-14
+    lesson). Zero instances exist in the tree; the rule guards the
+    class. F.coalesce (the NULL function) must never match."""
+    from plan_audit import source_coalesce_findings
+
+    assert source_coalesce_findings("df.coalesce(1).write.parquet(p)", "f.py") \
+        == [("f.py", 1, 1)]
+    for src in [
+        'sel = F.coalesce("day_value", F.lit(0.0))',
+        "df.coalesce(64)",          # >= cap: deliberate wide fan-in
+        "df.coalesce(n)",           # variable: unresolvable
+        '"""prose about df.coalesce(1)"""',
+    ]:
+        assert source_coalesce_findings(src, "f.py") == [], src
+
+
 def test_source_audit_clean_on_shipped_tree():
     """The shipped engine package carries ZERO un-allowlisted bounded-
     key repartitions and ZERO expression window keys over bounded

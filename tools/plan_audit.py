@@ -519,6 +519,31 @@ def source_repartition_findings(text: str, relpath: str) -> list[tuple]:
     return out
 
 
+# DataFrame.coalesce(N) with a SMALL literal N: no shuffle barrier, so
+# it caps the parallelism of the ENTIRE upstream stage, not just the
+# write (the sinks.py write_jdbc docstring's round-14 lesson) — a
+# coalesce(1) "one output file" staging step runs the whole transform
+# single-threaded at 100 TB. Zero instances exist at the rule's
+# introduction; this guards the class. F.coalesce(...) (the NULL
+# function) never matches: the receiver must not be the functions
+# module alias.
+_COALESCE_CAP = 8  # literal N below this flags; >= is a deliberate fan-in
+
+
+def source_coalesce_findings(text: str, relpath: str) -> list[tuple]:
+    """(relpath, lineno, n) for every small-literal DataFrame.coalesce."""
+    out = []
+    clean = _strip_docstrings_and_comments(text)
+    for m in re.finditer(r"(\w+)\.coalesce\s*\(\s*(\d+)\s*\)", clean):
+        if m.group(1) == "F":  # pyspark.sql.functions alias — NULL func
+            continue
+        n = int(m.group(2))
+        if n < _COALESCE_CAP:
+            lineno = clean[: m.start()].count("\n") + 1
+            out.append((relpath, lineno, n))
+    return out
+
+
 def source_window_expr_findings(text: str, relpath: str) -> list[tuple]:
     """(relpath, lineno, names) for Window.partitionBy args that are
     EXPRESSIONS over a bounded-domain column name."""
@@ -567,6 +592,13 @@ def run_source_audit(repo_root) -> list[str]:
                     f"{relpath}:{lineno}: Window.partitionBy EXPRESSION "
                     f"over bounded-domain column(s) {list(names)} — "
                     "projects into _w0#N and escapes the plan-level rule"
+                )
+            for relpath, lineno, n in source_coalesce_findings(text, rel):
+                findings.append(
+                    f"{relpath}:{lineno}: DataFrame.coalesce({n}) — no "
+                    "shuffle barrier, caps the WHOLE upstream stage at "
+                    f"{n} task(s); use repartition({n}) for a bounded "
+                    "fan-in that keeps upstream parallelism"
                 )
     for (relpath, names), linenos in sorted(repart.items()):
         allowed, _reason = SOURCE_REPARTITION_OK.get((relpath, names), (0, ""))
