@@ -91,15 +91,22 @@ def _text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram distribution — the cheap stand-in for CCNet's LM-perplexity
     quality filter: documents of common words score high (less negative),
     documents of rare words score low. Plan: one (term) aggregate builds
-    the LM (vocabulary-sized → BROADCAST-hinted join back), one
-    explode+join+aggregate scores every document; both aggregates
-    partial-combine map-side. At 100 TB the LM table is still
-    language-sized, so the score pass stays a broadcast join — no
-    corpus-vs-corpus shuffle. Issued as SQL text so the corpus token
-    total plans as a ScalarSubquery literal rather than a 1-row
-    nested-loop join (plan-audit clean). The log-prob is genuinely
-    irrational → round(…,6) is the cross-engine tolerance (registry.py
-    float policy), and ordering ties break on doc_id."""
+    the LM, one explode+join+aggregate scores every document; both
+    aggregates partial-combine map-side.
+
+    The LM join-back carries NO broadcast hint (round-17 review — the
+    r16 text_tfidf_keywords finding's SQL-hint sibling, which the F.
+    broadcast() grep missed): the RAW-token vocabulary grows by Heaps'
+    law with the corpus, not the language — a forced hint never falls
+    back past the threshold and OOMs executors at 100 TB. Below the
+    threshold Catalyst still picks broadcast on its own (same local
+    plan); past it the score pass degrades to a term-keyed shuffle
+    join, which partial-combines map-side either way. Issued as SQL
+    text so the corpus token total plans as a ScalarSubquery literal
+    rather than a 1-row nested-loop join (plan-audit clean). The
+    log-prob is genuinely irrational → round(…,6) is the cross-engine
+    tolerance (registry.py float policy), and ordering ties break on
+    doc_id."""
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
         "docs_ulm"
     )
@@ -109,7 +116,7 @@ def _text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, explode(split(text, ' ')) AS term FROM docs_ulm
         ),
         lm AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1)
-        SELECT /*+ BROADCAST(lm) */ doc_id,
+        SELECT doc_id,
                round(avg(ln(CAST(cnt AS DOUBLE)
                             / (SELECT sum(cnt) FROM lm))), 6)
                    AS mean_logprob,

@@ -392,6 +392,27 @@ def test_hidden_plan_smells_flags_and_upper_bounds():
     ]
 
 
+def test_source_rule_finds_sql_broadcast_hints():
+    """SQL-text /*+ BROADCAST(x) */ hints escaped the r15/r16
+    F.broadcast() sweeps for two rounds — the round-17 review found the
+    unigram-LM raw-vocabulary hint alive in SQL text (the historical
+    red fixture below). Every SQL hint is now collected and must carry
+    an exact-count allowlist entry with a construction bound."""
+    from plan_audit import SOURCE_SQL_HINT_OK, source_sql_hint_findings
+
+    # the exact pre-fix surface_wave9.py form
+    red = 'spark.sql("""\n    SELECT /*+ BROADCAST(lm) */ doc_id\n""")'
+    assert source_sql_hint_findings(red, "f.py") == [("f.py", 2, "lm")]
+    assert source_sql_hint_findings(
+        "SELECT /*+ BROADCASTJOIN(t) */ 1", "f.py"
+    ) == [("f.py", 1, "t")]
+    assert source_sql_hint_findings("SELECT 1 FROM t", "f.py") == []
+    # the two allowlisted BM25 sites are bounded by construction
+    assert SOURCE_SQL_HINT_OK[
+        ("orchestrated_etl_spark/queries/llm_search_quality.py", "d")
+    ][0] == 2
+
+
 def test_source_rule_flags_small_literal_coalesce():
     """DataFrame.coalesce(1) has no shuffle barrier — it caps the WHOLE
     upstream stage, not just the write (the write_jdbc round-14
@@ -1280,6 +1301,10 @@ def test_growing_dim_joins_not_force_broadcast_repo_wide(spark, sf_dir):
         # (the df relation is the Heaps'-law-unbounded raw vocabulary,
         # the same class as the r15-dropped PMI vocabulary hint).
         "text_tfidf_keywords": 0,
+        # round-17 review: the unigram-LM join lost its SQL-text
+        # /*+ BROADCAST(lm) */ hint — the same raw-vocabulary class;
+        # SQL hints escaped the F.broadcast() greps of r15/r16.
+        "text_unigram_logprob": 0,
     }
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -519,6 +519,40 @@ def source_repartition_findings(text: str, relpath: str) -> list[tuple]:
     return out
 
 
+# SQL-text broadcast hints (/*+ BROADCAST(x) */, BROADCASTJOIN,
+# MAPJOIN): the forced-broadcast rule's blind spot for two rounds — the
+# r15/r16 sweeps grepped F.broadcast() call sites, and the round-17
+# review found the unigram-LM raw-vocabulary hint had survived in SQL
+# text (fixed; the Heaps'-law class). A hint is honored
+# unconditionally, so every SQL hint needs the same provable bound an
+# F.broadcast call does. Allowlist: (relpath, hinted alias) -> (exact
+# count, reason) — only for relations bounded by CONSTRUCTION (a
+# query-term-filtered df relation, a fixed dim), never "small today".
+SOURCE_SQL_HINT_OK: dict[tuple[str, str], tuple[int, str]] = {
+    # BM25 serving: `d` is the df relation equi-joined on term with the
+    # 3-literal `term IN (...)` filter pushed through the join — the
+    # broadcast side is |query terms| rows by construction.
+    ("orchestrated_etl_spark/queries/llm_search_quality.py", "d"): (
+        2,
+        "query-term-filtered df relation, |terms| rows by construction",
+    ),
+}
+
+_SQL_HINT = re.compile(r"/\*\+\s*(?:BROADCAST|BROADCASTJOIN|MAPJOIN)\s*\(\s*(\w+)\s*\)\s*\*/")
+
+
+def source_sql_hint_findings(text: str, relpath: str) -> list[tuple]:
+    """(relpath, lineno, alias) for every SQL-text broadcast hint.
+    Scans RAW text (SQL lives inside string literals, so the
+    docstring-stripper must not run first — a false positive from
+    prose quoting a hint is acceptable; prose should not quote forced
+    hints approvingly anyway)."""
+    return [
+        (relpath, text[: m.start()].count("\n") + 1, m.group(1))
+        for m in _SQL_HINT.finditer(text)
+    ]
+
+
 # DataFrame.coalesce(N) with a SMALL literal N: no shuffle barrier, so
 # it caps the parallelism of the ENTIRE upstream stage, not just the
 # write (the sinks.py write_jdbc docstring's round-14 lesson) — a
@@ -575,6 +609,7 @@ def run_source_audit(repo_root) -> list[str]:
     root = Path(repo_root)
     findings: list[str] = []
     repart: dict[tuple[str, tuple[str, ...]], list[int]] = {}
+    hints: dict[tuple[str, str], list[int]] = {}
     for d in SOURCE_SCAN_DIRS:
         for path in sorted((root / d).rglob("*.py")):
             rel = str(path.relative_to(root))
@@ -600,6 +635,10 @@ def run_source_audit(repo_root) -> list[str]:
                     f"{n} task(s); use repartition({n}) for a bounded "
                     "fan-in that keeps upstream parallelism"
                 )
+            for relpath, lineno, alias in source_sql_hint_findings(
+                text, rel
+            ):
+                hints.setdefault((relpath, alias), []).append(lineno)
     for (relpath, names), linenos in sorted(repart.items()):
         allowed, _reason = SOURCE_REPARTITION_OK.get((relpath, names), (0, ""))
         if len(linenos) > allowed:
@@ -608,6 +647,15 @@ def run_source_audit(repo_root) -> list[str]:
                 f"bounded-domain column(s) {list(names)} — ≤|domain| "
                 f"non-empty partitions at any scale "
                 f"(found {len(linenos)}, allowed {allowed})"
+            )
+    for (relpath, alias), linenos in sorted(hints.items()):
+        allowed, _reason = SOURCE_SQL_HINT_OK.get((relpath, alias), (0, ""))
+        if len(linenos) > allowed:
+            findings.append(
+                f"{relpath}:{linenos}: SQL broadcast hint on {alias!r} "
+                "— forced hints never fall back; needs a construction "
+                f"bound + allowlist entry (found {len(linenos)}, "
+                f"allowed {allowed})"
             )
     return findings
 
