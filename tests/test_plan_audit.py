@@ -407,6 +407,15 @@ def test_source_rule_finds_sql_broadcast_hints():
         "SELECT /*+ BROADCASTJOIN(t) */ 1", "f.py"
     ) == [("f.py", 1, "t")]
     assert source_sql_hint_findings("SELECT 1 FROM t", "f.py") == []
+    # third spelling: df.hint("broadcast") flags; shuffle-forcing
+    # hints (merge / shuffle_hash) are the scale-SAFE direction
+    assert source_sql_hint_findings(
+        'small.hint("broadcast").join(big, "k")', "f.py"
+    ) == [("f.py", 1, "<df.hint>")]
+    assert source_sql_hint_findings(
+        'dist.hint("shuffle_hash").join(edges, "src")', "f.py"
+    ) == []
+    assert source_sql_hint_findings('da.hint("merge")', "f.py") == []
     # the two allowlisted BM25 sites are bounded by construction
     assert SOURCE_SQL_HINT_OK[
         ("orchestrated_etl_spark/queries/llm_search_quality.py", "d")

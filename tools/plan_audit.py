@@ -539,18 +539,29 @@ SOURCE_SQL_HINT_OK: dict[tuple[str, str], tuple[int, str]] = {
 }
 
 _SQL_HINT = re.compile(r"/\*\+\s*(?:BROADCAST|BROADCASTJOIN|MAPJOIN)\s*\(\s*(\w+)\s*\)\s*\*/")
+# third hint spelling: df.hint("broadcast"). merge / shuffle_hash /
+# shuffle_replicate_nl hints force broadcast OFF — the scale-safe
+# direction — and never flag.
+_DF_HINT = re.compile(r"\.hint\(\s*[\"'](broadcast|broadcastjoin|mapjoin)[\"']")
 
 
 def source_sql_hint_findings(text: str, relpath: str) -> list[tuple]:
-    """(relpath, lineno, alias) for every SQL-text broadcast hint.
-    Scans RAW text (SQL lives inside string literals, so the
-    docstring-stripper must not run first — a false positive from
-    prose quoting a hint is acceptable; prose should not quote forced
-    hints approvingly anyway)."""
-    return [
+    """(relpath, lineno, alias) for every SQL-text broadcast hint and
+    every ``.hint("broadcast")`` call (alias ``<df.hint>`` for the
+    latter — the receiver expression is not a stable key). Scans RAW
+    text (SQL lives inside string literals, so the docstring-stripper
+    must not run first — a false positive from prose quoting a hint is
+    acceptable; prose should not quote forced hints approvingly
+    anyway)."""
+    out = [
         (relpath, text[: m.start()].count("\n") + 1, m.group(1))
         for m in _SQL_HINT.finditer(text)
     ]
+    out += [
+        (relpath, text[: m.start()].count("\n") + 1, "<df.hint>")
+        for m in _DF_HINT.finditer(text)
+    ]
+    return out
 
 
 # DataFrame.coalesce(N) with a SMALL literal N: no shuffle barrier, so
