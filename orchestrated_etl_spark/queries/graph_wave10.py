@@ -523,10 +523,14 @@ def _graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-purchase structure is hierarchical or clique-y — the kind of
     corpus-level statistic a graph-quality dashboard tracks.
 
-    Shape: degrees via one aggregate, two broadcast joins to annotate
-    edge endpoints, corr() as a single partial-aggregable pass (corr's
-    moments combine associatively). Rounded to 4 — corr is a quotient
-    of float moment sums, the registry's irrational-value policy."""
+    Shape: degrees via one aggregate, two HINT-FREE join-backs to
+    annotate edge endpoints (the degree relation is O(V) — it grows
+    with the graph, so no forced broadcast: threshold/AQE broadcast it
+    while small, past that the joins shuffle on the node key, which
+    co-partitions with the edge list), corr() as a single
+    partial-aggregable pass (corr's moments combine associatively).
+    Rounded to 4 — corr is a quotient of float moment sums, the
+    registry's irrational-value policy."""
     edges = cached_edges(spark, sf_dir, min_weight=2)
     ed = undirect(edges)
     deg = degrees(edges)
