@@ -460,9 +460,12 @@ register(
 
 
 def _j1_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue per region: the full 5-table star join. The three dimension
-    hops (customer→nation→region) broadcast; only lineitem⋈orders shuffles,
-    and AQE converts even that to broadcast at small sf."""
+    """Revenue per region: the full 5-table star join. Nation and region
+    carry forced broadcast hints (fixed 25/5-row domains); the customer
+    hop is HINT-FREE (150k·SF rows — it broadcasts under the threshold
+    at bench scale and degrades to a key-partitioned shuffle join past
+    it); lineitem⋈orders is the one big-big join, and AQE converts even
+    that to broadcast at small sf."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
