@@ -59,36 +59,36 @@ def _load_all() -> None:
 # STALENESS: each round fronts the 50 queries whose last GREEN driver
 # sample is oldest (ties broken by raw registration order — the
 # committed REGISTRATION_ORDER.txt artifact, not queries() iteration
-# order). ROUND-17 FRONT = the 41 remaining last-green-r11 queries plus
-# the 9 oldest last-green-r12 queries (last-green histogram over the 291
-# oracles after the r16 50/50-green sample: {11: 41, 12: 50, 13: 50,
-# 14: 50, 15: 50, 16: 50}). Recomputed by tools/rotate_front.py from
-# CORRECTNESS_r01..r16; the tool reproduces the shipped r8 list
+# order). ROUND-18 FRONT = the 41 remaining last-green-r12 queries plus
+# the 9 oldest last-green-r13 queries (last-green histogram over the 291
+# oracles after the r17 50/50-green sample: {12: 41, 13: 50, 14: 50,
+# 15: 50, 16: 50, 17: 50}). Recomputed by tools/rotate_front.py from
+# CORRECTNESS_r01..r17; the tool reproduces the shipped r8 list
 # bit-for-bit from r01..r07 inputs (pytest-pinned):
 #   sorted(oracle_names, key=lambda n: (last_green_round[n], reg_order[n]))[:50]
 _FRONT = [
-    # 41 stalest: last green round 11 (registration order)
-    "sim_brp_lsh_mllib", "sim_kmeans_step_exact", "mm_binary_metadata",
-    "mm_decode_stub", "mm_resize_stub", "stream_sliding_2h",
-    "stream_session_windows", "stream_dedup_users",
-    "stream_foreachbatch_sink", "stream_static_join", "stream_books_pages",
-    "stream_state_inspect", "stream_binary_files",
-    "stream_tumbling_multibatch", "sample_hash_deterministic",
-    "sample_stratified_fixed", "agg_exact_percentiles",
-    "agg_approx_sketches", "range_join_binned", "src_csv_roundtrip",
-    "src_json_roundtrip", "sink_partitioned_parquet",
-    "join_bucketed_colocated", "window_session_builtin",
-    "src_binary_file_source", "agg_salted_twophase", "src_orc_roundtrip",
-    "obs_standardise_metrics", "sample_weighted_deterministic",
-    "train_cap_per_source", "train_token_packing", "join_null_safe_eq",
-    "graph_bfs_frontier", "table_snapshot_diff", "join_bloom_prefilter",
-    "er_match_blocked_parts", "events_cep_conversion",
-    "skyline_price_size", "graph_shortest_path_weighted",
-    "events_interval_coverage", "sql_pipe_syntax_rollup",
-    # 9 stalest: last green round 12 (registration order)
-    "flagship", "books_standardise", "books_enrich",
-    "s3_completeness_filter", "s5_limit", "t2_dedup_by_key",
-    "train_mixture_sampling", "train_chunk_documents", "train_build_vocab",
+    # 41 stalest: last green round 12 (registration order)
+    "sql_lateral_correlated_topk", "spatial_radius_join",
+    "events_cep_sessionized", "graph_kcore", "agg_incremental_moments",
+    "graph_clustering_coefficient", "graph_hits_2iter",
+    "events_cusum_changepoint", "events_acf_lags",
+    "agg_countmin_sketch_estimate", "dedup_cdc_chunks",
+    "agg_bitmap_distinct", "stats_chi2_cells", "stats_chi2_total",
+    "stats_corr_matrix", "events_km_survival", "stats_ab_welch_ttest",
+    "sql_named_window_nulls", "events_holt_linear", "agg_trimmed_mean",
+    "agg_gini_revenue", "events_trigram_paths", "events_max_drawdown",
+    "dq_quarantine_split", "stream_quarantine_split",
+    "sim_label_centroid_matrix", "join_scd2_point_in_time",
+    "train_dataset_card", "train_bpe_merge_step", "events_bot_cadence",
+    "agg_countmin_merge_incremental", "agg_bitmap_rollup_quarters",
+    "train_pack_nfd_bins", "orders_basket_lift", "events_cohort_ltv",
+    "text_pmi_collocations", "events_pareto_8020", "text_zipf_slope",
+    "agg_histogram_quantile_merge", "graph_modularity",
+    "approx_sampled_revenue_ci",
+    # 9 stalest: last green round 13 (registration order)
+    "t3_cast_roundtrip", "t4_regex_extract", "t5_strip_separators",
+    "t6_project_drop", "a1_a5_enrich_family", "q1_pricing_summary",
+    "j1_star_join_revenue", "j_left_join", "j_semi_join",
 ]
 
 

@@ -357,6 +357,55 @@ def test_capture_eager_plans_sees_checkpoints_and_writes(spark, tmp_path):
     assert len(hidden) == 2
 
 
+def test_capture_eager_plans_sees_reliable_checkpoint_and_writer_v2(
+    spark, tmp_path
+):
+    """Round-18 advice closure: the r17 capture layer patched only
+    localCheckpoint and the V1 DataFrameWriter — an eager
+    ``DataFrame.checkpoint()`` (the reliable spelling) or a
+    ``writeTo(...).append()/createOrReplace()`` V2 write would have
+    re-opened the hidden-plan blind spot unguarded (zero current uses
+    of either; this pins the CLASS). Lazy reliable checkpoints stay
+    uncaptured, same as lazy local ones."""
+    from plan_audit import capture_eager_plans
+
+    import shutil
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    base = _base(spark)
+
+    def _drop():
+        # DROP on the session-scoped in-memory catalog does not remove
+        # a managed location left by a PRIOR session — clear both, or
+        # create() dies on LOCATION_ALREADY_EXISTS.
+        spark.sql("DROP TABLE IF EXISTS hidden_v2_probe")
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        shutil.rmtree(Path(wh) / "hidden_v2_probe", ignore_errors=True)
+
+    _drop()
+    try:
+        with capture_eager_plans() as hidden:
+            base.checkpoint(eager=True)
+            n_after_reliable = len(hidden)
+            base.checkpoint(eager=False)
+            n_after_lazy = len(hidden)
+            # .create() is the one V2 terminal the default v1 session
+            # catalog executes (CTAS); append/replace raise on v1
+            # tables, and the capture still fires BEFORE orig runs —
+            # create() keeps the test on the supported path.
+            base.writeTo("hidden_v2_probe").using("parquet").create()
+        assert n_after_reliable == 1, "eager reliable ckpt not captured"
+        assert n_after_lazy == 1, "lazy reliable ckpt must not capture"
+        assert len(hidden) == 2, "V2 writeTo terminal plan not captured"
+        # patches restored
+        base.checkpoint(eager=True)
+        _drop()
+        base.writeTo("hidden_v2_probe").using("parquet").create()
+        assert len(hidden) == 2
+    finally:
+        _drop()
+
+
 def test_hidden_plan_smells_flags_and_upper_bounds():
     """Hidden-plan rules share the query-level pairwise/scalar/python
     allowlists and use UPPER-bound count allowlists (module-level
@@ -416,6 +465,15 @@ def test_source_rule_finds_sql_broadcast_hints():
         'dist.hint("shuffle_hash").join(edges, "src")', "f.py"
     ) == []
     assert source_sql_hint_findings('da.hint("merge")', "f.py") == []
+    # round-18 advice: a comma-separated alias list is valid hint syntax
+    # forcing MULTIPLE broadcasts — one finding per alias, so each needs
+    # its own allowlist bound (the single-alias regex passed it whole)
+    assert source_sql_hint_findings(
+        "SELECT /*+ BROADCAST(a, b) */ 1", "f.py"
+    ) == [("f.py", 1, "a"), ("f.py", 1, "b")]
+    assert source_sql_hint_findings(
+        "SELECT /*+ MAPJOIN(x ,y, z) */ 1", "f.py"
+    ) == [("f.py", 1, "x"), ("f.py", 1, "y"), ("f.py", 1, "z")]
     # the two allowlisted BM25 sites are bounded by construction
     assert SOURCE_SQL_HINT_OK[
         ("orchestrated_etl_spark/queries/llm_search_quality.py", "d")
@@ -431,13 +489,52 @@ def test_source_rule_flags_small_literal_coalesce():
 
     assert source_coalesce_findings("df.coalesce(1).write.parquet(p)", "f.py") \
         == [("f.py", 1, 1)]
+    # round-18 advice: CHAINED receivers must flag too — the old
+    # bare-name regex required `<word>.coalesce`, so the common
+    # `df.filter(...).coalesce(1)` spelling escaped the guard
+    assert source_coalesce_findings(
+        "df.filter(F.col('x') > 0).coalesce(1).write.parquet(p)", "f.py"
+    ) == [("f.py", 1, 1)]
+    assert source_coalesce_findings(
+        "df.join(dim, 'k')\\\n    .coalesce(2)", "f.py"
+    ) == [("f.py", 2, 2)]
     for src in [
         'sel = F.coalesce("day_value", F.lit(0.0))',
+        "functions.coalesce(a, b)",  # full-name functions alias
         "df.coalesce(64)",          # >= cap: deliberate wide fan-in
         "df.coalesce(n)",           # variable: unresolvable
         '"""prose about df.coalesce(1)"""',
     ]:
         assert source_coalesce_findings(src, "f.py") == [], src
+
+
+def test_comment_stripper_is_quote_aware():
+    """Round-18 advice: the old comment pass removed '#...' even inside
+    single-line string literals, truncating e.g. a regex/SQL string
+    containing '#' BEFORE the source scans ran — so a flaggable call
+    later on the same physical line was invisible (red baseline: the
+    chained case below returns [] under `re.sub(r"#[^\\n]*", ...)`)."""
+    from plan_audit import (
+        _strip_docstrings_and_comments,
+        source_coalesce_findings,
+    )
+
+    src = 'pat = "a#b"; staged = df.coalesce(1)'
+    clean = _strip_docstrings_and_comments(src)
+    assert '"a#b"' in clean, "string-literal '#' must survive"
+    assert source_coalesce_findings(src, "f.py") == [("f.py", 1, 1)]
+    # a REAL comment after a '#'-bearing literal still strips, and
+    # prose inside it cannot flag
+    src2 = 'pat = "a#b"  # note: df.coalesce(1) would be bad\nx = 1'
+    clean2 = _strip_docstrings_and_comments(src2)
+    assert "would be bad" not in clean2 and '"a#b"' in clean2
+    assert source_coalesce_findings(src2, "f.py") == []
+    # escaped quotes inside literals don't desync the scanner
+    src3 = 's = "a\\"#b"; y = df.coalesce(1)  # trailing'
+    assert source_coalesce_findings(src3, "f.py") == [("f.py", 1, 1)]
+    # line numbers stay intact through multi-line input
+    src4 = '"""doc\n# prose\n"""\npat = "x#y"\nstaged = df.coalesce(3)'
+    assert source_coalesce_findings(src4, "f.py") == [("f.py", 5, 3)]
 
 
 def test_source_audit_clean_on_shipped_tree():
@@ -842,9 +939,9 @@ print(chr(10).join(registry.registration_order()))
     )
 
 
-def test_rotate_front_reproduces_shipped_r17_front():
-    """The SHIPPED round-17 `_FRONT` must equal the stalest-50
-    recomputation from the committed CORRECTNESS_r01–r16 files — the
+def test_rotate_front_reproduces_shipped_r18_front():
+    """The SHIPPED round-18 `_FRONT` must equal the stalest-50
+    recomputation from the committed CORRECTNESS_r01–r17 files — the
     exact check each round's judge performs by hand, made a gate. Uses
     the frozen REGISTRATION_ORDER.txt for the tie-break (what
     rotate_front.py reads), so this runs correctly even under pytest's
@@ -865,8 +962,8 @@ def test_rotate_front_reproduces_shipped_r17_front():
     assert len(paths) >= 12, "committed correctness history missing"
     for path in paths:
         rnd = int(path.name.rsplit("_r", 1)[1].split(".")[0])
-        if rnd > 16:
-            continue  # pin to the inputs the r17 rotation was computed from
+        if rnd > 17:
+            continue  # pin to the inputs the r18 rotation was computed from
         for name, row in json.load(open(path)).items():
             if _green(row):
                 last[name] = max(last.get(name, 0), rnd)
@@ -1164,12 +1261,12 @@ def test_compat_accessors_classic_and_connect_fallback(spark):
         application_id(stopped)
 
 
-def test_seeded_spot_check_sample_reproduces_r17_draw():
+def test_seeded_spot_check_sample_reproduces_r18_draw():
     """check_oracle --sample/--seed/--non-front pins the judges'
     spot-check protocol mechanically (it was hand-rolled r12-r14). The
-    r17 round record (COVERAGE.md round-17 delta) draws seed 2120
-    (sequence 1312/1514/1716/1918/2120), n 24, non-front over the r17
-    front — this asserts the tool reproduces that committed draw
+    r18 round record (COVERAGE.md round-18 delta) draws seed 2322
+    (sequence 1312/1514/1716/1918/2120/2322), n 24, non-front over the
+    r18 front — this asserts the tool reproduces that committed draw
     bit-for-bit, so a pool/ordering change that would silently re-map
     historical seeds fails here instead. Re-pinned each rotation round:
     the non-front pool is defined against the CURRENT front."""
@@ -1183,18 +1280,18 @@ def test_seeded_spot_check_sample_reproduces_r17_draw():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    got = sample_queries(qs, oracles, 24, 2120, non_front=True)
+    got = sample_queries(qs, oracles, 24, 2322, non_front=True)
     assert got == [
-        "sql_pagination_offset", "setop_except", "events_cohort_ltv",
-        "datetime_daily_rollup", "sql_recursive_region_walk",
-        "search_bm25_store_bucketed", "dedup_containment",
-        "orders_basket_lift", "mm_fake_embed_topk", "events_max_drawdown",
-        "graph_assortativity", "graph_pagerank", "j_semi_join",
-        "sim_bruteforce_topk", "sql_q13_order_count_distribution",
-        "events_rfm_segmentation", "sql_named_window_nulls",
-        "sql_q11_important_stock", "events_pareto_8020", "json_field_agg",
-        "sql_q20_excess_availability", "train_epoch_shuffle",
-        "agg_gini_revenue", "sim_vector_norms",
+        "src_python_datasource", "asof_join_salted",
+        "train_profile_documents", "setop_except", "sim_groupmap_zscore",
+        "setop_union", "src_text_logparse", "window_topk_per_group",
+        "agg_filtered_conditional", "graph_label_propagation",
+        "agg_median_percentiles", "search_bm25_topk",
+        "sample_hash_deterministic", "text_lang_profile", "mm_scene_cut",
+        "s3_completeness_filter", "sql_q18_large_orders",
+        "stream_session_windows", "json_map_entries", "text_word_topk",
+        "mm_vad_segments", "sql_group_by_all", "dedup_minhash_lsh",
+        "t2_dedup_by_key",
     ]
     # no query may appear in both the draw and the driver's front
     from orchestrated_etl_spark import registry

@@ -432,13 +432,45 @@ _INT_ARG = re.compile(r"^\d+$")
 
 def _strip_docstrings_and_comments(text: str) -> str:
     """Blank out triple-quoted strings and # comments, preserving line
-    numbers, so prose mentioning repartition(...) can't flag."""
+    numbers, so prose mentioning repartition(...) can't flag.
+
+    The comment pass is QUOTE-AWARE (round-18 advice): a '#' inside a
+    single-line string literal — a regex, SQL text, a URL fragment —
+    must not truncate the rest of that line before the repartition/
+    coalesce/window scans run (the old ``re.sub(r"#[^\\n]*")`` did, so
+    a call AFTER such a literal on the same line was invisible).
+    Quote state resets at each newline: Python single-quoted literals
+    cannot span lines, so a stray unterminated quote degrades to the
+    old behavior on that one line instead of eating the file."""
     def _keep_newlines(m: re.Match) -> str:
         return "\n" * m.group(0).count("\n")
 
     text = re.sub(r'"""(?:[^"\\]|\\.|"(?!""))*"""', _keep_newlines, text)
     text = re.sub(r"'''(?:[^'\\]|\\.|'(?!''))*'''", _keep_newlines, text)
-    return re.sub(r"#[^\n]*", "", text)
+    out: list[str] = []
+    quote: str | None = None
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if quote:
+            out.append(ch)
+            if ch == "\\" and i + 1 < n:
+                out.append(text[i + 1])
+                i += 2
+                continue
+            if ch == quote or ch == "\n":
+                quote = None
+        elif ch in "\"'":
+            quote = ch
+            out.append(ch)
+        elif ch == "#":
+            j = text.find("\n", i)
+            i = n if j == -1 else j
+            continue
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def _balanced_paren_args(text: str, open_idx: int) -> str:
@@ -538,7 +570,14 @@ SOURCE_SQL_HINT_OK: dict[tuple[str, str], tuple[int, str]] = {
     ),
 }
 
-_SQL_HINT = re.compile(r"/\*\+\s*(?:BROADCAST|BROADCASTJOIN|MAPJOIN)\s*\(\s*(\w+)\s*\)\s*\*/")
+# The alias group accepts a COMMA-SEPARATED list (round-18 advice):
+# `/*+ BROADCAST(a, b) */` is valid Spark hint syntax forcing TWO
+# broadcasts, and the single-alias regex silently passed it; each alias
+# is emitted as its own finding so each needs its own allowlist bound.
+_SQL_HINT = re.compile(
+    r"/\*\+\s*(?:BROADCAST|BROADCASTJOIN|MAPJOIN)\s*"
+    r"\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)\s*\*/"
+)
 # third hint spelling: df.hint("broadcast"). merge / shuffle_hash /
 # shuffle_replicate_nl hints force broadcast OFF — the scale-safe
 # direction — and never flag.
@@ -554,8 +593,9 @@ def source_sql_hint_findings(text: str, relpath: str) -> list[tuple]:
     acceptable; prose should not quote forced hints approvingly
     anyway)."""
     out = [
-        (relpath, text[: m.start()].count("\n") + 1, m.group(1))
+        (relpath, text[: m.start()].count("\n") + 1, alias)
         for m in _SQL_HINT.finditer(text)
+        for alias in re.split(r"\s*,\s*", m.group(1))
     ]
     out += [
         (relpath, text[: m.start()].count("\n") + 1, "<df.hint>")
@@ -576,13 +616,22 @@ _COALESCE_CAP = 8  # literal N below this flags; >= is a deliberate fan-in
 
 
 def source_coalesce_findings(text: str, relpath: str) -> list[tuple]:
-    """(relpath, lineno, n) for every small-literal DataFrame.coalesce."""
+    """(relpath, lineno, n) for every small-literal DataFrame.coalesce.
+
+    Matches ANY receiver (round-18 advice: the old ``(\\w+)\\.coalesce``
+    required a bare-name receiver, so the common chained spelling
+    ``df.filter(...).coalesce(1)`` escaped the guard) and instead
+    EXCLUDES the functions-module receivers ``F.`` / ``functions.`` —
+    the SQL NULL-coalescing function, not the partition operator (its
+    arguments are Columns, so a digit-only arg list cannot be it
+    anyway; the exclusion is belt-and-braces)."""
     out = []
     clean = _strip_docstrings_and_comments(text)
-    for m in re.finditer(r"(\w+)\.coalesce\s*\(\s*(\d+)\s*\)", clean):
-        if m.group(1) == "F":  # pyspark.sql.functions alias — NULL func
+    for m in re.finditer(r"\.coalesce\s*\(\s*(\d+)\s*\)", clean):
+        recv = re.search(r"(\w+)\s*$", clean[: m.start()])
+        if recv and recv.group(1) in ("F", "functions"):
             continue
-        n = int(m.group(2))
+        n = int(m.group(1))
         if n < _COALESCE_CAP:
             lineno = clean[: m.start()].count("\n") + 1
             out.append((relpath, lineno, n))
@@ -703,33 +752,54 @@ _WRITER_METHODS = (
 )
 
 
+# DataFrameWriterV2 methods that EXECUTE (writeTo(...) itself is lazy —
+# it returns the builder; these terminal calls run the plan).
+_WRITER_V2_METHODS = (
+    "create", "createOrReplace", "replace", "append", "overwrite",
+    "overwritePartitions",
+)
+
+
 @contextmanager
 def capture_eager_plans():
     """Yield a list that fills with the physical-plan strings of every
-    eager localCheckpoint input and every batch write issued while the
-    context is active."""
+    eager checkpoint/localCheckpoint input and every batch write (V1
+    DataFrameWriter save methods AND V2 writeTo terminal methods)
+    issued while the context is active.
+
+    Round-18 advice closure: the r17 layer patched only localCheckpoint
+    and DataFrameWriter, so an eager ``DataFrame.checkpoint()`` or a
+    ``writeTo(...).append()`` would have re-opened the hidden-plan
+    blind spot with no guard flagging the new spelling (zero current
+    uses of either — this pins the CLASS, like the coalesce rule)."""
     # Patch the CONCRETE classic class, not the abstract base: Spark 4
     # splits pyspark.sql.dataframe.DataFrame (abstract) from
     # pyspark.sql.classic.dataframe.DataFrame, and the classic override
     # would shadow a base-class patch (verified: a base-class patch
-    # captures NOTHING). DataFrameWriter has no classic split.
+    # captures NOTHING). DataFrameWriter/DataFrameWriterV2 have no
+    # classic split (both live in pyspark.sql.readwriter and hold the
+    # classic df as self._df).
     import pyspark.sql.classic.dataframe as dfmod
     import pyspark.sql.readwriter as rwmod
 
     captured: list[str] = []
 
-    orig_ckpt = dfmod.DataFrame.localCheckpoint
+    def _mk_ckpt(orig):
+        def ckpt(self, eager=True, *a, **kw):
+            if eager:
+                captured.append(
+                    self._jdf.queryExecution().executedPlan().toString()
+                )
+            return orig(self, eager, *a, **kw)
 
-    def ckpt(self, eager=True, *a, **kw):
-        if eager:
-            captured.append(
-                self._jdf.queryExecution().executedPlan().toString()
-            )
-        return orig_ckpt(self, eager, *a, **kw)
+        return ckpt
 
-    dfmod.DataFrame.localCheckpoint = ckpt
+    orig_local = dfmod.DataFrame.localCheckpoint
+    orig_reliable = dfmod.DataFrame.checkpoint
+    dfmod.DataFrame.localCheckpoint = _mk_ckpt(orig_local)
+    dfmod.DataFrame.checkpoint = _mk_ckpt(orig_reliable)
 
-    saved: dict[str, object] = {}
+    saved: dict[tuple[type, str], object] = {}
 
     def _wrap(orig):
         def wrapper(self, *a, **kw):
@@ -740,17 +810,22 @@ def capture_eager_plans():
 
         return wrapper
 
-    for name in _WRITER_METHODS:
-        orig = getattr(rwmod.DataFrameWriter, name, None)
-        if orig is not None:
-            saved[name] = orig
-            setattr(rwmod.DataFrameWriter, name, _wrap(orig))
+    for cls, methods in (
+        (rwmod.DataFrameWriter, _WRITER_METHODS),
+        (rwmod.DataFrameWriterV2, _WRITER_V2_METHODS),
+    ):
+        for name in methods:
+            orig = getattr(cls, name, None)
+            if orig is not None:
+                saved[(cls, name)] = orig
+                setattr(cls, name, _wrap(orig))
     try:
         yield captured
     finally:
-        dfmod.DataFrame.localCheckpoint = orig_ckpt
-        for name, orig in saved.items():
-            setattr(rwmod.DataFrameWriter, name, orig)
+        dfmod.DataFrame.localCheckpoint = orig_local
+        dfmod.DataFrame.checkpoint = orig_reliable
+        for (cls, name), orig in saved.items():
+            setattr(cls, name, orig)
 
 
 # Upper-bound allowlists for HIDDEN plans, per query: count and the
