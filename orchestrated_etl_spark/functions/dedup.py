@@ -86,16 +86,44 @@ def _exploded_sets(df: DataFrame, id_col: str, set_col: Column) -> DataFrame:
     )
 
 
+def _cap_document_frequency(ex: DataFrame, max_df: int) -> DataFrame:
+    """Drop elements whose document frequency exceeds ``max_df`` from
+    the inverted index — the adversarial-corpus guard for the exact
+    pairwise operators (round-18: previously documented prose, now a
+    real parameter). One element shared by all D documents makes the
+    element self-join genuinely quadratic (D²/2 candidate rows from a
+    single hot shingle — boilerplate headers, empty-ish pages); capping
+    df bounds candidates per element at max_df²/2. The hot-element
+    relation itself is small by construction: at most
+    |index| / max_df elements can exceed the cap, so the anti-join's
+    build side shrinks as the cap grows."""
+    hot = (
+        ex.groupBy("_elem")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("_elem")
+    )
+    return ex.join(hot, "_elem", "left_anti")
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
     set_col: Column,
     threshold: float,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over an inverted-index self-join: only pairs sharing
     ≥1 element are ever materialized. Returns (id_a, id_b, jaccard) with
-    id_a < id_b. The per-element join is the scale knob — add a
-    document-frequency cap on elements for adversarial corpora."""
+    id_a < id_b. The per-element join is the scale knob: ``max_df``
+    drops elements with document frequency above it from the index
+    before the self-join (default None = exact, bit-identical to the
+    uncapped form — every oracle runs uncapped). RECALL EFFECT when
+    set: a pair sharing ONLY hot elements is never materialized, and a
+    surviving pair's ``shared`` count excludes hot elements, so the
+    reported score is a LOWER bound of true Jaccard — the standard
+    trade for boilerplate-heavy corpora, where a hot shingle carries no
+    near-dup signal anyway."""
     # Explicit-count repartition for the same reason as minhash_lsh_dedup:
     # parallelize per-doc set construction even from a one-file scan, and
     # keep AQE from coalescing the byte-small exchange to one partition.
@@ -103,6 +131,8 @@ def jaccard_pairs(
         default_parallelism(df.sparkSession), F.col(id_col)
     )
     ex = _exploded_sets(df, id_col, set_col)
+    if max_df is not None:
+        ex = _cap_document_frequency(ex, max_df)
     a = ex.alias("a")
     b = ex.alias("b")
     pairs = (
@@ -132,6 +162,7 @@ def containment_pairs(
     id_col: str,
     set_col: Column,
     threshold: float,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Asymmetric containment |A∩B| / |A| over the same inverted-index
     self-join as ``jaccard_pairs``: finds documents (nearly) CONTAINED
@@ -145,13 +176,17 @@ def containment_pairs(
     asymmetric overlap are reported independently.
 
     Scale posture is jaccard_pairs': only element-sharing pairs
-    materialize, and a document-frequency cap on elements is the
-    adversarial-corpus knob. The ratio is one int/int division of
-    exact counts — engine-independent up to the shared round(6)."""
+    materialize, and ``max_df`` is the adversarial-corpus knob (same
+    semantics and recall effect — see jaccard_pairs; default None is
+    bit-identical to the uncapped form). The ratio is one int/int
+    division of exact counts — engine-independent up to the shared
+    round(6)."""
     df = df.repartition(
         default_parallelism(df.sparkSession), F.col(id_col)
     )
     ex = _exploded_sets(df, id_col, set_col)
+    if max_df is not None:
+        ex = _cap_document_frequency(ex, max_df)
     a = ex.alias("a")
     b = ex.alias("b")
     pairs = (

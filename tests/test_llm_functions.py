@@ -366,6 +366,49 @@ def test_containment_asymmetric(spark):
     assert jac[(1, 2)] == pytest.approx(2 / 7, abs=1e-6)  # union-dominated
 
 
+def test_max_df_cap_bounds_hot_element_candidates(spark):
+    """Round-18 (r17 verdict item 5): the document-frequency cap the
+    exact pairwise operators carried as PROSE is now a real parameter.
+    A planted hot-element corpus — one boilerplate token shared by all
+    D docs — is the genuinely quadratic worst case: the uncapped
+    inverted-index self-join materializes every pair (C(D,2) candidate
+    rows from that single element; the red baseline asserted below).
+    With ``max_df`` set, the hot element leaves the index and the
+    output is bounded by real overlaps only, while a genuine near-dup
+    pair sharing NON-hot elements is still found (recall holds where
+    the signal is); its score drops to the documented lower bound
+    because the hot element no longer counts as shared. Default None
+    stays bit-identical to the uncapped form (every oracle runs
+    uncapped)."""
+    rows = [(i, f"uniq{i} hotboiler") for i in range(40)]
+    rows += [
+        (100, "alpha beta gamma uniqx hotboiler"),
+        (101, "alpha beta gamma uniqy hotboiler"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sets = F.array_distinct(tokens("text"))
+
+    # red baseline: quadratic — every one of the C(42,2) pairs shares
+    # the hot token and materializes
+    uncapped = D.jaccard_pairs(df, "doc_id", sets, 1e-6)
+    assert uncapped.count() == 42 * 41 // 2
+    # capped: the hot token (df 42 > 10) leaves the index; only the
+    # genuine near-dup pair survives, with the lower-bound score
+    # 3 shared non-hot tokens / (5 + 5 - 3)
+    capped = D.jaccard_pairs(df, "doc_id", sets, 1e-6, max_df=10)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    assert got == {(100, 101): round(3 / 7, 6)}
+    # containment gets the same knob: directed pair both ways, score
+    # 3 shared non-hot / 5 = n_src (n_src still counts the hot token)
+    cont = D.containment_pairs(df, "doc_id", sets, 1e-6, max_df=10)
+    gc = {(r["src_id"], r["dst_id"]): r["containment"]
+          for r in cont.collect()}
+    assert gc == {(100, 101): 0.6, (101, 100): 0.6}
+    # max_df=None is the uncapped form, bit-identical
+    assert D.jaccard_pairs(df, "doc_id", sets, 1e-6, max_df=None) \
+        .count() == 42 * 41 // 2
+
+
 def test_temperature_mixture_flattens_composition(spark, sf_dir):
     """α=0.5 rebalancing: the smallest language keeps rate 1.0, every
     larger language keeps a strictly smaller fraction, and the kept
