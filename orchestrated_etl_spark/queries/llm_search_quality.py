@@ -9,8 +9,10 @@ Four components, each a scale-first Spark plan:
   query touches only its own terms' postings (semi-join pruning), never
   the corpus.
 - TF-IDF keyword extraction — two hash aggregates (term-per-doc, then
-  doc-frequency) and one broadcast join back; top-k per doc via a
-  partitioned window, no global sort.
+  doc-frequency) and one HINT-FREE join back (the df relation is the
+  raw-token vocabulary, Heaps'-law-unbounded — threshold/AQE broadcast
+  it while small, shuffle on term past that; see _tfidf_keywords);
+  top-k per doc via a partitioned window, no global sort.
 - Incremental ingest dedup — the "tonight's crawl vs the existing
   corpus" shape: a content-hash LEFT ANTI join. At 100 TB the history
   side is the big one, so the anti-join shuffles on the 32-byte hash

@@ -623,7 +623,8 @@ register(
 def _sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shipping-priority query (TPC-H Q3 shape) issued as pure SQL text —
     demonstrates that the registered-view + spark.sql path hits the same
-    Catalyst plan (broadcast dims, partial agg, pushed predicates) as the
+    Catalyst plan (hint-free joins — dims broadcast under the threshold
+    and shuffle past it, partial agg, pushed predicates) as the
     DataFrame API."""
     for t in ("customer", "orders", "lineitem"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(

@@ -37,11 +37,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 customers by revenue on returned line items. The customer
-    dimension broadcasts; lineitem aggregates with map-side partials on
-    l_orderkey->o_custkey after one shuffle; the final top-k is
-    TakeOrderedAndProject (k rows per partition to the driver), not a
-    global sort. Ties broken by custkey for cross-engine determinism."""
+    """Top-20 customers by revenue on returned line items. Both join
+    dims are HINT-FREE (customer/orders grow with SF — r18 review, the
+    r17 flagship-docstring class): they broadcast under the threshold
+    at bench scale and degrade to key-partitioned shuffle joins past
+    it. Lineitem aggregates with map-side partials after one shuffle;
+    the final top-k is TakeOrderedAndProject (k rows per partition to
+    the driver), not a global sort. Ties broken by custkey for
+    cross-engine determinism."""
     lineitem = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
@@ -94,9 +97,11 @@ register(
 
 def _q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly share of revenue from PROMO-type parts. One scan, one
-    broadcast join to part, one aggregate — the conditional-sum ratio
-    replaces the naive filtered-self-join formulation (two fact scans +
-    an extra join) that would double the I/O at 100 TB."""
+    hint-free join to part (broadcast under the threshold; part grows
+    with SF, so past it the join degrades to a key-partitioned shuffle
+    — r18 review wording fix), one aggregate — the conditional-sum
+    ratio replaces the naive filtered-self-join formulation (two fact
+    scans + an extra join) that would double the I/O at 100 TB."""
     lineitem = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice").cast("decimal(14,2)") * (
@@ -210,10 +215,12 @@ register(
 
 def _q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue under an OR-of-ANDs predicate spanning both join sides.
-    Catalyst factors the common p_partkey = l_partkey conjunct out of the
-    disjunction, so the plan is a broadcast hash join with a residual
-    filter — the naive reading (three separate joins unioned, or worse a
-    cartesian product filtered late) never materialises."""
+    Catalyst factors the common p_partkey = l_partkey conjunct out of
+    the disjunction, so the plan stays a HASH join with a residual
+    filter (broadcast under the threshold, shuffle past it — the part
+    side grows with SF; r18 review wording fix) — the naive reading
+    (three separate joins unioned, or worse a cartesian product
+    filtered late) never materialises."""
     lineitem = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     j = lineitem.join(

@@ -200,9 +200,17 @@ def _q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Customer Complaints" comment — no s_comment column in the fixture).
     Two rewrites in one plan: count(DISTINCT l_suppkey) expands via a
     two-phase distinct aggregate (dedup shuffle then count), and the
-    NOT IN becomes a null-aware anti-join — broadcast here (the flagged
-    list is tiny), stays broadcast at 100 TB because it only ever holds
-    flagged suppliers."""
+    NOT IN becomes a null-aware anti-join (NAAJ). SCALE CAVEAT (r18
+    review): Spark executes a NAAJ broadcast-side ONLY — there is no
+    shuffle fallback for the null-aware form — and the flagged list is
+    NOT construction-bounded: suppliers in arrears are a roughly
+    constant FRACTION of the supplier table, so the build side grows
+    with the data. The NOT IN spelling is kept because exercising the
+    NAAJ rewrite IS this query's coverage point (both key columns are
+    non-null here, so semantics match the anti-join); at 100 TB the
+    scale-safe spelling of the same predicate is NOT EXISTS / a
+    left_anti join, which Spark plans as a shuffle-capable regular
+    anti-join — see j_anti_join for that form."""
     _views(spark, sf_dir, "q16", "lineitem", "part", "supplier")
     return spark.sql(
         """
