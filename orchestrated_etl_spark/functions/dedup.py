@@ -96,7 +96,18 @@ def _cap_document_frequency(ex: DataFrame, max_df: int) -> DataFrame:
     df bounds candidates per element at max_df²/2. The hot-element
     relation itself is small by construction: at most
     |index| / max_df elements can exceed the cap, so the anti-join's
-    build side shrinks as the cap grows."""
+    build side shrinks as the cap grows.
+
+    Plan shape (verified via explain at introduction): the anti-join
+    plans as a shuffle-capable SortMergeJoin LeftAnti on the element
+    key — AQE swaps in a broadcast when the hot list is small — and
+    its element-keyed Exchange is the same partitioning the downstream
+    self-join requires. Caveat for corpus scale: the pairwise callers
+    self-join two ALIASES of the capped index, and Spark duplicates
+    the plan subtree per alias (distinct exprIds defeat exchange
+    reuse), so the df-aggregate evaluates twice; a production caller
+    capping a 100 TB index should stage the capped index once
+    (persist or a checkpointed write) before the self-join."""
     hot = (
         ex.groupBy("_elem")
         .agg(F.count(F.lit(1)).alias("_df"))
