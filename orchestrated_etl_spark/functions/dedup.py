@@ -286,22 +286,25 @@ def shingle_rows(
     window, no shuffle, no sort before the signature aggregate (the
     earlier window-lead formulation paid a shuffle + per-doc sort here;
     measured 1.6s -> 1.1s at sf0.1, and at 100 TB it removes the only
-    non-aggregate shuffle in the minhash path). Re-splitting the text
-    inside the generator output beats carrying the token array through
-    posexplode (narrower generator rows; measured ~10% faster).
+    non-aggregate shuffle in the minhash path). The token array is
+    split ONCE per doc and carried through the generate (r18, guide
+    §1.2 per-task work: the earlier form re-split the full text string
+    for every token row — O(tokens²) character work per doc; measured
+    0.81 s → 0.68 s warm for the signature pass at sf0.1 with
+    bit-identical signatures, and the win grows with document length).
 
     Byte-identical strings to ``shingles()`` (including the whole-text
     shingle for docs shorter than n tokens) and emits multiset rows
     (duplicate shingles survive; fine for min-hash, not for Jaccard)."""
     t = F.split(F.col(text_col), " ")
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(text_col).alias("_txt"),
-        F.posexplode(t).alias("_pos", "_tok"),
-        F.size(t).alias("_cnt"),
+    base = df.select(F.col(id_col).alias("_id"), t.alias("_ts")).select(
+        "_id",
+        "_ts",
+        F.posexplode("_ts").alias("_pos", "_tok"),
+        F.size("_ts").alias("_cnt"),
     )
     shingle = F.array_join(
-        F.slice(F.split(F.col("_txt"), " "), F.col("_pos") + 1, n), " "
+        F.slice(F.col("_ts"), F.col("_pos") + 1, n), " "
     )
     # full n-grams only, except: a doc shorter than n tokens contributes
     # its whole text as the single shingle (the short slice joins what's

@@ -379,14 +379,21 @@ def sq8_topk(
     # pruning would otherwise re-execute the scan → stats → quantize
     # subtree per consumer. q8 is id + 64 small ints — a fraction of
     # the float corpus; at 100 TB this is the staged int8 index write.
+    # The id-repartition happens BEFORE the quantize projection (r18:
+    # it used to sit downstream of the checkpoint, costing a second
+    # exchange per consumer run), so the checkpointed index is already
+    # spread across cores for the |Q|·|C| scoring pass — exactly how
+    # the staged index would be written pre-partitioned at scale.
+    par = default_parallelism(corpus.sparkSession)
     q8 = sq8_quantize(
-        corpus.select(F.col(id_col), F.col(vec_col)),
+        corpus.select(F.col(id_col), F.col(vec_col)).repartition(
+            par, F.col(id_col)
+        ),
         id_col,
         vec_col,
         scale_stats,
     ).localCheckpoint(eager=True)
-    par = default_parallelism(corpus.sparkSession)
-    c = q8.repartition(par, F.col(id_col)).select(
+    c = q8.select(
         F.col(id_col).alias("neighbor_id"), F.col("q8").alias("_cq8")
     )
     q = F.broadcast(

@@ -946,7 +946,6 @@ def rfm_cutoff_core(ev: DataFrame) -> DataFrame:
         .withColumn("spend_unit", F.floor("_spend").cast("long"))
     )
     per_user = per_user.localCheckpoint(eager=False)
-    n_df = per_user.agg(F.count(F.lit(1)).alias("n"))
     # FUSED cutoff derivation: all three dimensions' histograms in ONE
     # pass — explode each user row into (dim, value), histogram by
     # (dim, value), cumulative-sum over a window PARTITIONED BY dim
@@ -975,8 +974,20 @@ def rfm_cutoff_core(ev: DataFrame) -> DataFrame:
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = hist.withColumn("cum", F.sum("cnt").over(w))
-    per_dim = cum.crossJoin(F.broadcast(n_df)).groupBy("dim").agg(
+    # n (the user count) = each dimension's total histogram mass — an
+    # unordered full-partition window over the SAME dim partitioning the
+    # cumulative window already established, so it adds no exchange.
+    # This replaces the separate count(per_user) pass + its broadcast
+    # crossJoin (r18 optimization: one fewer job + one fewer broadcast;
+    # guide §2.4 — two operations keyed the same way share one
+    # exchange). Identical n: every user contributes exactly one
+    # histogram row per dimension, NULL values included (a NULL v forms
+    # its own histogram group, and max-over-partition sees all groups).
+    wn = Window.partitionBy("dim")
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(wn)
+    )
+    per_dim = cum.groupBy("dim").agg(
         *[
             F.min(
                 F.when(

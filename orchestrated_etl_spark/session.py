@@ -20,6 +20,16 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let the planner choose shuffled-hash over sort-merge when its size
+    # conditions hold (one side small enough to hash per partition):
+    # skips the per-partition sorts entirely. The r18 optimization pass
+    # measured the headline suite at -1.5 s (iterative joins — BFS
+    # frontier, pagerank ranks, LSH bucket/verify joins — benefit most:
+    # their probe sides re-sort every round under sort-merge). Joins
+    # whose sides exceed the planner's size conditions still plan
+    # sort-merge, so the spill-graceful path remains the default for
+    # data-sized x data-sized joins at 100 TB.
+    "spark.sql.join.preferSortMergeJoin": "false",
     # --- deterministic semantics --------------------------------------
     "spark.sql.session.timeZone": "UTC",
     # --- python boundary ----------------------------------------------

@@ -306,7 +306,10 @@ LOW_CARD_WINDOW_OK: dict[str, tuple[int, str]] = {
     "events_markov_transitions": (1, "share over the type×type count grid"),
     # cumulative histogram per RFM dim: input is the (dim, value)
     # histogram — O(distinct integer values), sub-linear in the corpus.
-    "events_rfm_quantile_cutoffs": (1, "cumulation over the value histogram"),
+    # r18: a second (unordered) window over the SAME histogram derives
+    # n = total mass per dim, replacing the separate count(per_user)
+    # pass + broadcast crossJoin — same partitioning, no new exchange.
+    "events_rfm_quantile_cutoffs": (2, "cumulation + total over the value histogram"),
 }
 
 
