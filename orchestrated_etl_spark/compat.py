@@ -53,6 +53,35 @@ def default_parallelism(spark: SparkSession) -> int:
         return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
 
 
+def staged_checkpoint(df: "DataFrame") -> "DataFrame":  # noqa: F821
+    """Eager ``localCheckpoint`` that KEEPS the plan's hash partitioning
+    visible to Catalyst (r18, guide §2.1/§2.4).
+
+    Under AQE, ``Dataset.checkpoint`` snapshots
+    ``executedPlan.outputPartitioning`` from the not-yet-finalized
+    ``AdaptiveSparkPlanExec``, which reports ``UnknownPartitioning`` —
+    so every staged layout built with a plain ``localCheckpoint`` loses
+    its partitioning and every downstream shuffle-join re-exchanges BOTH
+    sides (measured: a repartition(8, id) → localCheckpoint → self-join
+    planned 2 exchanges; through this helper, 0 on the staged side, and
+    the probe side's exchange adopts the staged partition count). The
+    fix is to plan the ONE checkpoint statement non-adaptively: the
+    static plan's ``outputPartitioning`` is the real
+    ``hashpartitioning(key, n)``, which ``LogicalRDD`` then preserves
+    for every later consumer (those consumers still plan under AQE).
+    The staging job itself is a deterministic repartition/aggregate —
+    nothing AQE would improve — and the conf flip is scoped to this
+    call on the session's single query-construction thread."""
+    spark = df.sparkSession
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        return df.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(key, prev)
+
+
 def application_id(spark: SparkSession) -> str:
     """Classic ``sc.applicationId``; on Connect read the ``spark.app.id``
     conf, else key on session identity (over-invalidates, never

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from orchestrated_etl_spark.compat import default_parallelism
+from orchestrated_etl_spark.compat import default_parallelism, staged_checkpoint
 
 
 def copurchase_edges(
@@ -190,9 +190,16 @@ def pagerank(
 
     Each iteration = one equi-join of the (small) rank relation onto the
     edge relation + one aggregate; contribution r(u)/deg(u) is attached
-    to edges by pre-joining degrees ONCE outside the loop. The composed
-    lazy plan re-partitions ranks and edges on the same key, so AQE
-    collapses the per-iteration exchanges at bench scale."""
+    to edges by pre-joining degrees ONCE outside the loop. Iteration 1
+    skips the join entirely (r18, guide §2.4): every rank is the
+    constant 1.0 there, so its contribution rows are just
+    ed_deg.select(dst, 1.0/src_deg) — bit-identical doubles to the
+    joined form (1.0/x is the same IEEE op either way) — and the
+    all-nodes distinct() that only existed to seed those ranks
+    disappears with it (one exchange + one join fewer per query; the
+    iterations=0 call still returns the distinct-node seed). The
+    composed lazy plan re-partitions ranks and edges on the same key,
+    so AQE collapses the per-iteration exchanges at bench scale."""
     # Materialize the CANONICAL edge list first (one eager checkpoint
     # job): both ``undirect`` and ``degrees`` consume the edge relation,
     # and joining two lazy derivations of it would execute the
@@ -209,7 +216,14 @@ def pagerank(
     # whose two branches would re-derive the union twice and add a
     # second aggregate+join. Checkpointed so the per-iteration plans
     # read a materialized, hash-partitioned-on-src relation — a cheap
-    # job (edge-list-sized input).
+    # job (edge-list-sized input). Deliberately a PLAIN checkpoint, not
+    # staged_checkpoint (r18 A/B): the rank relation broadcasts below
+    # the threshold, so partition visibility buys nothing here, while
+    # the AQE-off staging job costs ~0.25 s per run at sf0.1 (loses
+    # exchange coalescing on a per-RUN build — unlike the BFS layout,
+    # which is session-staged once). Past the broadcast threshold a
+    # deployment would stage ed_deg once per session like
+    # cached_undirected_layout and staged_checkpoint it then.
     from pyspark.sql import Window
 
     ed_deg = (
@@ -223,19 +237,30 @@ def pagerank(
         )
         .localCheckpoint(eager=True)
     )
-    ranks = (
-        ed_deg.select(F.col("src").alias("node")).distinct()
-        .select("node", F.lit(1.0).alias("rank"))
-    )
+    ranks: DataFrame | None = None
     for _ in range(iterations):
-        contribs = ed_deg.join(ranks, ed_deg.src == ranks.node).select(
-            F.col("dst").alias("node"),
-            (F.col("rank") / F.col("src_deg")).alias("contrib"),
-        )
+        if ranks is None:
+            # iteration 1: rank(u) == 1.0 for every node, so the join
+            # against the seed relation is a constant lookup — emit the
+            # contribution rows directly from the edge relation.
+            contribs = ed_deg.select(
+                F.col("dst").alias("node"),
+                (F.lit(1.0) / F.col("src_deg")).alias("contrib"),
+            )
+        else:
+            contribs = ed_deg.join(ranks, ed_deg.src == ranks.node).select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("src_deg")).alias("contrib"),
+            )
         ranks = contribs.groupBy("node").agg(
             (F.lit(1.0 - damping) + F.lit(damping) * F.sum("contrib")).alias(
                 "rank"
             )
+        )
+    if ranks is None:  # iterations == 0: the uniform seed
+        ranks = (
+            ed_deg.select(F.col("src").alias("node")).distinct()
+            .select("node", F.lit(1.0).alias("rank"))
         )
     return ranks
 
@@ -255,16 +280,27 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
     max_by over (count, -label) — no row_number window, so the per-node
     candidate labels never sort-shuffle. Same materialize-edges-once
     pattern as pagerank; everything downstream of the checkpoint is
-    edge-list-sized. Pure BIGINT arithmetic end to end."""
+    edge-list-sized. Round 1 skips the label join (r18, guide §2.4):
+    the seed is the identity labelling, so each edge's neighbor-label
+    row is just (dst, src) — identical multiset to joining the distinct
+    -node identity relation — and the distinct() that only seeded it
+    disappears (one exchange + one join fewer per query; iterations=0
+    still returns the identity seed). Pure BIGINT arithmetic end to
+    end."""
     edges_m = edges.localCheckpoint(eager=True)
     ed = undirect(edges_m)
-    labels = ed.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
+    labels: DataFrame | None = None
     for _ in range(iterations):
-        neigh = ed.join(labels, ed.src == labels.node).select(
-            F.col("dst").alias("n2"), "label"
-        )
+        if labels is None:
+            # round 1: every node's label IS its id, so the neighbor
+            # label relation is the edge list itself.
+            neigh = ed.select(
+                F.col("dst").alias("n2"), F.col("src").alias("label")
+            )
+        else:
+            neigh = ed.join(labels, ed.src == labels.node).select(
+                F.col("dst").alias("n2"), "label"
+            )
         counts = neigh.groupBy("n2", "label").agg(
             F.count(F.lit(1)).alias("c")
         )
@@ -283,6 +319,10 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
         # 1..N-1's full lineage, turning a caller-supplied large
         # `iterations` into exponential recompute.
         labels = labels.localCheckpoint(eager=True)
+    if labels is None:  # iterations == 0: the identity seed
+        labels = ed.select(F.col("src").alias("node")).distinct().select(
+            "node", F.col("node").alias("label")
+        )
     return labels.select("node", F.col("label").alias("community"))
 
 
@@ -306,20 +346,28 @@ def bfs_distances(
     visited-set check, because a previously seen node keeps its smaller
     dist; guide §2.4 "remove shuffles outright": 2 exchanges per round
     → 1, and the per-round job chain shrank 27 → 12 jobs measured at
-    sf0.1). The distance relation is localCheckpoint'd per round (the
+    sf0.1). The distance relation is checkpoint'd per round (the
     pagerank/label-propagation pattern): without it round N replays
-    rounds 1..N-1's lineage. Because the aggregate leaves dist
-    hash-partitioned on node with the same width as the staged edge
-    layout, each round's frontier⋈edges join is co-partitioned — no
-    exchange on either side after round 1. At 100 TB the edge list is
-    the staged relation (cached_edges / a bucketed edges table
-    partitioned by src) and each round is one co-partitioned join + one
-    aggregate — the standard Pregel-style iteration expressed as
-    DataFrame ops. Per-round shuffle volume is |frontier expansion| +
-    |visited| — the same order as the anti-join form, which also
-    re-shuffled the visited set every round. The fixed hop cap bounds
-    both rounds and output; an early-exit `frontier.isEmpty()` check is
-    the documented long-tail variant (costs one action per round)."""
+    rounds 1..N-1's lineage. Both the edge layout and the per-round
+    distance relation go through ``staged_checkpoint`` (r18): a plain
+    localCheckpoint under AQE reports UnknownPartitioning, so every
+    round's frontier⋈edges join silently RE-EXCHANGED the full edge
+    layout — the staging repartition bought nothing at the plan level
+    (this corrects the earlier co-partitioned claim here, which the
+    r18 plan capture disproved). With the partitioning preserved, the
+    frontier (a filter of the node-hash-partitioned distance relation)
+    and the src-hash-partitioned edge layout are BOTH exchange-free in
+    the join: per-round shuffle volume drops from |edges| + |visited| +
+    |expansion| to |visited| + |expansion| (the min-aggregate's
+    exchange — the only one left per round; measured at sf0.1 the
+    whole query runs 9 jobs vs 21). At 100 TB the edge list is the
+    staged relation (cached_edges / a bucketed edges table partitioned
+    by src) and each round is one co-partitioned join + one aggregate
+    — the standard Pregel-style iteration expressed as DataFrame ops,
+    with the edge relation never moving after the one staging shuffle.
+    The fixed hop cap bounds both rounds and output; an early-exit
+    `frontier.isEmpty()` check is the documented long-tail variant
+    (costs one action per round)."""
     spark = edges.sparkSession
     # Hash-partition the edge list by src ONCE and pin that layout with
     # the checkpoint: each round's join then reuses it (only the tiny
@@ -334,9 +382,11 @@ def bfs_distances(
     u = (
         u_layout
         if u_layout is not None
-        else undirect(edges)
-        .repartition(default_parallelism(spark), F.col("src"))
-        .localCheckpoint(eager=True)
+        else staged_checkpoint(
+            undirect(edges).repartition(
+                default_parallelism(spark), F.col("src")
+            )
+        )
     )
     dist = spark.range(1).select(
         F.lit(seed).cast("long").alias("node"),
@@ -360,11 +410,13 @@ def bfs_distances(
         # copy but paid a distinct + anti-join (3 exchanges per round vs
         # this 1); measured at sf0.1 the aggregate form is net faster
         # (1.9 s → 1.2 s warm) on top of the structural exchange win.
-        dist = (
+        # staged_checkpoint keeps the aggregate's hashpartitioning(node)
+        # visible, so next round's frontier filter is co-partitioned
+        # with the edge layout and the join plans with NO exchange.
+        dist = staged_checkpoint(
             dist.unionByName(expanded)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
         )
         frontier = dist.filter(F.col("dist") == hop).select("node")
     return dist
@@ -385,7 +437,7 @@ def shortest_path_bf(
     # Same layout contract as bfs_distances: edges partitioned by src
     # once, distance relation shuffle-hash-joined against it per round
     # (never broadcast the edge list).
-    u = (
+    u = staged_checkpoint(
         edges.select(
             F.col("part_a").alias("src"),
             F.col("part_b").alias("dst"),
@@ -399,7 +451,6 @@ def shortest_path_bf(
             )
         )
         .repartition(default_parallelism(spark), F.col("src"))
-        .localCheckpoint(eager=True)
     )
     dist = spark.range(1).select(
         F.lit(seed).cast("long").alias("node"),
@@ -411,10 +462,12 @@ def shortest_path_bf(
         ).select(
             F.col("dst").alias("node"), (F.col("c") + F.col("w")).alias("c")
         )
-        dist = (
+        # staged_checkpoint (r18): same zero-exchange round join as
+        # bfs_distances — dist keeps hashpartitioning(node), u keeps
+        # hashpartitioning(src), so only the min-aggregate shuffles.
+        dist = staged_checkpoint(
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("c").alias("c"))
-            .localCheckpoint(eager=True)
         )
     return dist

@@ -134,6 +134,84 @@ def assign_to_centroids(
         vec_norm(F.col(vec_col)).alias("_cennorm"),
     )
     par = default_parallelism(corpus.sparkSession)
+    if nprobe == 1:
+        # Argmax as a MAP-ONLY fold over a broadcast 1-row centroid
+        # ARRAY (r18, guide §2.4/§5): the earlier max_by aggregate never
+        # shuffled the |corpus|×K scored rows, but its buffer carried
+        # the vector array (first(_vec)) and a struct ordering — neither
+        # hash-aggregable — so the plan fell back to Sort + SortAggregate
+        # over all K·|corpus| joined rows. Folding the K cosines per row
+        # with reduce() materializes no per-centroid rows and no sort at
+        # all: one projection over the corpus, same K dot products.
+        # Tie/NULL semantics replicate max_by over (cosine, -cid)
+        # exactly: centroids are visited in ASCENDING cid order
+        # (array_sort on the cid-led struct) with a STRICT improvement
+        # test, so equal cosines keep the lowest cid; a NULL cosine
+        # (zero vector) never beats a non-NULL one; the all-NULL row
+        # falls back to the lowest cid — max_by's RowOrdering treats the
+        # NULL score field as smallest, which is the same ordering.
+        cen_arr = cen.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("centroid_id").alias("cid"),
+                        F.col("_cenvec").alias("v"),
+                        F.col("_cennorm").alias("nrm"),
+                    )
+                )
+            ).alias("_cens")
+        )
+        base = (
+            corpus.repartition(par, F.col(id_col))
+            .select(
+                F.col(id_col).alias("_id"),
+                F.col(vec_col).alias("_vec"),
+                vec_norm(F.col(vec_col)).alias("_vnorm"),
+            )
+            .join(F.broadcast(cen_arr))
+            # empty centroid set: the old join produced zero rows; keep
+            # that (the fold below would emit NULL assignments instead).
+            .where(F.size("_cens") > 0)
+        )
+
+        def _cos_of(e: Column) -> Column:
+            return F.round(
+                F.try_divide(
+                    dot(F.col("_vec"), e["v"]),
+                    F.col("_vnorm") * e["nrm"],
+                ),
+                6,
+            )
+
+        # score each centroid ONCE (transform), then fold the small
+        # (c, cid) structs — a lambda that recomputed the cosine inside
+        # the comparison would pay the dot product 3× per centroid
+        # (no common-subexpression elimination inside interpreted HOFs).
+        scored_arr = F.transform(
+            F.col("_cens"),
+            lambda e: F.struct(
+                _cos_of(e).alias("c"), e["cid"].alias("cid")
+            ),
+        )
+        best_cid = F.aggregate(
+            scored_arr,
+            F.struct(
+                F.lit(None).cast("double").alias("c"),
+                F.get("_cens", 0)["cid"].alias("cid"),
+            ),
+            lambda acc, s: F.when(
+                (s["c"] > acc["c"])
+                | (acc["c"].isNull() & s["c"].isNotNull()),
+                s,
+            ).otherwise(acc),
+            lambda acc: acc["cid"],
+        )
+        cols = [
+            F.col("_id"),
+            F.col("_vec"),
+            best_cid.alias("centroid_id"),
+        ] + ([F.col("_vnorm")] if keep_norm else [])
+        return base.select(*cols)
     scored = (
         corpus.repartition(par, F.col(id_col))
         .select(
@@ -153,31 +231,6 @@ def assign_to_centroids(
         ),
         6,
     )
-    if nprobe == 1:
-        # Argmax as a MAX_BY aggregate instead of a row_number window:
-        # the aggregate partial-combines map-side, so the |corpus| x K
-        # scored rows never shuffle — only one (id, vec, argmax) row per
-        # vector reaches the exchange. (The window form sort-shuffles
-        # every scored row.) Tie-break matches the window ordering:
-        # lexicographic max of (cosine, -centroid_id) = highest cosine,
-        # then LOWEST centroid id.
-        out = (
-            scored.groupBy("_id")
-            .agg(
-                F.first("_vec").alias("_vec"),
-                F.first("_vnorm").alias("_vnorm"),
-                F.max_by(
-                    F.col("centroid_id"),
-                    F.struct(
-                        cos.alias("c"), (-F.col("centroid_id")).alias("t")
-                    ),
-                ).alias("centroid_id"),
-            )
-        )
-        cols = ["_id", "_vec", "centroid_id"] + (
-            ["_vnorm"] if keep_norm else []
-        )
-        return out.select(*cols)
     w = Window.partitionBy("_id").orderBy(cos.desc(), F.col("centroid_id"))
     cols = ["_id", "_vec", "centroid_id"] + (["_vnorm"] if keep_norm else [])
     return (

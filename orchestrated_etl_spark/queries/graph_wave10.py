@@ -98,14 +98,15 @@ def cached_undirected_layout(
     if key not in _ULAYOUT_CACHE:
         if len(_ULAYOUT_CACHE) > 4:
             _ULAYOUT_CACHE.clear()
+        from orchestrated_etl_spark.compat import staged_checkpoint
         from orchestrated_etl_spark.functions.graph import undirect
 
-        u = (
+        # staged_checkpoint (r18): a plain localCheckpoint under AQE
+        # loses the hashpartitioning(src) this layout exists to provide
+        # — every traversal round was silently re-exchanging it.
+        u = staged_checkpoint(
             undirect(cached_edges(spark, sf_dir, min_weight=min_weight))
-            .repartition(
-                default_parallelism(spark), F.col("src")
-            )
-            .localCheckpoint(eager=True)
+            .repartition(default_parallelism(spark), F.col("src"))
         )
         _ULAYOUT_CACHE[key] = u
     return _ULAYOUT_CACHE[key]

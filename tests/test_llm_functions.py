@@ -434,12 +434,13 @@ def test_temperature_mixture_flattens_composition(spark, sf_dir):
 
 
 def test_ivf_nprobe1_assignment_has_no_window_sort(spark, sf_dir):
-    """The nprobe=1 centroid assignment must plan as an AGGREGATE
-    (map-side-combinable max_by — Spark picks SortAggregate because the
-    max_by ordering buffer is a struct, but partial aggregation still
-    collapses the K scored rows per vector before the exchange) — not a
-    row_number window, which would sort-shuffle every scored row.
-    nprobe=2 keeps the window (top-N needs it)."""
+    """The nprobe=1 centroid assignment must plan MAP-ONLY over the
+    corpus (r18: an array fold over the broadcast 1-row centroid array)
+    — no row_number window (which would sort-shuffle every scored row)
+    and no per-row SortAggregate either (the earlier max_by form's
+    struct/array buffers fell back to Sort + SortAggregate over all
+    K·|corpus| joined rows). nprobe=2 keeps the window (top-N needs
+    it)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cents = emb.filter(F.col("vec_id") < 8)
     p1 = (
@@ -447,7 +448,8 @@ def test_ivf_nprobe1_assignment_has_no_window_sort(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in p1, p1
-    assert "Aggregate" in p1 and "max_by" in p1, p1
+    assert "SortAggregate" not in p1, p1
+    assert "aggregate(" in p1, p1  # the per-row argmax fold
     p2 = (
         SIM.assign_to_centroids(emb, cents, "vec_id", "embedding", nprobe=2)
         ._jdf.queryExecution().executedPlan().toString()
