@@ -167,3 +167,100 @@ def test_label_propagation_two_communities(spark):
     assert got[1] == got[2] == got[3]
     assert got[10] == got[11] == got[12]
     assert got[1] != got[10]
+
+
+# ---------------------------------------------------------------------------
+# staged_checkpoint: partitioning visibility through checkpoints (r18)
+# ---------------------------------------------------------------------------
+
+
+def test_staged_checkpoint_preserves_partitioning_and_conf(spark):
+    """r18 contract: a plain localCheckpoint under AQE reports
+    UnknownPartitioning, so co-partitioned joins re-exchange BOTH sides;
+    staged_checkpoint must (a) keep the hashpartitioning visible —
+    a shuffle_hash join of two layouts staged on the join keys plans
+    with ZERO exchanges — and (b) restore spark.sql.adaptive.enabled
+    afterwards."""
+    from orchestrated_etl_spark.compat import staged_checkpoint
+
+    before = spark.conf.get("spark.sql.adaptive.enabled")
+    a = staged_checkpoint(spark.range(0, 5000).repartition(8, "id"))
+    b = staged_checkpoint(
+        spark.range(0, 5000).select(F.col("id").alias("id2"))
+        .repartition(8, "id2")
+    )
+    assert spark.conf.get("spark.sql.adaptive.enabled") == before
+    plan = (
+        a.hint("shuffle_hash").join(b, a["id"] == b["id2"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning" not in plan, plan
+    # the plain-checkpoint control: partitioning lost, exchanges back
+    c = spark.range(0, 5000).repartition(8, "id").localCheckpoint()
+    d = (
+        spark.range(0, 5000).select(F.col("id").alias("id2"))
+        .repartition(8, "id2").localCheckpoint()
+    )
+    control = (
+        c.hint("shuffle_hash").join(d, c["id"] == d["id2"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert control.count("Exchange hashpartitioning") == 2, control
+
+
+def test_bfs_round_join_is_exchange_free(spark):
+    """The bfs_distances round body must join the frontier against the
+    staged edge layout with no exchange on either side (the r18
+    zero-exchange-round contract; plans/r18/graph_bfs_frontier_round_
+    body_after.txt is the committed capture of the same shape)."""
+    from orchestrated_etl_spark.compat import (
+        default_parallelism,
+        staged_checkpoint,
+    )
+    from orchestrated_etl_spark.functions.graph import undirect
+
+    pairs = [(i, i + 1) for i in range(200)]
+    edges = _edges_df(spark, pairs)
+    # Width-aligned layout: the aggregate below always lands at
+    # spark.sql.shuffle.partitions, so stage the edge layout at the
+    # same width (the bench/driver sessions set shuffle.partitions ==
+    # default_parallelism, which is what bfs_distances' layout uses;
+    # this test session pins shuffle.partitions=8). A width MISMATCH
+    # would re-exchange only the frontier side — the edge side stays
+    # in place either way, which the src-key assertion pins.
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    u = staged_checkpoint(
+        undirect(edges).repartition(width, F.col("src"))
+    )
+    # replicate the real loop: round 1 expands an RDD-backed seed, the
+    # staged min-aggregate re-partitions by node, round 2's frontier is
+    # a filter of that staged relation.
+    seed = (
+        spark.createDataFrame([(0, 0)], "node long, dist int")
+        .localCheckpoint(eager=True)
+    )
+    expanded = (
+        seed.select("node").hint("shuffle_hash")
+        .join(u, F.col("node") == u["src"])
+        .select(F.col("dst").alias("node"), F.lit(1).cast("int").alias("dist"))
+    )
+    dist = staged_checkpoint(
+        seed.unionByName(expanded)
+        .groupBy("node").agg(F.min("dist").alias("dist"))
+    )
+    frontier = dist.filter(F.col("dist") == 1).select("node")
+    plan = (
+        frontier.hint("shuffle_hash").join(u, frontier["node"] == u["src"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    # and independent of widths: the edge layout must NEVER be re-keyed
+    u32 = staged_checkpoint(
+        undirect(edges).repartition(default_parallelism(spark), F.col("src"))
+    )
+    plan32 = (
+        frontier.hint("shuffle_hash").join(u32, frontier["node"] == u32["src"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning(src" not in plan32, plan32
